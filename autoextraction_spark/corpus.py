@@ -1,0 +1,97 @@
+"""Deterministic synthetic Common-Crawl-style web corpus.
+
+Builds the pipeline input table ``(url, warc_ts, html, text, lang)`` (per
+BASELINE.json input_hint) from the driver's ``documents.parquet`` skeleton:
+``doc_id`` supplies scale + language mix, all content is pure integer
+arithmetic on ``doc_id`` (schema.py) so a DuckDB SQL oracle can recompute the
+expected triples without running the pipeline.
+
+Generation runs distributed via ``mapInPandas`` (Arrow batches) — at 10^12
+documents this is an embarrassingly parallel map over the id-space, no
+shuffle, no driver-side loop.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schema as S
+
+WEB_PAGES_SCHEMA = (
+    "doc_id long, url string, warc_ts timestamp, html binary, "
+    "text string, lang string"
+)
+
+_EPOCH = _dt.datetime(2024, 1, 1)
+
+
+def build_html(doc_id: int, lang: str) -> str:
+    """Pure function doc_id -> html. The ONLY producer of page content."""
+    parts = [
+        f'<html><head><title>Doc {doc_id}</title><meta charset="utf-8"/></head><body>',
+        f"<h1>Report {doc_id}</h1>",
+    ]
+    for i in range(S.n_facts(doc_id)):
+        parts.append(f"<p>{S.fact_sentence(doc_id, i, lang)}</p>")
+        if (doc_id + i) % 3 == 0:
+            parts.append(f"<p>{S.FILLERS[(doc_id * 5 + i) % len(S.FILLERS)]}</p>")
+    parts.append('<script>var tracker = "t0";</script></body></html>')
+    return "".join(parts)
+
+
+def warc_ts(doc_id: int) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(days=doc_id % 365, seconds=(doc_id * 7) % 86400)
+
+
+def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids = pdf["doc_id"].astype("int64")
+        langs = pdf["lang"].map(S.doc_lang)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "url": [S.page_url(d) for d in doc_ids],
+                "warc_ts": [warc_ts(d) for d in doc_ids],
+                "html": [
+                    build_html(d, lg).encode("utf-8")
+                    for d, lg in zip(doc_ids, langs)
+                ],
+                "text": None,
+                "lang": langs,
+            }
+        )
+
+
+def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the input table from the documents skeleton at ``sf_dir``.
+
+    ``text`` is NULL — stage A (text_extract) fills it; the per-row invariant
+    is byte-identical extraction per url.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    return docs.mapInPandas(_gen, schema=WEB_PAGES_SCHEMA)
+
+
+def gold_triples(spark: SparkSession, sf_dir: str, canonical: bool = False) -> DataFrame:
+    """Expected (url, pred, subj, obj) — derived from the same fact math.
+
+    Used as the gold side of MetricF1 and as pytest fixtures. ``canonical``
+    selects post-entity-linking surfaces.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, src_lang in zip(pdf["doc_id"].astype("int64"), pdf["lang"]):
+                lang = S.doc_lang(src_lang)
+                url = S.page_url(int(d))
+                for rel, subj, obj, obj_canon in S.gold_facts(int(d), lang):
+                    rows.append((url, rel, subj, obj_canon if canonical else obj))
+            yield pd.DataFrame(rows, columns=["url", "pred", "subj", "obj"])
+
+    return docs.mapInPandas(gen, schema="url string, pred string, subj string, obj string").distinct()

@@ -1,0 +1,132 @@
+"""Stage D — output semantics: completed-state filter, cond-string compat,
+triple materialization, set-dedup, MetricF1 (reference operators O1-O5).
+
+All pure DataFrame ops — at scale this is one narrow filter/project plus one
+``distinct`` (the only shuffle, on the small (url, pred, subj, obj) output,
+never on the text column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import schema as S
+
+
+def completed_filter(states: DataFrame, keep_none: bool = False) -> DataFrame:
+    """O1 (predict.py:102-108): keep fully-filled states; drop '[None]' tuples.
+
+    ``keep_none=True`` mirrors the DuEE path that keeps them (DQN.py:305).
+    """
+    done = states.filter(F.size("remaining") == 0)
+    if keep_none:
+        return done
+    return done.filter(
+        ~F.array_contains(F.map_values("assigned"), S.NONE_SENTINEL)
+    )
+
+
+def _slot(lang_col: Column, idx: int) -> Column:
+    return F.when(
+        lang_col == "zh", F.col("assigned").getItem(S.ZH_SLOTS[idx])
+    ).otherwise(F.col("assigned").getItem(S.EN_SLOTS[idx]))
+
+
+def to_triples(completed: DataFrame) -> DataFrame:
+    """Typed states → distinct (url, pred, subj, obj) (O3+O4).
+
+    The reference parses slot values back out of serialized cond strings
+    (predict.py:109-126 ``seq2dict``); our state is a typed map, so this is
+    a projection — the string grammar survives only in render_cond/parse_cond
+    for fixture byte-compat.
+    """
+    return (
+        completed.select(
+            "url",
+            F.col("rel").alias("pred"),
+            _slot(F.col("lang"), 0).alias("subj"),
+            _slot(F.col("lang"), 1).alias("obj"),
+        )
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        .distinct()
+    )
+
+
+def render_cond(states: DataFrame) -> DataFrame:
+    """Serialize the typed state to the reference cond grammar
+    (Environment.py:106-108,201-204): ``'{rel}; {slot}:{value}…'`` en /
+    ``'{rel}； {slot}：{value}…'`` zh — byte-compatible fixture boundary.
+    """
+    def grammar(slots: list[str], sep: str, colon: str) -> Column:
+        parts = [F.col("rel")]
+        for s in slots:
+            parts.append(
+                F.when(
+                    F.map_contains_key("assigned", F.lit(s)),
+                    F.concat(
+                        F.lit(sep), F.lit(s), F.lit(colon), F.col("assigned").getItem(s)
+                    ),
+                ).otherwise(F.lit(""))
+            )
+        return F.concat(*parts)
+
+    cond = F.when(
+        F.col("lang") == "zh", grammar(S.ZH_SLOTS, "； ", "：")
+    ).otherwise(grammar(S.EN_SLOTS, "; ", ":"))
+    return states.withColumn("cond", cond)
+
+
+def parse_cond(df: DataFrame, cond_col: str = "cond") -> DataFrame:
+    """O2 inverse (predict.py:109-126): cond string → (rel, assigned map).
+
+    Pure JVM string ops: split on the language separator, then on the first
+    colon of each segment.
+    """
+    def parse_with(sep: str, colon: str):
+        segs = F.split(F.col(cond_col), sep)
+        pairs = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+        return (
+            F.element_at(segs, 1),
+            F.map_from_arrays(
+                F.transform(pairs, lambda p: F.element_at(F.split(p, colon, 2), 1)),
+                F.transform(pairs, lambda p: F.element_at(F.split(p, colon, 2), 2)),
+            ),
+        )
+
+    en_rel, en_map = parse_with("; ", ":")
+    zh_rel, zh_map = parse_with("； ", "：")
+    is_zh = F.col("lang") == "zh"
+    return df.withColumn(
+        "parsed_rel", F.when(is_zh, zh_rel).otherwise(en_rel)
+    ).withColumn("parsed_assigned", F.when(is_zh, zh_map).otherwise(en_map))
+
+
+def triple_text(triples: DataFrame) -> DataFrame:
+    """O3 ``spo2text``: 'pred|subj|obj' (predict.py:129-131)."""
+    return triples.withColumn(
+        "triple", F.concat_ws("|", F.col("pred"), F.col("subj"), F.col("obj"))
+    )
+
+
+def metric_f1(pred: DataFrame, gold: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """O5 ``MetricF1`` (predict.py:54-79) as a single aggregate job.
+
+    correct = |pred ∩ gold| (inner join on the triple key), P/R/F1 with the
+    reference's max(·,1) guards. Returns one row:
+    (correct, output, golden, precision, recall, f1).
+    """
+    keys = keys or ["url", "pred", "subj", "obj"]
+    p = pred.select(*keys).distinct()
+    g = gold.select(*keys).distinct()
+    correct = p.join(g, on=keys, how="inner").count()
+    output = p.count()
+    golden = g.count()
+    precision = correct / max(output, 1)
+    recall = correct / max(golden, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [(correct, output, golden, float(precision), float(recall), float(f1))],
+        "correct long, output long, golden long, precision double, recall double, f1 double",
+    )

@@ -1,0 +1,153 @@
+"""Stage C — ordered slot filling: the driver-orchestrated fork loop.
+
+Reference semantics (operators E2-E12, SURVEY.md §2.3): per (document,
+relation) an episode fills slots one at a time in an adaptively chosen order;
+every candidate mention for the chosen slot FORKS the state
+(Environment.py:186-224 ``step``: dedup at :198, fork loop :200-214), up to
+20 rounds (predict.py:86), until no slots remain.
+
+Spark-first design: the episode state is a typed DataFrame
+``(url, rel, text, lang, assigned map<string,string>, remaining
+array<string>, score double, step int)``; the reference's per-sentence Python
+recursion becomes a bounded driver loop where EACH iteration is one
+Arrow-vectorized pass over all live states:
+
+  1. one struct-returning pandas UDF per row does {Q-score all remaining
+     slots → argmax ensemble → extract candidates → score2prob → null
+     fallback} — rows are independent, so choosing the slot inside the UDF
+     (instead of explode + window-argmax) removes a per-iteration shuffle
+     entirely: the loop body is shuffle-free, a pure narrow map + explode.
+  2. ``explode(arrays_zip(...))`` forks states (Environment.py:200-214);
+     ``map_concat``/``array_remove`` update the typed state JVM-side.
+  3. ``localCheckpoint`` cuts lineage each round (plan growth is the classic
+     iterative-DataFrame trap); with a workdir the checkpoint is a parquet
+     write instead → the resume point (pipeline.py).
+
+At 100 TB the loop depth is bounded by max slot count (≤ ~6, cap 20), and
+each round is one map stage over (pages × detected relations) — no shuffle,
+no skew surface; the expensive text column is carried, not shuffled.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import scorers
+from .. import schema as S
+
+MAX_STEPS = 20  # reference episode cap, DQN.py:21 / predict.py:86
+
+STATE_COLS = ["url", "rel", "text", "lang", "assigned", "remaining", "score", "step"]
+
+_STEP_SCHEMA = (
+    "url string, rel string, text string, lang string, assigned string, "
+    "remaining array<string>, score double, step int, chosen string, "
+    "reward double, mentions array<string>, probs array<double>, "
+    "scores array<double>"
+)
+
+
+def initial_states(detected: DataFrame) -> DataFrame:
+    """Seed one state per gated (url, rel): empty cond, full slot schema.
+
+    Mirrors Environment.py:371-376 ``reset_with_input``; the slot schema is
+    the fixed two-slot relational schema per language
+    (Environment.py:402-405).
+    """
+    remaining = F.when(
+        F.col("lang") == "zh", F.array(*[F.lit(s) for s in S.ZH_SLOTS])
+    ).otherwise(F.array(*[F.lit(s) for s in S.EN_SLOTS]))
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return detected.select(
+        "url",
+        "rel",
+        "text",
+        "lang",
+        empty_map.alias("assigned"),
+        remaining.alias("remaining"),
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("step"),
+    )
+
+
+def _step_batches(policy: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chosen, reward, mentions, probs, scores = [], [], [], [], []
+            for text, rel, lang, assigned_js, remaining in zip(
+                pdf["text"], pdf["rel"], pdf["lang"], pdf["assigned"], pdf["remaining"]
+            ):
+                assigned = json.loads(assigned_js)
+                slot, cands, rw = scorers.step_state(
+                    text, rel, lang, assigned, list(remaining), policy
+                )
+                chosen.append(slot)
+                reward.append(rw)
+                mentions.append([c[0] for c in cands])
+                probs.append([c[1] for c in cands])
+                scores.append([c[2] for c in cands])
+            out = pdf.copy()
+            out["chosen"] = chosen
+            out["reward"] = reward
+            out["mentions"] = mentions
+            out["probs"] = probs
+            out["scores"] = scores
+            yield out
+
+    return run
+
+
+def fork_step(live: DataFrame, policy: str = "rl") -> DataFrame:
+    """One loop iteration: score → choose → extract → fork. Shuffle-free."""
+    stepped = live.withColumn("assigned", F.to_json("assigned")).mapInPandas(
+        _step_batches(policy), schema=_STEP_SCHEMA
+    )
+    cand = F.explode(
+        F.arrays_zip(F.col("mentions"), F.col("probs"), F.col("scores"))
+    ).alias("cand")
+    return (
+        stepped.select("*", cand)
+        .select(
+            "url",
+            "rel",
+            "text",
+            "lang",
+            F.map_concat(
+                F.from_json("assigned", "map<string,string>"),
+                F.create_map(F.col("chosen"), F.col("cand.mentions")),
+            ).alias("assigned"),
+            F.array_remove("remaining", F.col("chosen")).alias("remaining"),
+            (F.col("score") + F.col("cand.scores")).alias("score"),
+            (F.col("step") + 1).alias("step"),
+        )
+    )
+
+
+def ordered_slot_fill(
+    detected: DataFrame,
+    policy: str = "rl",
+    max_steps: int = MAX_STEPS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Run episodes to completion; returns completed states (remaining = [])."""
+    spark = detected.sparkSession
+    states = initial_states(detected)
+    completed: DataFrame | None = None
+    for _ in range(max_steps):
+        live = states.filter(F.size("remaining") > 0)
+        done = states.filter(F.size("remaining") == 0)
+        completed = done if completed is None else completed.unionByName(done)
+        if live.isEmpty():
+            break
+        states = fork_step(live, policy)
+        if checkpoint:
+            states = states.localCheckpoint(eager=True)
+    assert completed is not None
+    return completed

@@ -1,0 +1,59 @@
+"""Stage A — html -> text extraction (pandas UDF, byte-identical per url).
+
+The reference consumes pre-extracted sentences; the north_rule input is raw
+Common-Crawl-style html, so this stage owns the per-row invariant
+"byte-identical extracted text per url" (BASELINE.json input_hint).
+
+Implementation: one Arrow-vectorized scalar pandas UDF (no per-row Python
+round-trips through the JVM). The extraction function is a frozen pure
+function — any change to it invalidates the committed golden fixtures, which
+is exactly the regression the fixtures exist to catch.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1>", re.S | re.I)
+_BLOCK_CLOSE_RE = re.compile(r"</(p|h1|h2|h3|h4|li|div|title|tr)>", re.I)
+_BR_RE = re.compile(r"<br\s*/?>", re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def extract_text(html: bytes | str) -> str:
+    """FROZEN pure function: html bytes -> canonical text.
+
+    Rules: drop <script>/<style> blocks; block-close tags and <br> become
+    newlines; all other tags dropped; entities unescaped; intra-line
+    whitespace collapsed; blank lines removed; lines joined with '\\n'.
+    """
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    s = _SCRIPT_RE.sub("", s)
+    s = _BLOCK_CLOSE_RE.sub("\n", s)
+    s = _BR_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    s = _html.unescape(s)
+    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+def with_extracted_text(pages: DataFrame) -> DataFrame:
+    """Fill the ``text`` column from ``html``.
+
+    Column pruning matters at scale: downstream stages must never re-read
+    ``html`` — select it away here so the (huge) binary column is not
+    carried through shuffles.
+    """
+    return pages.withColumn("text", extract_text_udf(F.col("html"))).drop("html")

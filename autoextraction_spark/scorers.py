@@ -1,0 +1,174 @@
+"""Deterministic span scorer + slot-ordering policy (pure functions).
+
+These replace the reference's neural components with deterministic pure
+functions of (text, cond, choice) — the sandbox has no GPU/weights, and the
+north_rule grades *pipeline semantics*, which are preserved exactly:
+
+- span scorer  = GlobalPointer head (reference model.py:178-222) →
+  anchored-pattern matcher emitting (mention, raw_logit) pairs.
+- ``score2prob`` mention aggregation reproduces Environment.py:90-99 to the
+  letter: softmax over raw logits, prob = Σ softmax per mention,
+  score = max logit per mention.
+- null fallback ('[None]', 0.9, 3) reproduces Environment.py:118-119.
+- Q policy = DQN value net (RL_utils/dqn.py:43-69) → deterministic value
+  estimate per not-yet-filled slot; ``argmax(Q1+Q2)`` two-agent ensemble
+  (predict.py:90-92) with torch.argmax's first-max tie-break.
+
+Purity matters for scale: a scorer that is a pure function of the row is
+partition-order independent, so results are stable under any repartitioning
+(SURVEY.md §7 hard-part (c)).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+from functools import lru_cache
+
+from . import schema as S
+
+EN_ENT = r"(?:[A-Z][A-Za-z]+)(?: [A-Z][A-Za-z]+)*"
+ZH_ENT = r"[一-鿿]+"
+
+PRIMARY_LOGIT = 2.5
+ALT_LOGIT = 1.2
+NONE_CAND = (S.NONE_SENTINEL, 0.9, 3.0)
+
+
+def slot_names(lang: str) -> list[str]:
+    return S.ZH_SLOTS if lang == "zh" else S.EN_SLOTS
+
+
+def _connectors(rel: str, lang: str) -> list[tuple[str, bool]]:
+    return (S.ZH_TEMPLATES if lang == "zh" else S.EN_TEMPLATES)[rel]
+
+
+@lru_cache(maxsize=512)
+def _pattern(rel: str, lang: str, conn: str, fixed_subj: str | None, fixed_obj: str | None):
+    ent = ZH_ENT if lang == "zh" else EN_ENT
+    subj = re.escape(fixed_subj) if fixed_subj else f"({ent})"
+    obj = re.escape(fixed_obj) if fixed_obj else f"({ent})"
+    tail = "。" if lang == "zh" else r"(?![A-Za-z])"
+    return re.compile(f"{subj}{re.escape(conn)}{obj}{tail}")
+
+
+def _matches(
+    text: str, rel: str, lang: str, want_slot_idx: int, fixed: str | None, primary_only: bool
+) -> list[tuple[str, float]]:
+    """All (mention, logit) for extracting subj (idx 0) / obj (idx 1)."""
+    out: list[tuple[str, float]] = []
+    for conn, is_primary in _connectors(rel, lang):
+        if primary_only and not is_primary:
+            continue
+        logit = PRIMARY_LOGIT if is_primary else ALT_LOGIT
+        if want_slot_idx == 0:
+            pat = _pattern(rel, lang, conn, None, fixed)
+            group_idx = 1
+        else:
+            pat = _pattern(rel, lang, conn, fixed, None)
+            # subject unfixed -> it is group 1, the object we want is group 2
+            group_idx = 2 if fixed is None else 1
+        for m in pat.finditer(text):
+            out.append((m.group(group_idx), logit))
+    return out
+
+
+def raw_candidates(
+    text: str, rel: str, lang: str, assigned: dict[str, str], slot: str
+) -> list[tuple[str, float]]:
+    """(mention, raw logit) list for extracting ``slot`` given partial state.
+
+    Asymmetry that plants order-sensitivity (data_filter.py semantics):
+    unconstrained-SUBJECT extraction only fires on primary connectors, while
+    every other mode (object-first, or either slot with the other fixed) sees
+    primary + alt — so alt-phrased facts are only recovered object-first.
+    """
+    names = slot_names(lang)
+    idx = names.index(slot)
+    other = assigned.get(names[1 - idx])
+    if other == S.NONE_SENTINEL:
+        return []  # the fork already failed; nothing anchors
+    if other is None:
+        return _matches(text, rel, lang, idx, None, primary_only=(idx == 0))
+    return _matches(text, rel, lang, idx, other, primary_only=False)
+
+
+def score2prob(entities: list[tuple[str, float]]) -> list[tuple[str, float, float]]:
+    """Exact Environment.py:90-99 semantics; output sorted (-score, mention)."""
+    if not entities:
+        return []
+    logsum = sum(math.exp(s) for _, s in entities)
+    by_mention: dict[str, tuple[float, float]] = {}
+    for mention, s in entities:
+        p, mx = by_mention.get(mention, (0.0, float("-inf")))
+        by_mention[mention] = (p + math.exp(s) / logsum, max(mx, s))
+    out = [(m, p, mx) for m, (p, mx) in by_mention.items()]
+    out.sort(key=lambda e: (-e[2], e[0]))
+    return out
+
+
+def extract_candidates(
+    text: str, rel: str, lang: str, assigned: dict[str, str], slot: str
+) -> list[tuple[str, float, float]]:
+    cands = score2prob(raw_candidates(text, rel, lang, assigned, slot))
+    return cands if cands else [NONE_CAND]
+
+
+def q_value(text: str, rel: str, lang: str, assigned: dict[str, str], slot: str) -> float:
+    """Deterministic stand-in for the DQN Q(slot | cond, text) value."""
+    return float(len(raw_candidates(text, rel, lang, assigned, slot)))
+
+
+def choose_slot(
+    text: str,
+    rel: str,
+    lang: str,
+    assigned: dict[str, str],
+    remaining: list[str],
+    policy: str = "rl",
+) -> str:
+    """Pick the next slot to extract.
+
+    ``rl``       — argmax(Q1+Q2) ensemble, first-max tie-break (predict.py:90-92).
+    ``sequence`` — always schema order (DQN.py:266-268 Sequence baseline).
+    ``reverse``  — always last slot (data_filter.py:195 action=-1).
+    ``random``   — deterministic pseudo-random pick keyed on the state
+                   (DQN.py:263-264 Random baseline, made reproducible).
+    """
+    if policy == "sequence":
+        return remaining[0]
+    if policy == "reverse":
+        return remaining[-1]
+    if policy == "random":
+        # process-independent hash (python's hash() is salted per worker)
+        key = "\x1f".join([text, rel, *sorted(assigned), *remaining]).encode("utf-8")
+        return remaining[zlib.crc32(key) % len(remaining)]
+    # two-agent ensemble: agent2 adds a small any-match prior
+    best_i, best_q = 0, float("-inf")
+    for i, slot in enumerate(remaining):
+        q1 = q_value(text, rel, lang, assigned, slot)
+        q2 = 0.5 * q1 + (0.25 if q1 > 0 else 0.0)
+        q = q1 + q2
+        if q > best_q:  # strict: keeps first maximal index like torch.argmax
+            best_i, best_q = i, q
+    return remaining[best_i]
+
+
+def step_state(
+    text: str,
+    rel: str,
+    lang: str,
+    assigned: dict[str, str],
+    remaining: list[str],
+    policy: str = "rl",
+) -> tuple[str, list[tuple[str, float, float]], float]:
+    """One env.step (Environment.py:186-224): choose slot, extract, score.
+
+    Returns (chosen_slot, candidates, reward) where reward is the mean of
+    per-mention max logits (Environment.py:197).
+    """
+    chosen = choose_slot(text, rel, lang, assigned, remaining, policy)
+    cands = extract_candidates(text, rel, lang, assigned, chosen)
+    reward = sum(c[2] for c in cands) / len(cands)
+    return chosen, cands, reward

@@ -1,0 +1,93 @@
+"""Unit tests for the deterministic scorer (reference ops E3-E5, E8-E10)."""
+
+import math
+
+from autoextraction_spark import scorers
+from autoextraction_spark import schema as S
+
+
+def test_score2prob_exact_reference_math():
+    # Environment.py:90-99: softmax over raw logits, prob=Σ softmax per
+    # mention, score=max logit per mention
+    ents = [("A", 2.0), ("B", 1.0), ("A", 0.5)]
+    out = dict((m, (p, s)) for m, p, s in scorers.score2prob(ents))
+    logsum = math.exp(2.0) + math.exp(1.0) + math.exp(0.5)
+    assert math.isclose(out["A"][0], (math.exp(2.0) + math.exp(0.5)) / logsum)
+    assert math.isclose(out["B"][0], math.exp(1.0) / logsum)
+    assert out["A"][1] == 2.0 and out["B"][1] == 1.0
+
+
+def test_null_fallback():
+    # Environment.py:118-119: empty extraction -> ('[None]', 0.9, 3)
+    got = scorers.extract_candidates("no entities here.", "works_for", "en", {}, "subject")
+    assert got == [(S.NONE_SENTINEL, 0.9, 3.0)]
+
+
+def test_primary_extraction_both_slots():
+    text = "Alice Stone works for Acme Corp."
+    subj = scorers.extract_candidates(text, "works_for", "en", {}, "subject")
+    assert subj[0][0] == "Alice Stone"
+    obj = scorers.extract_candidates(text, "works_for", "en", {}, "object")
+    assert obj[0][0] == "Acme Corp"
+
+
+def test_constrained_extraction():
+    text = "Alice Stone works for Acme Corp.\nBrian Rivera works for Helios Labs."
+    objs = scorers.extract_candidates(
+        text, "works_for", "en", {"subject": "Brian Rivera"}, "object"
+    )
+    assert [m for m, _, _ in objs] == ["Helios Labs"]
+
+
+def test_alt_template_is_order_sensitive():
+    # data_filter.py:174-207 semantics: subject-first misses alt phrasing,
+    # object-first recovers it
+    text = "Karen Stone is at Meridian Systems."
+    subj_first = scorers.extract_candidates(text, "works_for", "en", {}, "subject")
+    assert subj_first == [(S.NONE_SENTINEL, 0.9, 3.0)]
+    obj_first = scorers.extract_candidates(text, "works_for", "en", {}, "object")
+    assert obj_first[0][0] == "Meridian Systems"
+    subj_given = scorers.extract_candidates(
+        text, "works_for", "en", {"object": "Meridian Systems"}, "subject"
+    )
+    assert subj_given[0][0] == "Karen Stone"
+
+
+def test_rl_policy_adapts_order():
+    alt_text = "Karen Stone is at Meridian Systems."
+    assert scorers.choose_slot(alt_text, "works_for", "en", {}, ["subject", "object"]) == "object"
+    prim_text = "Alice Stone works for Acme Corp."
+    assert (
+        scorers.choose_slot(prim_text, "works_for", "en", {}, ["subject", "object"])
+        == "subject"
+    )
+
+
+def test_baseline_policies():
+    rem = ["subject", "object"]
+    assert scorers.choose_slot("x", "works_for", "en", {}, rem, "sequence") == "subject"
+    assert scorers.choose_slot("x", "works_for", "en", {}, rem, "reverse") == "object"
+    r1 = scorers.choose_slot("x", "works_for", "en", {}, rem, "random")
+    assert r1 == scorers.choose_slot("x", "works_for", "en", {}, rem, "random")
+
+
+def test_zh_grammar():
+    text = "王伟任职于华信集团。"
+    subj = scorers.extract_candidates(text, "works_for", "zh", {}, "头实体")
+    assert subj[0][0] == "王伟"
+    obj = scorers.extract_candidates(text, "works_for", "zh", {"头实体": "王伟"}, "尾实体")
+    assert obj[0][0] == "华信集团"
+
+
+def test_none_assigned_kills_fork():
+    got = scorers.raw_candidates(
+        "Alice Stone works for Acme Corp.", "works_for", "en",
+        {"object": S.NONE_SENTINEL}, "subject",
+    )
+    assert got == []
+
+
+def test_candidate_order_deterministic():
+    text = "Alice Stone works for Acme Corp.\nBrian Rivera works for Acme Corp."
+    subj = scorers.extract_candidates(text, "works_for", "en", {}, "subject")
+    assert [m for m, _, _ in subj] == ["Alice Stone", "Brian Rivera"]

@@ -1,0 +1,102 @@
+"""Stage B+C: detection gate and the ordered-slot-filling fork loop."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextraction_spark import schema as S
+from autoextraction_spark.operators import detect, output, slot_fill
+
+
+@pytest.fixture(scope="module")
+def tiny_pages(spark):
+    rows = [
+        # primary phrasing: either order recovers it
+        ("u1", "Alice Stone works for Acme Corp.", "en"),
+        # alt phrasing: only object-first decode recovers it
+        ("u2", "Karen Stone is at Meridian Systems.", "en"),
+        # two facts, same relation -> state fork must yield both pairs
+        ("u3", "Alice Stone works for Acme Corp.\nBrian Rivera works for Helios Labs.", "en"),
+        # no facts at all
+        ("u4", "the quarterly report was filed on time.", "en"),
+        # zh grammar
+        ("u5", "王伟任职于华信集团。", "zh"),
+    ]
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def test_detect_gate(tiny_pages):
+    det = detect.detect_relations(tiny_pages)
+    got = {(r.url, r.rel) for r in det.collect()}
+    assert got == {
+        ("u1", "works_for"),
+        ("u2", "works_for"),
+        ("u3", "works_for"),
+        ("u5", "works_for"),
+    }
+    scores = {r.url: r.rc_score for r in det.collect()}
+    assert scores["u1"] > 0.9       # primary anchor
+    assert 0.6 < scores["u2"] < 0.9  # alt anchor passes the 0.6 gate
+
+
+def test_fork_yields_all_tuples(tiny_pages):
+    det = detect.detect_relations(tiny_pages)
+    completed = slot_fill.ordered_slot_fill(det)
+    triples = {
+        (r.url, r.pred, r.subj, r.obj)
+        for r in output.to_triples(output.completed_filter(completed)).collect()
+    }
+    assert triples == {
+        ("u1", "works_for", "Alice Stone", "Acme Corp"),
+        ("u2", "works_for", "Karen Stone", "Meridian Systems"),
+        ("u3", "works_for", "Alice Stone", "Acme Corp"),
+        ("u3", "works_for", "Brian Rivera", "Helios Labs"),
+        ("u5", "works_for", "王伟", "华信集团"),
+    }
+
+
+def test_sequence_baseline_misses_alt_fact(tiny_pages):
+    # order-sensitivity split semantics (data_filter.py:174-242): the fixed
+    # schema-order policy must disagree with the adaptive policy on u2
+    det = detect.detect_relations(tiny_pages)
+    seq = output.to_triples(
+        output.completed_filter(slot_fill.ordered_slot_fill(det, policy="sequence"))
+    )
+    urls = {r.url for r in seq.collect()}
+    assert "u2" not in urls
+    assert "u1" in urls
+
+
+def test_incomplete_states_have_none_sentinel(tiny_pages):
+    det = detect.detect_relations(tiny_pages.filter(F.col("url") == "u2"))
+    completed = slot_fill.ordered_slot_fill(det, policy="sequence")
+    rows = completed.collect()
+    # subject-first on alt phrasing: subject extraction falls back to [None]
+    assert any(S.NONE_SENTINEL in r.assigned.values() for r in rows)
+    # and the completed filter drops those states (predict.py:102-108)
+    assert output.completed_filter(completed).count() == 0
+
+
+def test_cond_render_parse_roundtrip(tiny_pages):
+    det = detect.detect_relations(tiny_pages)
+    completed = output.completed_filter(slot_fill.ordered_slot_fill(det))
+    rendered = output.render_cond(completed)
+    en = rendered.filter(F.col("lang") == "en").select("cond").collect()
+    assert any(
+        c.cond == "works_for; subject:Alice Stone; object:Acme Corp" for c in en
+    )
+    zh = rendered.filter(F.col("lang") == "zh").select("cond").collect()
+    assert any(c.cond == "works_for； 头实体：王伟； 尾实体：华信集团" for c in zh)
+    parsed = output.parse_cond(rendered)
+    for r in parsed.select("rel", "assigned", "parsed_rel", "parsed_assigned").collect():
+        assert r.parsed_rel == r.rel
+        assert dict(r.parsed_assigned) == dict(r.assigned)
+
+
+def test_episode_cap_terminates(spark):
+    # a state that never empties its remaining list still terminates ≤ 20
+    det = spark.createDataFrame(
+        [("u", "no anchors here at all.", "en", "works_for", 0.9)],
+        "url string, text string, lang string, rel string, rc_score double",
+    )
+    completed = slot_fill.ordered_slot_fill(det, max_steps=20)
+    assert completed.count() == 1  # both slots filled with [None] forks
