@@ -1,38 +1,270 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline; ``queries``/
+``oracle_sql`` expose every implemented operator (SURVEY.md §2) for the
+DuckDB cross-check. The synthetic corpus is pure doc_id arithmetic
+(autoextraction_spark/schema.py), so even the full extraction pipeline has an
+ANSI-SQL oracle (autoextraction_spark/oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from autoextraction_spark import corpus, oracle  # noqa: E402
+from autoextraction_spark.operators import detect, output, slot_fill  # noqa: E402
+from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> DataFrame:
+    pages = corpus.web_pages(spark, sf_dir)
+    txt = with_extracted_text(pages)
+    det = detect.detect_relations(txt)
+    completed = slot_fill.ordered_slot_fill(det, policy=policy)
+    return output.to_triples(output.completed_filter(completed))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (stages A-D) on the sf0.001 corpus."""
+    return _pipeline_triples(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- queries
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: text extraction → detection → ordered slot filling →
+    distinct triples (operators S1, E1-E12, O1-O4)."""
+    return _pipeline_triples(spark, sf_dir)
+
+
+def q_kg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage B relation-detection gate (E1): broadcast anchor join + sigmoid
+    threshold 0.6 (predict.py:145-146)."""
+    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    return detect.detect_relations(pages).select(
+        "url", "rel", F.round("rc_score", 6).alias("rc_score")
+    )
+
+
+def q_kg_metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 MetricF1 (predict.py:54-79) of pipeline output vs gold."""
+    pred = _pipeline_triples(spark, sf_dir)
+    gold = corpus.gold_triples(spark, sf_dir)
+    m = output.metric_f1(pred, gold)
+    return m.select(
+        "correct", "output", "golden",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (hash agg with map-side combine). Money is
+    summed in exact integer cents so Spark/DuckDB agree bit-for-bit."""
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_cents"),
+        F.sum(cents * (100 - disc)).alias("sum_disc_x100"),
+        F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_x10000"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 frequency vocab (ljqpy.py:232-247): token counts, cutoff, dense id."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    vc = tok.groupBy("token").count().filter(F.col("count") >= 100)
+    w = W.orderBy(F.desc("count"), F.asc("token"))
+    return vc.select(
+        "token",
+        F.col("count").cast("long").alias("cnt"),
+        F.row_number().over(w).cast("long").alias("token_id"),
+    )
+
+
+def q_rel2id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 rel2id generation (predict.py:26-28, gen_rels.ipynb)."""
+    ev = _read(spark, sf_dir, "events").select("event_type").distinct()
+    w = W.orderBy("event_type")
+    return ev.select(
+        F.col("event_type").alias("rel_type"),
+        (F.row_number().over(w) - 1).cast("long").alias("rel_id"),
+    )
+
+
+def q_cooccur_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 co-occurrence self-join (dataset/nyt.py:62-90 second-hop analog)."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.filter(F.col("event_type") == "signup").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.ts") < F.col("b.ts")))
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by full text (hash groupBy; S11 RemoveDupRows)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
+def q_score2prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 score2prob (Environment.py:90-99) as a DataFrame aggregate:
+    softmax over raw scores, prob = Σ softmax per group, score = max."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.exp(F.col("value") / 100).alias("w"), "value"
+    )
+    total = ev.agg(F.sum("w").alias("total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum("w").alias("sw"), F.max("value").alias("mx"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("event_type").alias("mention"),
+            F.round(F.col("sw") / F.col("total"), 6).alias("prob"),
+            F.round("mx", 6).alias("score"),
+        )
+    )
+
+
+def q_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 greedy argmax ordering (predict.py:90-92) as windowed top-1."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_type"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"),
+                F.round("value", 6).alias("top_value"))
+    )
+
+
+def q_metric_f1_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 MetricF1 on two derived keysets (set-intersection P/R/F1)."""
+    orders = _read(spark, sf_dir, "orders")
+    pred = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    gold = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    m = output.metric_f1(pred, gold, keys=["o_orderkey"])
+    return m.select(
+        "correct", "output", "golden",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples": q_kg_triples,
+        "kg_detect": q_kg_detect,
+        "kg_metric_f1": q_kg_metric_f1,
+        "tpch_q1": q_tpch_q1,
+        "vocab_topk": q_vocab_topk,
+        "rel2id": q_rel2id,
+        "cooccur_pairs": q_cooccur_pairs,
+        "exact_dedup": q_exact_dedup,
+        "score2prob": q_score2prob,
+        "argmax_order": q_argmax_order,
+        "metric_f1_sets": q_metric_f1_sets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": oracle.gold_triples_sql(canonical=False),
+        "kg_detect": oracle.detect_sql(),
+        "kg_metric_f1": oracle.metric_f1_perfect_sql(),
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_x100,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_x10000,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "vocab_topk": """
+            WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+            c AS (SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 100)
+            SELECT token, CAST(n AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+            FROM c
+        """,
+        "rel2id": """
+            SELECT event_type AS rel_type,
+                   CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS rel_id
+            FROM (SELECT DISTINCT event_type FROM events)
+        """,
+        "cooccur_pairs": """
+            SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.ts < b.ts
+            WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+            GROUP BY a.user_id
+        """,
+        "exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "score2prob": """
+            WITH e AS (SELECT event_type, exp(value/100) AS w, value FROM events)
+            SELECT event_type AS mention,
+                   round(sum(w) / (SELECT sum(w) FROM e), 6) AS prob,
+                   round(max(value), 6) AS score
+            FROM e GROUP BY event_type
+        """,
+        "argmax_order": """
+            SELECT user_id, event_type AS top_event, round(value, 6) AS top_value
+            FROM (SELECT user_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_type, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "metric_f1_sets": """
+            WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+            g AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+            s AS (SELECT (SELECT count(*) FROM p JOIN g USING (o_orderkey)) AS c,
+                         (SELECT count(*) FROM p) AS o,
+                         (SELECT count(*) FROM g) AS gl)
+            SELECT CAST(c AS BIGINT) AS correct, CAST(o AS BIGINT) AS output,
+                   CAST(gl AS BIGINT) AS golden,
+                   round(c * 1.0 / greatest(o, 1), 6) AS precision,
+                   round(c * 1.0 / greatest(gl, 1), 6) AS recall,
+                   round(2.0 * (c * 1.0 / greatest(o, 1)) * (c * 1.0 / greatest(gl, 1))
+                         / greatest(c * 1.0 / greatest(o, 1) + c * 1.0 / greatest(gl, 1),
+                                    0.000000001), 6) AS f1
+            FROM s
+        """,
+    }
