@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autoextraction_spark import corpus, oracle  # noqa: E402
-from autoextraction_spark.operators import detect, output, slot_fill  # noqa: E402
+from autoextraction_spark.operators import dedup, detect, linking, output, slot_fill  # noqa: E402
+from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
 
 
@@ -69,6 +70,42 @@ def q_kg_metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+def q_kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages A-F end-to-end: pipeline triples → MinHash/LSH entity linking →
+    connected-components canonicalization → canonical triples."""
+    return linking.canonical_triples(_pipeline_triples(spark, sf_dir))
+
+
+def q_kg_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage E+F in isolation: mention vocab → LSH-blocked variant edges →
+    connected components → canonical mapping."""
+    trip = corpus.gold_triples(spark, sf_dir)
+    return linking.canonical_mapping(linking.mention_vocab(trip))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (word-3-shingles,
+    16 perms, 8 bands, exact-Jaccard verify ≥ 0.8)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signatures over documents (portable hash)."""
+    return dedup.simhash64(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage F connected components on the doc—lang bipartite star."""
+    docs = _read(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("l"), F.col("lang")).alias("dst"),
+    )
+    return connected_components(edges)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +220,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_detect": q_kg_detect,
         "kg_metric_f1": q_kg_metric_f1,
+        "kg_triples_canonical": q_kg_triples_canonical,
+        "kg_linking": q_kg_linking,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "connected_components": q_connected_components,
         "tpch_q1": q_tpch_q1,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
@@ -199,6 +241,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": oracle.gold_triples_sql(canonical=False),
         "kg_detect": oracle.detect_sql(),
         "kg_metric_f1": oracle.metric_f1_perfect_sql(),
+        "kg_triples_canonical": oracle.gold_triples_sql(canonical=True),
+        "kg_linking": oracle.linking_map_sql(),
+        "minhash_dedup": oracle.minhash_pairs_sql(threshold=0.8),
+        "simhash": oracle.simhash_sql(),
+        "connected_components": oracle.cc_lang_star_sql(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,246 @@
+"""Deduplication & similarity-join machinery (engine-new, north_rule E-stage
+prerequisite + training-data-pipeline operators).
+
+Everything here is pure JVM/codegen DataFrame expressions — no UDFs — built
+on a PORTABLE 60-bit hash (md5-hex prefix → bigint) that DuckDB can
+reproduce, so every operator has a SQL oracle.
+
+Scale notes (the 100 TB story):
+- exact dedup groups by the 128-bit digest, never shuffling document bodies;
+- MinHash signatures are one explode + one groupBy(id) (single shuffle);
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_hash) — the only join key, salt-friendly, AQE-splittable;
+- candidate pairs are verified with EXACT shingle-set Jaccard (a semi-join
+  aggregate), so LSH recall tuning never affects precision.
+
+Reference tie-in: the reference dedups triples with Python ``set()``
+(predict.py:144-154) and files with ``RemoveDupRows`` (ljqpy.py:208-214);
+near-dup machinery is engine-new per BASELINE.json north_rule (entity
+linking with MinHash/LSH-blocked candidate generation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 8
+
+
+def portable_hash64(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB:
+    Spark  : conv(substring(md5(s || seed), 1, 15), 16, 10)::bigint
+    DuckDB : CAST(('0x' || substr(md5(s || seed), 1, 15)) AS BIGINT)
+    """
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit(seed))), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """array<string> of character n-grams (whole string when shorter)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(1))),
+        lambda i: F.substring(col, i, n),
+    )
+
+
+def word_shingles(col: Column, n: int = 3, sep: str = " ") -> Column:
+    """array<string> of word n-grams."""
+    toks = F.split(col, sep)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, shingle_expr: Column) -> DataFrame:
+    """(id, sh) one row per (id, DISTINCT shingle) — the set representation."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle_expr).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — min over per-shingle hashes, k seeded 'perms'.
+
+    One shuffle (groupBy id); min is idempotent so upstream need not dedup.
+    """
+    aggs = [
+        F.min(portable_hash64(F.col("sh"), seed=f"#perm{k}")).alias(f"mh{k}")
+        for k in range(num_perm)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) with id_a < id_b sharing ≥1 LSH band.
+
+    Banding: num_perm//bands rows per band; band key = md5 of the
+    concatenated row hashes. ``block_col`` adds a hard blocking key (e.g.
+    entity type / language) into every band.
+    """
+    r = num_perm // bands
+    assert r * bands == num_perm, "bands must divide num_perm"
+    band_structs = []
+    for b in range(bands):
+        rows = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("_", *rows)).alias("band_hash"),
+            )
+        )
+    cols = ["id"] + ([block_col] if block_col else [])
+    melted = sig.select(
+        *cols, F.explode(F.array(*band_structs)).alias("band")
+    ).select(*cols, "band.band_idx", "band.band_hash")
+    join_keys = ["band_idx", "band_hash"] + ([block_col] if block_col else [])
+    a = melted.alias("a")
+    b = melted.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for k in join_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact set Jaccard via shingle joins.
+
+    |A∩B| from a double join on the shingle value; |A|,|B| from per-id
+    counts. All joins are on ids/shingles, never on document bodies.
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingled.select(F.col("id").alias("id_a"), "sh")
+    sb = shingled.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle: str = "word",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → minhash → LSH band join → exact
+    Jaccard ≥ threshold. The full MinHash+LSH dedup operator."""
+    expr = (
+        word_shingles(F.col(text_col), shingle_n)
+        if shingle == "word"
+        else char_shingles(F.col(text_col), shingle_n)
+    )
+    shingled = exploded_shingles(df, id_col, expr)
+    sig = minhash_signature(shingled, num_perm)
+    cands = lsh_candidate_pairs(sig, num_perm, bands)
+    return exact_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by 128-bit digest — bodies are never shuffled.
+
+    Returns (digest, keep_id, n_copies); join back on digest to drop dups.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash bigint) — 64-bit SimHash over whitespace tokens.
+
+    Per token a portable 60-bit hash contributes ±1 to each bit position;
+    the sign vector packs back into a bigint. Pure explode + groupBy + sum.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn("h", portable_hash64(F.col("t"), seed="#simhash"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    packed = None
+    for b in range(60):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else (packed + term)
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 4×15-bit band blocking (any pair within
+    hamming ≤ 3 of 60 bits must agree on ≥1 of 4 bands), then exact
+    hamming distance via xor + bit_count."""
+    sig = simhash64(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"(simhash >> {b * 15}) & 32767").alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    melted = sig.select("id", "simhash", F.explode(bands).alias("bd")).select(
+        "id", "simhash", "bd.band_idx", "bd.band_val"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -126,6 +126,89 @@ SELECT {URL_EXPR} AS url,
 FROM gated"""
 
 
+def linking_map_sql() -> str:
+    """Expected entity-linking output (ent_type, mention, canonical):
+    the only planted variants are 'X Corporation' -> 'X Corp' orgs."""
+    subj_type = f"CASE WHEN {_in('rel_idx', _PERSON_SUBJ)} THEN 'person' ELSE 'org' END"
+    obj_type = f"CASE WHEN {_in('rel_idx', _CITY_OBJ)} THEN 'city' ELSE 'org' END"
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+m AS (
+  SELECT DISTINCT {subj_type} AS ent_type, {_subj_expr()} AS mention FROM facts
+  UNION
+  SELECT DISTINCT {obj_type} AS ent_type, {_obj_expr(False)} AS mention FROM facts
+)
+SELECT ent_type, mention,
+       CASE WHEN ent_type = 'org' AND mention LIKE '% Corporation'
+            THEN replace(mention, ' Corporation', ' Corp') ELSE mention END AS canonical
+FROM m"""
+
+
+def _portable_hash(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
+    """Replicates dedup.minhash_dup_pairs on the documents table."""
+    r = num_perm // bands
+    mh_cols = ", ".join(
+        "min({h}) AS mh{k}".format(h=_portable_hash("sh || '#perm%d'" % k), k=k)
+        for k in range(num_perm)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band_idx, md5({parts}) AS band_hash FROM mh".format(
+            b=b,
+            parts=" || '_' || ".join(
+                f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS sh
+       FROM toks CROSS JOIN (SELECT unnest(range(4096)) AS i) i
+       WHERE i.i <= len(t) - 3),
+mh AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c JOIN sh a ON a.id = c.id_a
+          JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= {threshold}"""
+
+
+def simhash_sql() -> str:
+    """Replicates dedup.simhash64 on the documents table."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    packed = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""WITH tok AS (SELECT doc_id AS id, unnest(str_split(text, ' ')) AS t FROM documents),
+h AS (SELECT id, {_portable_hash("t || '#simhash'")} AS h FROM tok),
+agg AS (SELECT id, {bit_sums} FROM h GROUP BY id)
+SELECT id, {packed} AS simhash FROM agg"""
+
+
+def cc_lang_star_sql() -> str:
+    """Connected components of the doc—lang bipartite star graph."""
+    return """WITH nodes AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS node, lang FROM documents
+  UNION ALL
+  SELECT DISTINCT 'l' || lang AS node, lang FROM documents
+),
+mins AS (SELECT lang, min(node) AS component FROM nodes GROUP BY lang)
+SELECT n.node, m.component FROM nodes n JOIN mins m USING (lang)"""
+
+
 def metric_f1_perfect_sql() -> str:
     """MetricF1 row assuming the pipeline is exact: P = R = F1 = 1.0."""
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

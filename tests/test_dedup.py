@@ -1,0 +1,81 @@
+"""MinHash/LSH, SimHash, exact-dup machinery (dedup.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from autoextraction_spark.operators import dedup
+
+
+def test_portable_hash_matches_duckdb(spark):
+    vals = ["abc", "hello world", "王伟任职于华信集团。", ""]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", dedup.portable_hash64(F.col("s"), seed="#x").alias("h"))
+        .collect()
+    )
+    for r in got:
+        expect = duckdb.sql(
+            "SELECT CAST(('0x' || substr(md5($1 || '#x'), 1, 15)) AS BIGINT)",
+            params=[r.s],
+        ).fetchone()[0]
+        assert r.h == expect, r.s
+
+
+def test_char_and_word_shingles(spark):
+    df = spark.createDataFrame([("abcd", "a b c d")], "c string, w string")
+    row = df.select(
+        dedup.char_shingles(F.col("c"), 3).alias("cs"),
+        dedup.word_shingles(F.col("w"), 3).alias("ws"),
+    ).collect()[0]
+    assert row.cs == ["abc", "bcd"]
+    assert row.ws == ["a b c", "b c d"]
+    # shorter than n -> whole string
+    short = spark.createDataFrame([("ab",)], "c string")
+    assert short.select(dedup.char_shingles(F.col("c"), 3).alias("cs")).collect()[0].cs == ["ab"]
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"
+    other = "completely different text about spark shuffles and partition skew handling"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dup_groups(dup_docs):
+    groups = {r.keep_id: r.n_copies for r in dedup.exact_dup_groups(dup_docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1,2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dup_pairs(dup_docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_near_dups(dup_docs):
+    sig = {r.id: r.simhash for r in dedup.simhash64(dup_docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_dup_pairs(dup_docs, "doc_id", "text", max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-token difference stays within a few bits
+    assert (1, 4) not in pairs
+
+
+def test_exact_jaccard_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    sh = dedup.exploded_shingles(docs, "doc_id", dedup.word_shingles(F.col("text"), 2))
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = dedup.exact_jaccard(pairs, sh).collect()[0]
+    # shingles: {a b, b c, c d} vs {a b, b c, c e} -> 2/4
+    assert j.jaccard == 0.5
