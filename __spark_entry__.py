@@ -20,9 +20,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autoextraction_spark import corpus, oracle  # noqa: E402
-from autoextraction_spark.operators import dedup, detect, linking, output, slot_fill  # noqa: E402
+from autoextraction_spark.operators import (  # noqa: E402
+    dedup, detect, linking, multimodal, output, similarity, slot_fill, textstats,
+)
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
+from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -106,6 +109,61 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("l"), F.col("lang")).alias("dst"),
     )
     return connected_components(edges)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (training-data op)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.token_stats(docs).drop("text")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios + composite."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.quality_score(docs).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "avg_token_len", "quality"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK + marker-stopword argmax)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: normalized md5 + rolling polynomial hash."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.fingerprint(docs).select("doc_id", "fp_md5", "fp_rolling")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (broadcast queries, zip_with dot, window)."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(vecs.filter(F.col("vec_id") < 10), vecs, k=5)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (multi-table sign-LSH, equi-join)."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=5, n_planes=2, n_tables=4
+    )
+
+
+def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the skewed host key."""
+    pages = corpus.web_pages(spark, sf_dir)
+    return salted_host_counts(pages, salt_buckets=16)
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media table -> Arrow-batched feature extraction
+    (decode stubbed deterministically; schema/partitioning real)."""
+    media = multimodal.media_table(corpus.web_pages(spark, sf_dir))
+    feats = multimodal.extract_image_features(media)
+    cols = [F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)]
+    return feats.select("url", "width", "height", "n_channels", *cols)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "connected_components": q_connected_components,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "host_counts": q_host_counts,
+        "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
@@ -246,6 +312,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": oracle.minhash_pairs_sql(threshold=0.8),
         "simhash": oracle.simhash_sql(),
         "connected_components": oracle.cc_lang_star_sql(),
+        "token_stats": oracle.token_stats_sql(),
+        "quality": oracle.quality_sql(),
+        "lang_id": oracle.lang_id_sql(),
+        "fingerprint": oracle.fingerprint_sql(),
+        "cosine_topk": oracle.cosine_topk_sql(k=5, n_queries=10),
+        "ann_topk": oracle.ann_topk_sql(k=5, n_queries=10),
+        "host_counts": oracle.host_counts_sql(),
+        "image_features": oracle.image_features_sql(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

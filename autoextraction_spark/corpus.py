@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import schema as S
 
@@ -66,13 +67,27 @@ def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def web_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """Synthesize the input table from the documents skeleton at ``sf_dir``.
 
     ``text`` is NULL — stage A (text_extract) fills it; the per-row invariant
-    is byte-identical extraction per url.
+    is byte-identical extraction per url. ``replicate=k`` scales the corpus
+    k× for load/scaling runs: replica r shifts ids by r·10^6, producing
+    distinct urls AND distinct facts (all content is doc_id arithmetic).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    # Repartition the tiny skeleton BEFORE generation (and before the k×
+    # explode): the skeleton is 1-2 parquet tasks, and everything generated
+    # from it would otherwise run at that parallelism — a serial bottleneck
+    # that caps scaling. A real Common-Crawl read has thousands of input
+    # splits and needs no such step.
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+    if replicate > 1:
+        docs = docs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("r"),
+            "doc_id",
+            "lang",
+        ).select((F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"), "lang")
     return docs.mapInPandas(_gen, schema=WEB_PAGES_SCHEMA)
 
 

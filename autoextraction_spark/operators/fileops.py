@@ -1,0 +1,80 @@
+"""File/table utility operators — reference ljqpy.py parity (S10-S12).
+
+The reference ships a grab-bag of TSV/line-file helpers (ljqpy.py:88-294);
+each maps to one or two DataFrame primitives. The ``sql`` mini-DSL
+(ljqpy.py:255-294, an eval-based `select … from … where … to …`) maps to
+real Spark SQL — no custom parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_csv(spark: SparkSession, path: str, sep: str = "\t", header: bool = False) -> DataFrame:
+    """LoadCSV (ljqpy.py:116-128): tab-separated read."""
+    return spark.read.csv(path, sep=sep, header=header)
+
+
+def save_csv(df: DataFrame, path: str, sep: str = "\t") -> None:
+    """SaveCSV (ljqpy.py:130-134)."""
+    df.write.mode("overwrite").csv(path, sep=sep)
+
+
+def merge_files(dfs: list[DataFrame]) -> DataFrame:
+    """MergeFiles (ljqpy.py:88-96): concatenate datasets."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def zip_join(a: DataFrame, b: DataFrame, order_a: str, order_b: str) -> DataFrame:
+    """JoinFiles (ljqpy.py:98-103): zip two datasets row-by-row.
+
+    Row order must be DEFINED in a distributed engine — callers supply the
+    ordering columns; rows pair up by rank.
+    """
+    wa = Window.orderBy(order_a)
+    wb = Window.orderBy(order_b)
+    ra = a.withColumn("_rn", F.row_number().over(wa))
+    rb = b.withColumn("_rn", F.row_number().over(wb))
+    return ra.join(rb, "_rn", "inner").drop("_rn")
+
+
+def remove_dup_rows(df: DataFrame) -> DataFrame:
+    """RemoveDupRows (ljqpy.py:208-214)."""
+    return df.distinct()
+
+
+def sort_rows(df: DataFrame, cols: list[str], ascending: bool = True) -> DataFrame:
+    """SortRows (ljqpy.py:216-222)."""
+    return df.orderBy(*[F.asc(c) if ascending else F.desc(c) for c in cols])
+
+
+def sample_rows(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """SampleRows (ljqpy.py:224-230): deterministic n-row sample."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+def set_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SetProduct (ljqpy.py:135-144): cartesian product."""
+    return a.crossJoin(b)
+
+
+def split_tables(df: DataFrame, path: str, by: str) -> None:
+    """SplitTables (ljqpy.py:146-151): partitioned write by a key column."""
+    df.write.mode("overwrite").partitionBy(by).parquet(path)
+
+
+def random_half_split(df: DataFrame, seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """data_split.py:4-23: disjoint random halves (S4); also the two-agent
+    cross-training split (S3)."""
+    a, b = df.randomSplit([0.5, 0.5], seed=seed)
+    return a, b
+
+
+def run_sql(spark: SparkSession, query: str) -> DataFrame:
+    """ljqpy.sql mini-DSL (ljqpy.py:255-294) → real Spark SQL."""
+    return spark.sql(query)

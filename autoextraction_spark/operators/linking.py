@@ -127,6 +127,9 @@ def canonical_triples(triples: DataFrame, mapping: DataFrame | None = None) -> D
     the big triple table is never shuffled.
     """
     if mapping is None:
+        # triples feed the vocab AND the rewrite — materialize once instead
+        # of recomputing the upstream pipeline twice
+        triples = triples.localCheckpoint(eager=True)
         mapping = canonical_mapping(mention_vocab(triples))
     types = F.broadcast(rel_types(triples.sparkSession))
     m = F.broadcast(mapping)

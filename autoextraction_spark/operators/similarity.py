@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query set
+  against the corpus, dot products via ``zip_with``/``aggregate`` (JVM-side,
+  no UDF), windowed top-k. The correctness baseline.
+- ``random_hyperplane_buckets`` + ``ann_topk``: the scale path — sign-of-dot
+  LSH bucketing with DETERMINISTIC hyperplanes (portable-hash-derived
+  weights), equi-join on bucket id instead of a cross join. At 10^9 vectors
+  the cross join is impossible; the bucket join is one shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    ca, cb = F.col(a).cast("array<double>"), F.col(b).cast("array<double>")
+    return df.withColumn(
+        out, _dot(ca, cb) / (_norm(ca) * _norm(cb))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Queries are broadcast (the small side); the corpus is scanned once —
+    no shuffle except the final per-query top-k window over k·|queries| rows.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>"))
+            / (
+                _norm(F.col("q_vec").cast("array<double>"))
+                * _norm(F.col("c_vec").cast("array<double>"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int, seed: str = "ann") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] from md5 — the same
+    planes can be embedded as literals in an oracle or another engine."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}#{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: str = "ann",
+) -> DataFrame:
+    """Adds ``bucket``: the n_planes sign bits of hyperplane dot products."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for p, weights in enumerate(hyperplane_weights(n_planes, dim, seed)):
+        plane = F.array(*[F.lit(w) for w in weights])
+        bucket = bucket + F.when(_dot(v, plane) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def with_lsh_tables(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 2,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """One row per (vector, table) with a (table, bucket) key.
+
+    Multiple independent hash tables are the standard recall lever for
+    sign-LSH: a close pair collides in SOME table with probability
+    1-(1-p^n_planes)^n_tables. Implemented as one explode + later one
+    equi-join on (table, bucket) — still a single shuffle at scale.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p, weights in enumerate(hyperplane_weights(n_planes, dim, seed=f"ann-t{t}")):
+            plane = F.array(*[F.lit(w) for w in weights])
+            bucket = bucket + F.when(_dot(v, plane) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        "*", F.explode(F.array(*entries)).alias("_tb")
+    ).select("*", "_tb.table", "_tb.bucket").drop("_tb")
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 2,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share a (table, bucket) LSH key.
+
+    The equi-join on (table, bucket) replaces the cross join — the plan that
+    survives 10^9 vectors. Candidate pairs found in several tables are
+    deduped BEFORE scoring so each dot product is computed once.
+    """
+    qb = with_lsh_tables(queries, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket"
+    )
+    cb = with_lsh_tables(corpus, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = cand.join(c_vecs, "neighbor_id").withColumn(
+        "cosine",
+        _dot(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>"))
+        / (
+            _norm(F.col("q_vec").cast("array<double>"))
+            * _norm(F.col("c_vec").cast("array<double>"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, blocked to avoid the
+    all-pairs explosion (block on a cheap key — label, LSH bucket, ...)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner").filter(cond) \
+        if block_col else a.crossJoin(b).filter(cond)
+    pairs = joined.withColumn(
+        "cosine",
+        _dot(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>"))
+        / (_norm(F.col("v_a").cast("array<double>")) * _norm(F.col("v_b").cast("array<double>"))),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

@@ -36,6 +36,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import scorers
 from .. import schema as S
@@ -84,6 +85,13 @@ def _step_batches(policy: str):
             for text, rel, lang, assigned_js, remaining in zip(
                 pdf["text"], pdf["rel"], pdf["lang"], pdf["assigned"], pdf["remaining"]
             ):
+                if len(remaining) == 0:  # already complete: pass through
+                    chosen.append("")
+                    reward.append(0.0)
+                    mentions.append([""])
+                    probs.append([0.0])
+                    scores.append([0.0])
+                    continue
                 assigned = json.loads(assigned_js)
                 slot, cands, rw = scorers.step_state(
                     text, rel, lang, assigned, list(remaining), policy
@@ -112,6 +120,8 @@ def fork_step(live: DataFrame, policy: str = "rl") -> DataFrame:
     cand = F.explode(
         F.arrays_zip(F.col("mentions"), F.col("probs"), F.col("scores"))
     ).alias("cand")
+    done = F.col("chosen") == ""
+    assigned_map = F.from_json("assigned", "map<string,string>")
     return (
         stepped.select("*", cand)
         .select(
@@ -119,13 +129,19 @@ def fork_step(live: DataFrame, policy: str = "rl") -> DataFrame:
             "rel",
             "text",
             "lang",
-            F.map_concat(
-                F.from_json("assigned", "map<string,string>"),
-                F.create_map(F.col("chosen"), F.col("cand.mentions")),
-            ).alias("assigned"),
-            F.array_remove("remaining", F.col("chosen")).alias("remaining"),
+            F.when(done, assigned_map)
+            .otherwise(
+                F.map_concat(
+                    assigned_map,
+                    F.create_map(F.col("chosen"), F.col("cand.mentions")),
+                )
+            )
+            .alias("assigned"),
+            F.when(done, F.col("remaining"))
+            .otherwise(F.array_remove("remaining", F.col("chosen")))
+            .alias("remaining"),
             (F.col("score") + F.col("cand.scores")).alias("score"),
-            (F.col("step") + 1).alias("step"),
+            F.when(done, F.col("step")).otherwise(F.col("step") + 1).alias("step"),
         )
     )
 
@@ -135,9 +151,31 @@ def ordered_slot_fill(
     policy: str = "rl",
     max_steps: int = MAX_STEPS,
     checkpoint: bool = True,
+    n_slots: int | None = 2,
 ) -> DataFrame:
-    """Run episodes to completion; returns completed states (remaining = [])."""
-    spark = detected.sparkSession
+    """Run episodes to completion; returns completed states (remaining = []).
+
+    ``n_slots``: when every episode has the same slot count (the fixed
+    two-slot relational schemas, Environment.py:402-405), every state
+    completes at exactly that depth — so the loop needs NO per-iteration
+    isEmpty action, no done/live split, no union, and no lineage checkpoint:
+    stages A-D collapse into a single narrow Spark job (the 100 TB plan:
+    scan → k chained Arrow stages → one distinct shuffle). Pass ``None``
+    for mixed-arity schemas to get the general fixpoint loop.
+    """
+    if n_slots is not None:
+        states = initial_states(detected)
+        for _ in range(min(n_slots, max_steps)):
+            states = fork_step(states, policy)
+            if checkpoint:
+                # materialization barrier between Arrow stages: chaining
+                # multiple python stages into one task pipelines poorly
+                # (per-batch socket hops multiply); a DISK_ONLY barrier keeps
+                # each fork step a single dense scan
+                states = states.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+        return states
     states = initial_states(detected)
     completed: DataFrame | None = None
     for _ in range(max_steps):
@@ -148,6 +186,11 @@ def ordered_slot_fill(
             break
         states = fork_step(live, policy)
         if checkpoint:
-            states = states.localCheckpoint(eager=True)
+            # DISK_ONLY: repeated/loop checkpoints must not accumulate on the
+            # heap — at scale the state table exceeds executor memory and
+            # MEMORY_AND_DISK eviction thrashes GC
+            states = states.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
     assert completed is not None
     return completed

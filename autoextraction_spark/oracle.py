@@ -209,6 +209,155 @@ mins AS (SELECT lang, min(node) AS component FROM nodes GROUP BY lang)
 SELECT n.node, m.component FROM nodes n JOIN mins m USING (lang)"""
 
 
+def token_stats_sql() -> str:
+    from .operators.textstats import BPE_TOKEN_RE
+
+    return f"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def quality_sql() -> str:
+    from .operators.textstats import PUNCT_RE, STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    punct_re = PUNCT_RE.replace("'", "''")
+    return f"""WITH q AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '{punct_re}')) AS n_punct,
+         len(regexp_extract_all(text, '\\b({stop_alt})\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(n_chars * 1.0 / greatest(n_tokens, 1), 6) AS avg_token_len,
+       round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_chars * 1.0 / greatest(n_tokens, 1) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop * 1.0 / greatest(n_tokens, 1) >= 0.01 THEN 0.25 ELSE 0.0 END), 6) AS quality
+FROM q"""
+
+
+def lang_id_sql() -> str:
+    from .operators.textstats import CJK_RE, LANG_MARKERS
+
+    cnt_exprs = {
+        lang: f"len(regexp_extract_all(text, '\\b({'|'.join(words)})\\b'))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
+    whens = "\n".join(
+        f"       WHEN c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    counts = ", ".join(f"{e} AS c_{lang}" for lang, e in cnt_exprs.items())
+    return f"""WITH c AS (SELECT doc_id, text, {counts} FROM documents)
+SELECT doc_id,
+  CASE WHEN len(regexp_extract_all(text, '{CJK_RE}')) > 0 THEN 'zh'
+       WHEN {mx} = 0 THEN 'und'
+{whens}
+  END AS lang_pred
+FROM c"""
+
+
+def fingerprint_sql() -> str:
+    return """SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fp_rolling
+FROM documents"""
+
+
+_COS = (
+    "list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
+def cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM v a JOIN v b ON a.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}"""
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 10, n_planes: int = 2,
+                 n_tables: int = 4, dim: int = 64) -> str:
+    from .operators.similarity import hyperplane_weights
+
+    rows = []
+    for t in range(n_tables):
+        planes = hyperplane_weights(n_planes, dim, seed=f"ann-t{t}")
+        bucket_terms = []
+        for p, w in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in w) + "]"
+            bucket_terms.append(
+                f"(CASE WHEN list_dot_product(e, {lit}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        rows.append(f"SELECT vec_id, e, {t} AS tbl, {' + '.join(bucket_terms)} AS bucket FROM v")
+    buckets = " UNION ALL ".join(rows)
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}"""
+
+
+def host_counts_sql() -> str:
+    return f"""SELECT 'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+           ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com' AS host,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM documents GROUP BY 1"""
+
+
+def image_features_sql() -> str:
+    """Fake-decoder parity: feature i = md5-digest byte i / 256 (exact)."""
+    feats = ", ".join(
+        f"(('0x' || substr(md5(payload), {2 * i + 1}, 2))::INT) / 256.0 AS f{i}"
+        for i in range(8)
+    )
+    return f"""WITH m AS (
+  SELECT 'https://site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+             ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com/page/'
+             || CAST(doc_id AS VARCHAR) AS url,
+         'payload:https://site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+             ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com/page/'
+             || CAST(doc_id AS VARCHAR) AS payload,
+         CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+         CAST((doc_id % 5 + 1) * 64 AS INT) AS height,
+         3 AS n_channels
+  FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+)
+SELECT url, width, height, n_channels, {feats} FROM m"""
+
+
 def metric_f1_perfect_sql() -> str:
     """MetricF1 row assuming the pipeline is exact: P = R = F1 = 1.0."""
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

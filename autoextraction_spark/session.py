@@ -15,6 +15,15 @@ from pyspark.sql import SparkSession
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _default_local_dir() -> str:
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "autoextraction-spark",
     cpus: int | None = None,
@@ -30,6 +39,10 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # jemalloc (pyarrow's default pool) triggers kernel THP-compaction storms
+    # under 32 concurrent Arrow workers in this VM; the system allocator is
+    # uniformly faster here. Must be set before JVM/worker launch.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -45,6 +58,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # python workers must import this package (cluster: spark-submit --py-files)
         .config("spark.executorEnv.PYTHONPATH", REPO_DIR)
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", os.environ["ARROW_DEFAULT_MEMORY_POOL"])
+        # Shuffle/spill I/O path: this sandbox's rootfs (virtio) serializes
+        # concurrent shuffle-file writes (threads pile up in
+        # BypassMergeSortShuffleWriter -> FileChannelImpl.transferTo at 32
+        # task threads). tmpfs removes that; on a real cluster this is the
+        # NVMe/SSD local-dir setting.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -29,15 +29,40 @@ def main() -> int:
         "--policy", default="rl", choices=["rl", "sequence", "reverse", "random"]
     )
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--workdir",
+        default=None,
+        help="enable per-stage checkpoint/resume (stages A-F incl. linking); "
+        "rerunning with the same workdir skips completed stages",
+    )
+    ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
     from autoextraction_spark import corpus
     from autoextraction_spark.operators import detect, output, slot_fill
     from autoextraction_spark.operators.text_extract import with_extracted_text
+    from autoextraction_spark.pipeline import KgPipeline
     from autoextraction_spark.session import get_spark
 
     spark = get_spark(app_name="kg-pipeline", cpus=args.cpus)
     t0 = time.time()
+    if args.workdir:
+        p = KgPipeline(spark, args.sf_dir, args.workdir, policy=args.policy)
+        triples = p.run(resume=not args.no_resume)
+        n_triples = triples.count()
+        gold = corpus.gold_triples(spark, args.sf_dir, canonical=True)
+        m = output.metric_f1(
+            triples.select("url", "pred", "subj", "obj"), gold
+        ).collect()[0]
+        wall = time.time() - t0
+        print(json.dumps({
+            "sf_dir": args.sf_dir, "policy": args.policy, "workdir": args.workdir,
+            "triples": n_triples, "precision": m.precision, "recall": m.recall,
+            "f1": m.f1, "wall_sec": round(wall, 2),
+            "stages": p.metrics(),
+        }))
+        spark.stop()
+        return 0
     pages = corpus.web_pages(spark, args.sf_dir)
     txt = with_extracted_text(pages)
     det = detect.detect_relations(txt)

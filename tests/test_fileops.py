@@ -1,0 +1,44 @@
+"""ljqpy.py utility-operator parity (S10-S12)."""
+
+from autoextraction_spark.operators import fileops
+
+
+def test_merge_and_dedup(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    b = spark.createDataFrame([(2, "y"), (3, "z")], "id int, v string")
+    merged = fileops.merge_files([a, b])
+    assert merged.count() == 4
+    assert fileops.remove_dup_rows(merged).count() == 3
+
+
+def test_zip_join(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "ia int, va string")
+    b = spark.createDataFrame([(10, "x"), (20, "y")], "ib int, vb string")
+    z = fileops.zip_join(a, b, "ia", "ib").orderBy("ia").collect()
+    assert [(r.va, r.vb) for r in z] == [("a", "x"), ("b", "y")]
+
+
+def test_set_product(spark):
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(10,), (20,), (30,)], "y int")
+    assert fileops.set_product(a, b).count() == 6
+
+
+def test_sample_rows_deterministic(spark):
+    df = spark.range(100)
+    s1 = sorted(r.id for r in fileops.sample_rows(df, 10, seed=7).collect())
+    s2 = sorted(r.id for r in fileops.sample_rows(df, 10, seed=7).collect())
+    assert s1 == s2 and len(s1) == 10
+
+
+def test_random_half_split_disjoint(spark):
+    df = spark.range(1000)
+    a, b = fileops.random_half_split(df, seed=42)
+    assert a.count() + b.count() == 1000
+    assert a.join(b, "id", "inner").count() == 0
+
+
+def test_run_sql(spark):
+    spark.range(5).createOrReplaceTempView("t_fileops")
+    got = fileops.run_sql(spark, "SELECT count(*) AS n FROM t_fileops").collect()[0].n
+    assert got == 5

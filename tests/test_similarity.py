@@ -1,0 +1,66 @@
+"""Similarity search: brute-force cosine top-k, LSH-bucketed ANN."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextraction_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # farthest from 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.cosine_topk(df.filter(F.col("vec_id") == 1), df, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(2, 1), (3, 2)]
+    assert got[0].cosine > 0.99
+
+
+def test_ann_recall_vs_bruteforce(vectors):
+    queries = vectors.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(queries, vectors, k=5)
+    approx = similarity.ann_topk(queries, vectors, k=5, n_planes=2, n_tables=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random 64-d vectors: top-5 cosine ~0.4 → per-table collision ~0.4,
+    # miss-all-4-tables ~0.13 → expect recall well above 0.6
+    assert recall >= 0.6, recall
+    fewer = similarity.ann_topk(queries, vectors, k=5, n_planes=2, n_tables=1)
+    f = {(r.query_id, r.neighbor_id) for r in fewer.collect()}
+    assert len(e & a) > len(e & f)  # more tables => more recall
+    # every approx neighbor the exact search also ranks must agree on cosine
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_lsh_bucket_deterministic(vectors):
+    b1 = similarity.with_lsh_bucket(vectors).select("vec_id", "bucket")
+    b2 = similarity.with_lsh_bucket(vectors).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).isEmpty()
+    n_buckets = b1.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 256
+
+
+def test_embedding_neardup_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.999, 0.01], 0),   # near-dup of 1, same block
+        (3, [1.0, 0.0], 1),      # identical to 1 but different block -> unseen
+        (4, [0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_neardup_pairs(df, 0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs  # blocking is explicit and intentional
+    assert (1, 4) not in pairs

@@ -1,0 +1,57 @@
+"""Text-analysis operators (langid, quality, tokens, fingerprint)."""
+
+import hashlib
+
+from autoextraction_spark.operators import textstats
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], "text string")
+    r = textstats.token_stats(df).collect()[0]
+    assert r.n_chars == 22
+    assert r.n_ws_tokens == 4
+    # tokens: hello, world, ',', 42, times, '!'
+    assert r.n_bpe_tokens == 6
+
+
+def test_quality_score_components(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs on through the field"
+    bad = "!!! ??? ,,, ;;; ... !!!"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id int, text string")
+    rows = {r.id: r for r in textstats.quality_score(df).collect()}
+    assert rows[1].quality == 1.0
+    assert rows[2].quality <= 0.25
+    assert rows[2].punct_ratio > 0.5
+    assert rows[1].stopword_ratio > 0.1
+
+
+def test_lang_id_rule(spark):
+    cases = [
+        (1, "the cat and the dog of the house", "en"),
+        (2, "der hund und der mann nicht da", "de"),
+        (3, "el perro que corre por los campos", "es"),
+        (4, "le chat et les chiens", "fr"),
+        (5, "王伟任职于华信集团。", "zh"),
+        (6, "xyzzy plugh quux", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id int, text string")
+    got = {r.id: r.lang_pred for r in textstats.lang_id(df).collect()}
+    for i, _, expect in cases:
+        assert got[i] == expect, (i, got[i])
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in textstats.fingerprint(df).collect()}
+    # whitespace-normalized lowercase: 1 and 2 collide by design
+    assert rows[1].fp_md5 == rows[2].fp_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert rows[1].fp_rolling == rows[2].fp_rolling
+    assert rows[3].fp_md5 != rows[1].fp_md5
+    # rolling hash matches the reference polynomial
+    h = 0
+    for ch in "hello world":
+        h = (h * 31 + ord(ch)) % 2147483647
+    assert rows[1].fp_rolling == h
