@@ -75,6 +75,15 @@ def q_kg_metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-slot (3-role) event extraction — DuEE-style ordered filling
+    (P3 semantics), reified as (url, etype, role, value) rows."""
+    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    det = detect.detect_relations(pages)
+    completed = slot_fill.ordered_slot_fill(det)
+    return output.to_event_rows(output.completed_filter(completed))
+
+
 def q_kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stages A-F end-to-end: pipeline triples → MinHash/LSH entity linking →
     connected-components canonicalization → canonical triples."""
@@ -278,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_detect": q_kg_detect,
         "kg_metric_f1": q_kg_metric_f1,
+        "kg_events": q_kg_events,
         "kg_triples_canonical": q_kg_triples_canonical,
         "kg_linking": q_kg_linking,
         "minhash_dedup": q_minhash_dedup,
@@ -307,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": oracle.gold_triples_sql(canonical=False),
         "kg_detect": oracle.detect_sql(),
         "kg_metric_f1": oracle.metric_f1_perfect_sql(),
+        "kg_events": oracle.events_sql(),
         "kg_triples_canonical": oracle.gold_triples_sql(canonical=True),
         "kg_linking": oracle.linking_map_sql(),
         "minhash_dedup": oracle.minhash_pairs_sql(threshold=0.8),

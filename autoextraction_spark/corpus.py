@@ -40,6 +40,8 @@ def build_html(doc_id: int, lang: str) -> str:
         parts.append(f"<p>{S.fact_sentence(doc_id, i, lang)}</p>")
         if (doc_id + i) % 3 == 0:
             parts.append(f"<p>{S.FILLERS[(doc_id * 5 + i) % len(S.FILLERS)]}</p>")
+    if S.has_event(doc_id, lang):
+        parts.append(f"<p>{S.event_sentence(doc_id)}</p>")
     parts.append('<script>var tracker = "t0";</script></body></html>')
     return "".join(parts)
 
@@ -110,3 +112,26 @@ def gold_triples(spark: SparkSession, sf_dir: str, canonical: bool = False) -> D
             yield pd.DataFrame(rows, columns=["url", "pred", "subj", "obj"])
 
     return docs.mapInPandas(gen, schema="url string, pred string, subj string, obj string").distinct()
+
+
+def gold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected (url, etype, role, value) rows of the event pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, src_lang in zip(pdf["doc_id"].astype("int64"), pdf["lang"]):
+                d = int(d)
+                if not S.has_event(d, S.doc_lang(src_lang)):
+                    continue
+                etype, vals = S.event_surfaces(d)
+                for role, v in zip(S.EVENTS[etype]["roles"], vals):
+                    rows.append((S.page_url(d), etype, role, v))
+            yield pd.DataFrame(
+                rows, columns=["url", "etype", "role", "value"]
+            )
+
+    return docs.mapInPandas(
+        gen, schema="url string, etype string, role string, value string"
+    ).distinct()

@@ -33,6 +33,8 @@ def relation_anchors(spark: SparkSession) -> DataFrame:
         rows.append(("en", rel, en[0][0], en[1][0] if len(en) > 1 else None))
         zh = S.ZH_TEMPLATES[rel]
         rows.append(("zh", rel, zh[0][0], None))
+    for etype, ev in S.EVENTS.items():
+        rows.append(("en", etype, ev["anchor"], None))
     return spark.createDataFrame(
         rows, "lang string, rel string, primary_anchor string, alt_anchor string"
     )

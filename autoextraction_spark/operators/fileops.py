@@ -75,6 +75,12 @@ def random_half_split(df: DataFrame, seed: int = 42) -> tuple[DataFrame, DataFra
     return a, b
 
 
+def write_golden_json(df: DataFrame, path: str) -> None:
+    """S7 golden-case sink (case.py:43,95-100) / S8 filtered-split sink
+    (data_filter.py:212-242): JSON fixture dump for manual diffing."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
 def run_sql(spark: SparkSession, query: str) -> DataFrame:
     """ljqpy.sql mini-DSL (ljqpy.py:255-294) → real Spark SQL."""
     return spark.sql(query)

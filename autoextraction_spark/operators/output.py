@@ -53,6 +53,24 @@ def to_triples(completed: DataFrame) -> DataFrame:
     )
 
 
+def to_event_rows(completed: DataFrame) -> DataFrame:
+    """Event states → distinct (url, etype, role, value) rows.
+
+    N-ary tuples are materialized as reified role rows (standard n-ary KG
+    encoding); the 2-slot relational states yield nothing here (their slots
+    are not event roles)."""
+    event_names = list(S.EVENTS)
+    return (
+        completed.filter(F.col("rel").isin(event_names))
+        .select(
+            "url",
+            F.col("rel").alias("etype"),
+            F.explode("assigned").alias("role", "value"),
+        )
+        .distinct()
+    )
+
+
 def render_cond(states: DataFrame) -> DataFrame:
     """Serialize the typed state to the reference cond grammar
     (Environment.py:106-108,201-204): ``'{rel}; {slot}:{value}…'`` en /

@@ -60,7 +60,15 @@ def initial_states(detected: DataFrame) -> DataFrame:
     the fixed two-slot relational schema per language
     (Environment.py:402-405).
     """
-    remaining = F.when(
+    remaining = None
+    for etype, ev in S.EVENTS.items():
+        branch = F.when(
+            F.col("rel") == etype, F.array(*[F.lit(r) for r in ev["roles"]])
+        )
+        remaining = branch if remaining is None else remaining.when(
+            F.col("rel") == etype, F.array(*[F.lit(r) for r in ev["roles"]])
+        )
+    remaining = remaining.when(
         F.col("lang") == "zh", F.array(*[F.lit(s) for s in S.ZH_SLOTS])
     ).otherwise(F.array(*[F.lit(s) for s in S.EN_SLOTS]))
     empty_map = F.map_from_arrays(
@@ -146,36 +154,68 @@ def fork_step(live: DataFrame, policy: str = "rl") -> DataFrame:
     )
 
 
+def _run_fixed(
+    detected: DataFrame, k: int, policy: str, checkpoint: bool, max_steps: int
+) -> DataFrame:
+    """Exactly-k fork rounds (uniform-arity episodes complete at depth k).
+
+    A DISK_ONLY materialization barrier separates consecutive Arrow stages
+    (chained python stages in one task pipeline poorly — per-batch socket
+    hops multiply); the LAST round chains straight into the consumer, which
+    reads it once.
+    """
+    states = initial_states(detected)
+    rounds = min(k, max_steps)
+    for i in range(rounds):
+        states = fork_step(states, policy)
+        if checkpoint and i < rounds - 1:
+            states = states.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+    return states
+
+
 def ordered_slot_fill(
     detected: DataFrame,
     policy: str = "rl",
     max_steps: int = MAX_STEPS,
     checkpoint: bool = True,
-    n_slots: int | None = 2,
+    n_slots: int | None = None,
 ) -> DataFrame:
     """Run episodes to completion; returns completed states (remaining = []).
 
-    ``n_slots``: when every episode has the same slot count (the fixed
-    two-slot relational schemas, Environment.py:402-405), every state
-    completes at exactly that depth — so the loop needs NO per-iteration
-    isEmpty action, no done/live split, no union, and no lineage checkpoint:
-    stages A-D collapse into a single narrow Spark job (the 100 TB plan:
-    scan → k chained Arrow stages → one distinct shuffle). Pass ``None``
-    for mixed-arity schemas to get the general fixpoint loop.
+    ``n_slots``: every episode completes at exactly its schema arity (states
+    whose slots are exhausted pass through later rounds unchanged), so a
+    fixed ``max-arity`` round count needs NO per-iteration isEmpty action,
+    no done/live split, no union: stages A-D become k dense map passes +
+    one distinct shuffle (the 100 TB plan). Defaults to the max schema
+    arity; pass 0 to force the general fixpoint loop with per-round
+    termination checks (unbounded/unknown schemas).
     """
-    if n_slots is not None:
-        states = initial_states(detected)
-        for _ in range(min(n_slots, max_steps)):
-            states = fork_step(states, policy)
-            if checkpoint:
-                # materialization barrier between Arrow stages: chaining
-                # multiple python stages into one task pipelines poorly
-                # (per-batch socket hops multiply); a DISK_ONLY barrier keeps
-                # each fork step a single dense scan
-                states = states.localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.DISK_ONLY
-                )
-        return states
+    if n_slots is None:
+        # Group episodes by schema arity so a mixed corpus never pays
+        # max-arity passes for low-arity states: relations run 2 rounds,
+        # 3-role events run 3, results union. Each group's round count is
+        # static -> zero per-iteration driver actions.
+        groups: dict[int, list[str]] = {}
+        for rel, _, _ in S.RELATIONS:
+            groups.setdefault(2, []).append(rel)
+        for etype, ev in S.EVENTS.items():
+            groups.setdefault(len(ev["roles"]), []).append(etype)
+        # NOTE: the upstream (generation → extraction → gate) intentionally
+        # recomputes per arity group: measured on this corpus, re-running the
+        # narrow upstream is cheaper than serializing the gated states
+        # through a checkpoint. With a selective gate the recompute shrinks
+        # further; callers can also pre-checkpoint `detected` themselves.
+        out: DataFrame | None = None
+        for k, rels in sorted(groups.items()):
+            subset = detected.filter(F.col("rel").isin(rels))
+            done = _run_fixed(subset, k, policy, checkpoint, max_steps)
+            out = done if out is None else out.unionByName(done)
+        assert out is not None
+        return out
+    if n_slots > 0:
+        return _run_fixed(detected, n_slots, policy, checkpoint, max_steps)
     states = initial_states(detected)
     completed: DataFrame | None = None
     for _ in range(max_steps):

@@ -114,6 +114,7 @@ def detect_sql() -> str:
     alt_cond = (
         f"lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)}"
     )
+    ev_names = sql_str_list(S.EVENT_NAMES)
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
 gated AS (
   SELECT doc_id, lang, rel_idx,
@@ -123,7 +124,29 @@ gated AS (
 SELECT {URL_EXPR} AS url,
        {_RELS}[rel_idx + 1] AS rel,
        round(1.0/(1.0 + exp(-(CASE WHEN has_primary = 1 THEN 2.5 ELSE 1.5 END))), 6) AS rc_score
-FROM gated"""
+FROM gated
+UNION ALL
+SELECT {URL_EXPR} AS url,
+       {ev_names}[CAST(((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} AS INT) + 1] AS rel,
+       round(1.0/(1.0 + exp(-2.5)), 6) AS rc_score
+FROM docs WHERE lang = 'en' AND doc_id % 4 = 1"""
+
+
+def events_sql() -> str:
+    """Expected (url, etype, role, value) of the multi-slot event pipeline."""
+    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
+    surf = {"person": _person, "org": _org, "city": _city}
+    selects = []
+    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
+        for role, typ, raw in zip(ev["roles"], ev["types"], raw_exprs):
+            selects.append(
+                f"SELECT {URL_EXPR} AS url, '{etype}' AS etype, '{role}' AS role, "
+                f"{surf[typ](raw)} AS value FROM docs "
+                f"WHERE lang = 'en' AND doc_id % 4 = 1 "
+                f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_DOCS_CTE}\n{body}"
 
 
 def linking_map_sql() -> str:

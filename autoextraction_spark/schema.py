@@ -86,6 +86,55 @@ EN_SLOTS = ["subject", "object"]
 ZH_SLOTS = ["头实体", "尾实体"]
 NONE_SENTINEL = "[None]"
 
+# ---------------------------------------------------------------- events
+# DuEE-style multi-slot event schemas (dataset/duee.py:38-64 semantics):
+# one template per event type; role i is extracted by substituting assigned
+# roles as literals and grouping the requested one. parts has len(roles)+1
+# segments: parts[0] ROLE0 parts[1] ROLE1 parts[2] ROLE2 parts[3]
+EVENTS: dict[str, dict] = {
+    "hired": {
+        "roles": ["employer", "employee", "city"],
+        "types": ["org", "person", "city"],
+        "parts": ["", " hired ", " in ", "."],
+        "anchor": " hired ",
+    },
+    "merger": {
+        "roles": ["acquirer", "target", "city"],
+        "types": ["org", "org", "city"],
+        "parts": ["", " merged with ", " at ", "."],
+        "anchor": " merged with ",
+    },
+}
+EVENT_NAMES = list(EVENTS)
+
+
+def has_event(doc_id: int, lang: str) -> bool:
+    return lang == "en" and doc_id % 4 == 1
+
+
+def event_params(doc_id: int) -> tuple[str, list[int]]:
+    # (doc_id-1)//4 alternates parity across event docs (doc_id%4==1, so
+    # doc_id itself is always odd — a modulus of doc_id would pin one type)
+    etype = EVENT_NAMES[((doc_id - 1) // 4) % len(EVENT_NAMES)]
+    raws = [doc_id * 17 + 1, doc_id * 19 + 2, doc_id * 23 + 3]
+    return etype, raws
+
+
+def event_surfaces(doc_id: int) -> tuple[str, list[str]]:
+    etype, raws = event_params(doc_id)
+    ev = EVENTS[etype]
+    vals = [surface("en", t, r) for t, r in zip(ev["types"], raws)]
+    return etype, vals
+
+
+def event_sentence(doc_id: int) -> str:
+    etype, vals = event_surfaces(doc_id)
+    parts = EVENTS[etype]["parts"]
+    out = parts[0]
+    for v, p in zip(vals, parts[1:]):
+        out += v + p
+    return out
+
 FILLERS = [
     "the quarterly report was filed on time.",
     "analysts expect steady growth next year.",

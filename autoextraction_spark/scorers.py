@@ -74,6 +74,38 @@ def _matches(
     return out
 
 
+@lru_cache(maxsize=2048)
+def _event_pattern(etype: str, assigned_key: tuple, want_role: str):
+    """Regex for extracting ``want_role`` of event ``etype`` given assigned
+    roles substituted as literals. Returns (pattern, group_index)."""
+    ev = S.EVENTS[etype]
+    assigned = dict(assigned_key)
+    segs = [re.escape(ev["parts"][0])]
+    group_idx, seen_groups = 0, 0
+    for role, part in zip(ev["roles"], ev["parts"][1:]):
+        if role in assigned:
+            segs.append(re.escape(assigned[role]))
+        else:
+            seen_groups += 1
+            if role == want_role:
+                group_idx = seen_groups
+            segs.append(f"({EN_ENT})")
+        segs.append(re.escape(part))
+    return re.compile("".join(segs)), group_idx
+
+
+def event_candidates(
+    text: str, etype: str, assigned: dict[str, str], role: str
+) -> list[tuple[str, float]]:
+    """Multi-slot event extraction (DuEE semantics, dataset/duee.py:38-64):
+    the event template with assigned roles fixed anchors the wanted role."""
+    if S.NONE_SENTINEL in assigned.values():
+        return []
+    key = tuple(sorted(assigned.items()))
+    pat, gi = _event_pattern(etype, key, role)
+    return [(m.group(gi), PRIMARY_LOGIT) for m in pat.finditer(text)]
+
+
 def raw_candidates(
     text: str, rel: str, lang: str, assigned: dict[str, str], slot: str
 ) -> list[tuple[str, float]]:
@@ -84,6 +116,8 @@ def raw_candidates(
     every other mode (object-first, or either slot with the other fixed) sees
     primary + alt — so alt-phrased facts are only recovered object-first.
     """
+    if rel in S.EVENTS:
+        return event_candidates(text, rel, assigned, slot)
     names = slot_names(lang)
     idx = names.index(slot)
     other = assigned.get(names[1 - idx])
