@@ -191,6 +191,55 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table join (customer ⋈ orders ⋈ lineitem): broadcast the dims,
+    shuffle only the fact; revenue in exact integer cents."""
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _read(spark, sf_dir, "orders")
+    l = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(cents * (100 - disc)).alias("revenue_x100"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum over the event stream —
+    the windowed-analytics pattern."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ: route through ltz (session TZ pinned UTC)
+    tsec = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = F.when(tsec - F.lag(tsec).over(w) > 1800, F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sess_value"),
+    ).withColumn("session_id", F.col("session_id").cast("long"))
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
+    l = _read(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty", "n",
+        )
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 frequency vocab (ljqpy.py:232-247): token counts, cutoff, dense id."""
     docs = _read(spark, sf_dir, "documents")
@@ -302,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": q_host_counts,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "sessionize": q_sessionize,
+        "cube_agg": q_cube_agg,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
         "cooccur_pairs": q_cooccur_pairs,
@@ -344,6 +396,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3ish": """
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_x100,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderpriority
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, event_id, value, ts,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+            s AS (SELECT user_id, event_id, value, ts,
+                         CASE WHEN tsec - lag(tsec) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e),
+            s2 AS (SELECT user_id, value,
+                          sum(new_sess) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+                   FROM s)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sess_value
+            FROM s2 GROUP BY user_id, session_id
+        """,
+        "cube_agg": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
