@@ -240,6 +240,22 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 nested-object flattening analog (dataset/duie.py:38-67): pull a
+    typed field out of a JSON column, null-safe, then aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k_val", F.coalesce(k, F.lit(-1)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 frequency vocab (ljqpy.py:232-247): token counts, cutoff, dense id."""
     docs = _read(spark, sf_dir, "documents")
@@ -354,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": q_tpch_q3ish,
         "sessionize": q_sessionize,
         "cube_agg": q_cube_agg,
+        "json_flatten": q_json_flatten,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
         "cooccur_pairs": q_cooccur_pairs,
@@ -431,6 +448,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "json_flatten": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS sum_k,
+                   CAST(max(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
