@@ -240,6 +240,31 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each 'error' event matched to
+    the user's most recent 'signup' at or before it — union + last-value
+    IGNORE NULLS window, one shuffle, no range explosion."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    tsec = F.col("ts").cast("timestamp_ltz").cast("long")
+    u = ev.select("event_id", "user_id", "event_type", tsec.alias("tsec"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsec", F.desc("event_type"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof = u.withColumn(
+        "asof_signup_tsec",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("tsec")), ignorenulls=True
+        ).over(w),
+    )
+    return asof.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("tsec").alias("error_tsec"), "asof_signup_tsec"
+    )
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 nested-object flattening analog (dataset/duie.py:38-67): pull a
     typed field out of a JSON column, null-safe, then aggregate."""
@@ -370,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": q_tpch_q3ish,
         "sessionize": q_sessionize,
         "cube_agg": q_cube_agg,
+        "asof_join": q_asof_join,
         "json_flatten": q_json_flatten,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
@@ -448,6 +474,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "asof_join": """
+            WITH u AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+              FROM events WHERE event_type IN ('signup', 'error')
+            ),
+            a AS (
+              SELECT event_id, user_id, event_type, tsec,
+                     last_value(CASE WHEN event_type = 'signup' THEN tsec END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY tsec, event_type DESC, event_id
+                             ROWS UNBOUNDED PRECEDING) AS asof_signup_tsec
+              FROM u
+            )
+            SELECT event_id, user_id, tsec AS error_tsec, asof_signup_tsec
+            FROM a WHERE event_type = 'error'
         """,
         "json_flatten": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

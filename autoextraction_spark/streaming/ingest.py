@@ -1,0 +1,81 @@
+"""Structured Streaming ingestion — beyond-reference capability.
+
+The reference is pure batch (SURVEY.md §2.5: streaming absent), and the
+north_rule asks for batch with checkpoint/resume — which pipeline.py covers.
+This module adds the *incremental crawl* story a production KG pipeline
+needs: new WARC/page files land continuously; each micro-batch runs the
+batch pipeline (stages A-D are deterministic pure functions, so re-running
+them per micro-batch is exactly-once under the streaming checkpoint), and
+triples append to partitioned parquet.
+
+Design rules at scale:
+- stateless stages (A, B) compose directly onto the stream;
+- the iterative fork loop (stage C) runs inside ``foreachBatch`` — iteration
+  is per-micro-batch, never cross-batch state;
+- exactly-once = streaming checkpointLocation + idempotent append (the
+  deterministic pipeline emits identical triples for identical input files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import detect, output, slot_fill
+from ..operators.text_extract import with_extracted_text
+
+PAGES_DDL = (
+    "doc_id long, url string, warc_ts timestamp, html binary, "
+    "text string, lang string"
+)
+
+
+def stream_pages(spark: SparkSession, in_dir: str) -> DataFrame:
+    """File-source stream of landed page files (stand-in for Kafka/WARC)."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+
+
+def _process_batch(out_dir: str):
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        txt = with_extracted_text(batch_df)
+        det = detect.detect_relations(txt)
+        completed = slot_fill.ordered_slot_fill(det, checkpoint=False)
+        triples = output.to_triples(output.completed_filter(completed))
+        (
+            triples.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return run
+
+
+def stream_kg_pipeline(
+    spark: SparkSession, in_dir: str, out_dir: str, ckpt_dir: str
+):
+    """Start the incremental extraction stream; returns the StreamingQuery.
+
+    ``availableNow`` drains everything currently landed then stops — the
+    batch-catchup trigger; a production deployment uses processingTime.
+    """
+    pages = stream_pages(spark, in_dir)
+    return (
+        pages.writeStream.foreachBatch(_process_batch(out_dir))
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_page_counts(pages_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window ingest monitoring (late data tolerated
+    up to 1 day on warc_ts): the streaming-aggregation pattern."""
+    return (
+        pages_stream.withWatermark("warc_ts", "1 day")
+        .groupBy(F.window("warc_ts", "7 days"), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
