@@ -36,7 +36,7 @@ def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> D
     pages = corpus.web_pages(spark, sf_dir)
     txt = with_extracted_text(pages)
     det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det, policy=policy)
+    completed = slot_fill.ordered_slot_fill(det, policy=policy, carry_text=False)
     return output.to_triples(output.completed_filter(completed))
 
 
@@ -80,7 +80,7 @@ def q_kg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P3 semantics), reified as (url, etype, role, value) rows."""
     pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
     det = detect.detect_relations(pages)
-    completed = slot_fill.ordered_slot_fill(det)
+    completed = slot_fill.ordered_slot_fill(det, carry_text=False)
     return output.to_event_rows(output.completed_filter(completed))
 
 

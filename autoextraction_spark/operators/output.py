@@ -128,23 +128,35 @@ def triple_text(triples: DataFrame) -> DataFrame:
 
 
 def metric_f1(pred: DataFrame, gold: DataFrame, keys: list[str] | None = None) -> DataFrame:
-    """O5 ``MetricF1`` (predict.py:54-79) as a single aggregate job.
+    """O5 ``MetricF1`` (predict.py:54-79) as ONE aggregate job.
 
-    correct = |pred ∩ gold| (inner join on the triple key), P/R/F1 with the
-    reference's max(·,1) guards. Returns one row:
+    correct = |pred ∩ gold|, output = |pred|, golden = |gold| — all three
+    from a single full-outer join + one aggregation, so the (expensive)
+    ``pred`` pipeline executes exactly once (round 1 ran three separate
+    ``.count()`` actions, each recomputing the full upstream — VERDICT.md
+    item 2). P/R/F1 use the reference's max(·,1) guards. Returns one row:
     (correct, output, golden, precision, recall, f1).
     """
     keys = keys or ["url", "pred", "subj", "obj"]
-    p = pred.select(*keys).distinct()
-    g = gold.select(*keys).distinct()
-    correct = p.join(g, on=keys, how="inner").count()
-    output = p.count()
-    golden = g.count()
-    precision = correct / max(output, 1)
-    recall = correct / max(golden, 1)
-    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(correct, output, golden, float(precision), float(recall), float(f1))],
-        "correct long, output long, golden long, precision double, recall double, f1 double",
+    p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
+    counts = (
+        p.join(g, on=keys, how="full_outer")
+        .agg(
+            F.count(
+                F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1)
+            ).alias("correct"),
+            F.count("_p").alias("output"),
+            F.count("_g").alias("golden"),
+        )
+    )
+    prec = F.col("correct") / F.greatest(F.col("output"), F.lit(1))
+    rec = F.col("correct") / F.greatest(F.col("golden"), F.lit(1))
+    return counts.select(
+        "correct",
+        "output",
+        "golden",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-9))).alias("f1"),
     )

@@ -124,7 +124,9 @@ class KgPipeline:
             lambda: output.to_triples(
                 output.completed_filter(
                     slot_fill.ordered_slot_fill(
-                        det.drop("_stage", "_part_id"), policy=self.policy
+                        det.drop("_stage", "_part_id"),
+                        policy=self.policy,
+                        carry_text=False,
                     )
                 )
             ),

@@ -43,7 +43,7 @@ def _process_batch(out_dir: str):
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         txt = with_extracted_text(batch_df)
         det = detect.detect_relations(txt)
-        completed = slot_fill.ordered_slot_fill(det, checkpoint=False)
+        completed = slot_fill.ordered_slot_fill(det, checkpoint=False, carry_text=False)
         triples = output.to_triples(output.completed_filter(completed))
         (
             triples.withColumn("_epoch", F.lit(epoch_id))

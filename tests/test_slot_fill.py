@@ -92,6 +92,29 @@ def test_cond_render_parse_roundtrip(tiny_pages):
         assert dict(r.parsed_assigned) == dict(r.assigned)
 
 
+@pytest.mark.parametrize("policy", ["rl", "sequence", "reverse", "random"])
+def test_fused_equals_rounds(tiny_pages, policy):
+    # the single-pass fused runner and the per-round DataFrame loop are two
+    # physical strategies for the same logical operator — identical output
+    det = detect.detect_relations(tiny_pages)
+    def norm(df):
+        return {
+            (r.url, r.rel, r.lang, tuple(sorted(r.assigned.items())),
+             tuple(r.remaining), round(r.score, 9), r.step)
+            for r in df.collect()
+        }
+    fused = slot_fill.ordered_slot_fill(det, policy=policy, mode="fused")
+    rounds = slot_fill.ordered_slot_fill(det, policy=policy, mode="rounds")
+    assert norm(fused) == norm(rounds.select(*[c for c in fused.columns]))
+
+
+def test_fused_carry_text_false_drops_text(tiny_pages):
+    det = detect.detect_relations(tiny_pages)
+    out = slot_fill.ordered_slot_fill(det, carry_text=False)
+    assert "text" not in out.columns
+    assert out.count() > 0
+
+
 def test_episode_cap_terminates(spark):
     # a state that never empties its remaining list still terminates ≤ 20
     det = spark.createDataFrame(
