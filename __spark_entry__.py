@@ -121,31 +121,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs, blocked by language (exact set
-    Jaccard over word-3-gram shingles; blocking bounds the pair space)."""
-    docs = _read(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", "lang", "text")
-    sh = dedup.exploded_shingles(
-        keyed, "doc_id", dedup.word_shingles(F.col("text"), 3)
-    )
-    blocks = keyed.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("blk"))
-    blocks_b = keyed.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("blk"))
-    pairs = (
-        blocks.join(blocks_b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    j = dedup.exact_jaccard(pairs, sh)
-    return j.filter(F.col("jaccard") >= 0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    """Exact n-gram Jaccard near-dup pairs via the prefix-filter inverted
+    index (no blocking loss, no all-pairs — the round-1 within-language
+    cartesian was quadratic, VERDICT.md item 3)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label."""
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked (multi-table
+    sign-LSH candidates + exact cosine verify — equi-joins only)."""
     vecs = _read(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
-        vecs, threshold=0.4, block_col="label"
+        vecs, threshold=0.4, n_planes=2, n_tables=4, dim=64
     )
 
 
@@ -449,35 +438,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": oracle.minhash_pairs_sql(threshold=0.8),
         "simhash": oracle.simhash_sql(),
         "connected_components": oracle.cc_lang_star_sql(),
-        "ngram_jaccard": """
-            WITH toks AS (SELECT doc_id AS id, lang, str_split(text, ' ') AS t FROM documents),
-            sh AS (SELECT DISTINCT id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS sh
-                   FROM toks CROSS JOIN (SELECT unnest(range(4096)) AS i) i
-                   WHERE i.i <= len(t) - 3),
-            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                      FROM documents a JOIN documents b
-                        ON a.lang = b.lang AND a.doc_id < b.doc_id),
-            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-            inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
-                      FROM pairs p JOIN sh a ON a.id = p.id_a
-                      JOIN sh b ON b.id = p.id_b AND b.sh = a.sh
-                      GROUP BY p.id_a, p.id_b)
-            SELECT i.id_a, i.id_b,
-                   round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-            FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
-            WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= 0.5
-        """,
-        "embed_neardup": """
-            WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.e, b.e)
-                         / (sqrt(list_dot_product(a.e, a.e))
-                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.e, b.e)
-                  / (sqrt(list_dot_product(a.e, a.e))
-                     * sqrt(list_dot_product(b.e, b.e))) >= 0.4
-        """,
+        "ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
+        "embed_neardup": oracle.embed_neardup_lsh_sql(
+            threshold=0.4, n_planes=2, n_tables=4, dim=64
+        ),
         "token_stats": oracle.token_stats_sql(),
         "quality": oracle.quality_sql(),
         "lang_id": oracle.lang_id_sql(),

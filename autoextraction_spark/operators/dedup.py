@@ -21,11 +21,28 @@ linking with MinHash/LSH-blocked candidate generation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 8
+
+# Mersenne prime 2^31-1: (a*h + b) % P stays within int64 for a,h < 2^31,
+# so the SAME arithmetic runs in Spark codegen and DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_perm: int = DEFAULT_NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation, derived from md5 at plan-build
+    time — shared by the Spark plan and the SQL oracle generator."""
+    out = []
+    for k in range(num_perm):
+        a = int(hashlib.md5(f"minhash-a#{k}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"minhash-b#{k}".encode()).hexdigest()[:15], 16)
+        out.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return out
 
 
 def portable_hash64(col: Column, seed: str = "") -> Column:
@@ -66,15 +83,20 @@ def exploded_shingles(df: DataFrame, id_col: str, shingle_expr: Column) -> DataF
 def minhash_signature(
     shingled: DataFrame, num_perm: int = DEFAULT_NUM_PERM
 ) -> DataFrame:
-    """(id, mh0..mh{k-1}) — min over per-shingle hashes, k seeded 'perms'.
+    """(id, mh0..mh{k-1}) — min over k linear permutations of ONE base hash.
 
+    One md5 per shingle (not per shingle×perm — round 1 computed 16 md5s per
+    shingle row, the dominant CPU cost of the minhash stage); permutation k
+    is ``(a_k·h + b_k) mod P`` over the 60-bit base hash reduced mod the
+    Mersenne prime P=2^31-1 — the classic universal-hash MinHash family.
     One shuffle (groupBy id); min is idempotent so upstream need not dedup.
     """
+    h = (portable_hash64(F.col("sh")) % MINHASH_P).alias("_h")
     aggs = [
-        F.min(portable_hash64(F.col("sh"), seed=f"#perm{k}")).alias(f"mh{k}")
-        for k in range(num_perm)
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"mh{k}")
+        for k, (a, b) in enumerate(minhash_coeffs(num_perm))
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return shingled.select("id", h).groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -168,6 +190,63 @@ def minhash_dup_pairs(
     shingled = exploded_shingles(df, id_col, expr)
     sig = minhash_signature(shingled, num_perm)
     cands = lsh_candidate_pairs(sig, num_perm, bands)
+    return exact_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
+
+
+def prefix_filter_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ threshold via prefix filtering
+    (the SSJoin/PPJoin inverted-index join — no all-pairs, no blocking loss).
+
+    Order every document's shingles by a global total order (ascending
+    document frequency, ties by value) and index only the first
+    ``n - ⌈t·n⌉ + 1``; any pair with J ≥ t MUST share a prefix shingle:
+    the smallest (in the global order) element of A∩B lies in both prefixes
+    — if it lay in A's suffix then |A∩B| ≤ ⌈t|A|⌉ - 1 < t·|A| ≤ |A∩B|.
+    Rare-shingles-first minimizes the inverted-index fan-out, so the hot
+    posting lists the ngram-Jaccard round-1 quadratic suffered from never
+    form (VERDICT.md item 3).
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    prefix = (
+        shingled.join(df_counts, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("id", "sh")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "sh")
+    b = prefix.select(F.col("id").alias("id_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle: str = "word",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: shingle → prefix-filter inverted
+    index (exact candidates) → exact set Jaccard ≥ threshold. Unlike the
+    MinHash path this has ZERO recall loss at any threshold."""
+    expr = (
+        word_shingles(F.col(text_col), shingle_n)
+        if shingle == "word"
+        else char_shingles(F.col(text_col), shingle_n)
+    )
+    shingled = exploded_shingles(df, id_col, expr)
+    cands = prefix_filter_candidates(shingled, threshold)
     return exact_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
 
 

@@ -26,7 +26,7 @@ from . import dedup
 from .canonicalize import connected_components
 
 NUM_PERM = 16
-BANDS = 16  # r=1: candidate iff ANY minhash matches — high recall, exact verify after
+BANDS = 8  # r=2 rows/band: r=1 made the hottest band bucket quadratic at scale
 MIN_ABBREV_LEN = 3
 
 
@@ -65,16 +65,37 @@ def is_variant_pair(a: Column, b: Column) -> Column:
     return (F.size(ta) == F.size(tb)) & tok_ok
 
 
+def prefix_block_key(mention: Column) -> Column:
+    """Blocking key that is provably EXHAUSTIVE for ``is_variant_pair``:
+    the space-joined first-``MIN_ABBREV_LEN`` chars of each lowercased token.
+    Any pair the verifier accepts has equal token counts and every aligned
+    token pair equal or prefix-related with the shorter ≥3 chars — either
+    way the first 3 chars agree, so both mentions share this key."""
+    toks = F.split(F.lower(mention), " ")
+    return F.concat_ws(" ", F.transform(toks, lambda t: F.substring(t, 1, MIN_ABBREV_LEN)))
+
+
 def variant_edges(
     mentions: DataFrame,
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
+    blocker: str = "prefix",
 ) -> DataFrame:
     """(src, dst) edges between surface variants of the same entity.
 
-    MinHash/LSH over lowercase char-3-grams is the candidate BLOCKER (the
-    scale mechanism: no all-pairs over a web-scale mention vocabulary); the
-    precise abbreviation-variant predicate is the verifier.
+    Candidate BLOCKING (the scale mechanism — never all-pairs over a
+    web-scale mention vocabulary) has two modes; the precise
+    abbreviation-variant predicate is always the verifier:
+
+    - ``prefix`` (default): equi-join on ``prefix_block_key`` + ent_type.
+      Exhaustive for this verifier (zero recall loss, see key docstring) and
+      far more selective than an LSH band bucket — buckets only hold
+      mentions agreeing on EVERY token's 3-char prefix.
+    - ``lsh``: MinHash/LSH banding over lowercase char-3-grams
+      (dedup.lsh_candidate_pairs, 8 bands × r=2). The general-similarity
+      blocker — the right choice when the verifier widens beyond
+      abbreviation-prefix pairs (edit distance, token reorderings), at the
+      cost of probabilistic recall.
     """
     keyed = mentions.select(
         F.concat_ws("\x1f", "ent_type", "mention").alias("key"),
@@ -82,13 +103,25 @@ def variant_edges(
         "mention",
         F.lower(F.col("mention")).alias("norm"),
     )
-    shingled = dedup.exploded_shingles(
-        keyed, "key", dedup.char_shingles(F.col("norm"), 3)
-    )
-    sig = dedup.minhash_signature(shingled, num_perm).join(
-        keyed.select(F.col("key").alias("id"), "ent_type"), "id"
-    )
-    cands = dedup.lsh_candidate_pairs(sig, num_perm, bands, block_col="ent_type")
+    if blocker == "lsh":
+        shingled = dedup.exploded_shingles(
+            keyed, "key", dedup.char_shingles(F.col("norm"), 3)
+        )
+        sig = dedup.minhash_signature(shingled, num_perm).join(
+            keyed.select(F.col("key").alias("id"), "ent_type"), "id"
+        )
+        cands = dedup.lsh_candidate_pairs(sig, num_perm, bands, block_col="ent_type")
+    else:
+        blocked = keyed.select(
+            F.col("key").alias("id"), "ent_type", prefix_block_key(F.col("mention")).alias("blk")
+        )
+        a = blocked.select(F.col("id").alias("id_a"), "ent_type", "blk")
+        b = blocked.select(F.col("id").alias("id_b"), "ent_type", "blk")
+        cands = (
+            a.join(b, ["ent_type", "blk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
     ka = keyed.select(F.col("key").alias("id_a"), F.col("mention").alias("m_a"))
     kb = keyed.select(F.col("key").alias("id_b"), F.col("mention").alias("m_b"))
     verified = (

@@ -170,12 +170,21 @@ def _portable_hash(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+WORD_SHINGLES_CTE = (
+    "toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),\n"
+    "idx AS (SELECT id, t, unnest(range(greatest(len(t) - 2, 1))) AS i FROM toks),\n"
+    "sh AS (SELECT DISTINCT id, array_to_string(t[i+1:i+3], ' ') AS sh FROM idx)"
+)
+
+
 def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
     """Replicates dedup.minhash_dup_pairs on the documents table."""
+    from .operators.dedup import MINHASH_P, minhash_coeffs
+
     r = num_perm // bands
     mh_cols = ", ".join(
-        "min({h}) AS mh{k}".format(h=_portable_hash("sh || '#perm%d'" % k), k=k)
-        for k in range(num_perm)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{k}"
+        for k, (a, b) in enumerate(minhash_coeffs(num_perm))
     )
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band_idx, md5({parts}) AS band_hash FROM mh".format(
@@ -186,11 +195,9 @@ def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8
         )
         for b in range(bands)
     )
-    return f"""WITH toks AS (SELECT doc_id AS id, str_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT id, t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] AS sh
-       FROM toks CROSS JOIN (SELECT unnest(range(4096)) AS i) i
-       WHERE i.i <= len(t) - 3),
-mh AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+    return f"""WITH {WORD_SHINGLES_CTE},
+hs AS (SELECT id, {_portable_hash('sh')} % {MINHASH_P} AS h FROM sh),
+mh AS (SELECT id, {mh_cols} FROM hs GROUP BY id),
 bands AS ({band_rows}),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b
          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
@@ -199,6 +206,21 @@ inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
           FROM cand c JOIN sh a ON a.id = c.id_a
           JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
           GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= {threshold}"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Exact word-3-gram Jaccard pairs ≥ threshold. The oracle may be naive
+    (intersection from the full shingle self-join — DuckDB only runs at
+    sf0.01); the Spark side uses the exact prefix-filter join, same output."""
+    return f"""WITH {WORD_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY a.id, b.id)
 SELECT i.id_a, i.id_b,
        round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
@@ -350,6 +372,36 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) A
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
 WHERE rank <= {k}"""
+
+
+def embed_neardup_lsh_sql(threshold: float = 0.4, n_planes: int = 2,
+                          n_tables: int = 4, dim: int = 64) -> str:
+    """Replicates similarity.embedding_neardup_pairs (LSH-blocked default)."""
+    from .operators.similarity import hyperplane_weights
+
+    rows = []
+    for t in range(n_tables):
+        planes = hyperplane_weights(n_planes, dim, seed=f"ann-t{t}")
+        bucket_terms = []
+        for p, w in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in w) + "]"
+            bucket_terms.append(
+                f"(CASE WHEN list_dot_product(e, {lit}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        rows.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(bucket_terms)} AS bucket FROM v"
+        )
+    buckets = " UNION ALL ".join(rows)
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({_COS}, 6) AS cosine
+FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+WHERE {_COS} >= {threshold}"""
 
 
 def host_counts_sql() -> str:

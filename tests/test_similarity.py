@@ -60,7 +60,30 @@ def test_embedding_neardup_blocked(spark):
         (4, [0.0, 1.0], 0),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
-    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_neardup_pairs(df, 0.99).collect()}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(df, 0.99, block_col="label").collect()
+    }
     assert (1, 2) in pairs
-    assert (1, 3) not in pairs  # blocking is explicit and intentional
+    assert (1, 3) not in pairs  # hard blocking is explicit and intentional
     assert (1, 4) not in pairs
+
+
+def test_embedding_neardup_lsh_default(vectors):
+    # default blocking = multi-table sign-LSH; every emitted pair must meet
+    # the threshold, and near-identical vectors must collide in some table
+    df = vectors.limit(200)
+    got = similarity.embedding_neardup_pairs(
+        df, threshold=0.95, n_planes=2, n_tables=4, dim=64
+    )
+    for r in got.collect():
+        assert r.cosine >= 0.95
+    # self-consistency: identical vectors always share every bucket
+    twin = df.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    doubled = df.limit(1).select("vec_id", "embedding").unionByName(twin)
+    pairs = similarity.embedding_neardup_pairs(
+        doubled, threshold=0.999, n_planes=2, n_tables=4, dim=64
+    )
+    assert pairs.count() == 1
