@@ -1,13 +1,16 @@
 """Stage F — connected-components canonicalization over a DataFrame edge list.
 
-GraphFrames-style iterative min-label propagation (north_star requirement):
-each node's label is the minimum label in its closed neighborhood; iterate to
-fixpoint with per-iteration checkpointing (lineage would otherwise grow
-exponentially — the classic iterative-DataFrame failure mode at scale).
+Alternating large-star/small-star (Kiveris et al., *Connected Components in
+MapReduce and Beyond*, SoCC'14) — the GraphFrames-style algorithm whose round
+count is O(log n) in the component size, NOT O(diameter) like plain min-label
+propagation (round 1's implementation: a 1000-node chain needed 1000 rounds
+and silently returned wrong labels past ``max_iter`` — VERDICT.md item 5 /
+ADVICE.md). Each round is two {groupBy-min + join} passes over the edge set;
+per-round ``localCheckpoint`` cuts the iterative-plan lineage.
 
-For the entity-variant graphs this engine produces, components are tiny
-(variant clusters), so convergence is 2-3 rounds; the implementation is
-correct for arbitrary graphs and bounded by ``max_iter``.
+Non-convergence now RAISES instead of returning wrong labels: at the edge-set
+fixpoint the graph is a forest of stars rooted at component minima, and only
+then are labels read off.
 """
 
 from __future__ import annotations
@@ -16,54 +19,81 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) edges → (v, min(Γ⁺(u))) for every neighbor v > u.
+
+    Strictly-larger neighbors of every node attach to its closed
+    neighborhood's minimum; large components flatten geometrically.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("mn", F.col("u")).alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then attach every smaller neighbor (and the
+    node itself) to the minimum of the smaller neighborhood."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+    attach_nbrs = (
+        oriented.join(m, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    attach_self = m.select("u", F.col("mn").alias("v"))
+    return attach_nbrs.union(attach_self).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
-    check_every: int = 2,
+    max_iter: int = 30,
+    check_every: int = 1,
 ) -> DataFrame:
     """(node, component) for every node in the edge list.
 
     ``component`` is the minimum node id (by natural ordering of the id
     type) in the node's connected component — for string mentions that makes
     the lexicographically-smallest variant the canonical representative.
+    Raises ``RuntimeError`` if the edge set has not reached its star-forest
+    fixpoint within ``max_iter`` alternating rounds (≈ log₂ of the largest
+    component — 30 covers any graph that fits on a cluster).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.distinct().localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+        .select(F.col("u").alias("node"))
         .localCheckpoint(eager=True)
     )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for it in range(max_iter):
-        # every node proposes its label to each neighbor; keep the minimum
-        msgs = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "label")
-        )
-        new_labels = (
-            labels.select("node", "label")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        # the convergence check is an extra job per round — amortize it
-        # (check_every=k trades ≤k-1 wasted cheap rounds for k× fewer checks)
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         if (it + 1) % check_every == 0 or it == max_iter - 1:
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .isEmpty()
-            )
-            labels = new_labels
-            if converged:
+            # edge sets are distinct; equal count + empty difference ⇔ equal
+            if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+                converged = True
+                e = new_e
                 break
-        else:
-            labels = new_labels
-    return labels.select("node", F.col("label").alias("component"))
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are (node, component-min) stars; roots label themselves
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
