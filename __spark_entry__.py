@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    dedup, detect, linking, multimodal, output, similarity, slot_fill, textstats,
+    dedup, detect, linking, multimodal, nested, output, similarity, slot_fill,
+    textstats,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
@@ -193,6 +194,26 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("url", "width", "height", "n_channels", *cols)
 
 
+def q_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 argument-containment audit (reference test.py:7-27): every
+    canonical gold triple checked for token-bounded containment of both
+    args within one sentence of the extracted page text. Variant-rendered
+    org objects fail ('Acme Corporation' !∋ token 'Acme Corp')."""
+    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    en = pages.filter(F.col("lang") == "en").select("url", "text")
+    gold = corpus.gold_triples(spark, sf_dir, canonical=True)
+    audited = textstats.containment_audit(
+        gold.join(en, "url"),
+        args_col=F.array("subj", "obj"),
+        text_col="text",
+        seg_re="[.。\\n]",
+        boundary=True,
+    )
+    return audited.select(
+        "url", "pred", "subj", "obj", F.col("passed").cast("long").alias("passed")
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary aggregate (hash agg with map-side combine). Money is
     summed in exact integer cents so Spark/DuckDB agree bit-for-bit."""
@@ -296,6 +317,57 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k_val").alias("sum_k"),
             F.max("k_val").alias("max_k"),
         )
+    )
+
+
+def q_spo_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 DuIE nested-object flattening (dataset/duie.py:38-67): struct-typed
+    spo with object/object_type role maps → composed slot map with '[None]'
+    gap fill, exploded to scalar rows."""
+    ev = _read(spark, sf_dir, "events")
+    spo = F.struct(
+        F.col("event_type").alias("predicate"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("user"), F.col("user_id").cast("string")))
+        .alias("subject"),
+        F.lit("用户").alias("subject_type"),
+        F.create_map(
+            F.lit("@value"), F.concat(F.lit("ev"), F.col("event_id").cast("string")),
+            F.lit("detail"),
+            F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(F.col("event_type")),
+        ).alias("object"),
+        F.create_map(
+            F.lit("@value"), F.lit("事件"), F.lit("detail"), F.lit("类型")
+        ).alias("object_type"),
+    )
+    flat = nested.flatten_spo(ev.withColumn("spo", spo))
+    return flat.select(
+        "event_id", F.explode("assigned").alias("slot", "value")
+    )
+
+
+def q_perm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P7 permutation-expansion training-data generation
+    (dataset/duee.py:70-105, duie.py:69-104): all k! slot orders × prefix
+    positions over gold event tuples, deduped by (cond, text)."""
+    ge = corpus.gold_events(spark, sf_dir)
+    tuples = ge.groupBy("url", "etype").agg(
+        F.map_from_entries(F.collect_list(F.struct("role", "value"))).alias("assigned")
+    )
+    slots = None
+    from autoextraction_spark import schema as S  # noqa: PLC0415
+    for etype, ev_s in S.EVENTS.items():
+        arr = F.array(*[F.lit(r) for r in ev_s["roles"]])
+        slots = F.when(F.col("etype") == etype, arr) if slots is None else slots.when(
+            F.col("etype") == etype, arr
+        )
+    inp = tuples.select(
+        F.col("url").alias("text"), F.col("etype").alias("rel"),
+        slots.alias("slots"), "assigned",
+    )
+    out = nested.permutation_examples(inp)
+    return out.select(
+        "cond", F.col("text").alias("url"), F.array_join("labels", "|").alias("labels")
     )
 
 
@@ -407,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "containment_audit": q_containment_audit,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "host_counts": q_host_counts,
@@ -417,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "asof_join": q_asof_join,
         "json_flatten": q_json_flatten,
+        "spo_flatten": q_spo_flatten,
+        "perm_examples": q_perm_examples,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
         "cooccur_pairs": q_cooccur_pairs,
@@ -446,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.quality_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprint": oracle.fingerprint_sql(),
+        "containment_audit": oracle.containment_audit_sql(),
         "cosine_topk": oracle.cosine_topk_sql(k=5, n_queries=10),
         "ann_topk": oracle.ann_topk_sql(k=5, n_queries=10),
         "host_counts": oracle.host_counts_sql(),
@@ -523,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type
         """,
+        "spo_flatten": oracle.spo_flatten_sql(),
+        "perm_examples": oracle.perm_examples_sql(),
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 100)

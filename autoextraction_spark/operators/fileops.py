@@ -17,6 +17,14 @@ def load_csv(spark: SparkSession, path: str, sep: str = "\t", header: bool = Fal
     return spark.read.csv(path, sep=sep, header=header)
 
 
+def load_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """S2 whole-file JSON-array scan (dataset/webnlg.py:139-150): one
+    ``json.loads`` of the full file → multiLine JSON source. Note multiLine
+    files are NOT splittable — one task per file; fine for side tables,
+    wrong for corpora (use JSONL there, S1)."""
+    return spark.read.option("multiLine", True).json(path)
+
+
 def save_csv(df: DataFrame, path: str, sep: str = "\t") -> None:
     """SaveCSV (ljqpy.py:130-134)."""
     df.write.mode("overwrite").csv(path, sep=sep)

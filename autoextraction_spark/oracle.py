@@ -433,6 +433,89 @@ def image_features_sql() -> str:
 SELECT url, width, height, n_channels, {feats} FROM m"""
 
 
+def spo_flatten_sql() -> str:
+    """Expected P2 flatten output: the three composed slots per event row."""
+    return """SELECT event_id, '头实体-用户' AS slot,
+       CASE WHEN event_id % 7 = 0 THEN '[None]'
+            ELSE 'user' || CAST(user_id AS VARCHAR) END AS value
+FROM events
+UNION ALL
+SELECT event_id, '尾实体-事件' AS slot, 'ev' || CAST(event_id AS VARCHAR) AS value
+FROM events
+UNION ALL
+SELECT event_id, '尾实体-类型' AS slot,
+       CASE WHEN event_id % 5 = 0 THEN '[None]' ELSE event_type END AS value
+FROM events"""
+
+
+def perm_examples_sql() -> str:
+    """Expected P4+P7 output: permutation-expanded prefix examples over the
+    event tuples, deduped by (cond, url)."""
+    import itertools
+
+    surf = {"person": _person, "org": _org, "city": _city}
+    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
+    selects = []
+    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
+        roles = ev["roles"]
+        vals = {r: surf[t](x) for r, t, x in zip(roles, ev["types"], raw_exprs)}
+        gate = (
+            f"FROM docs WHERE lang = 'en' AND doc_id % 4 = 1 "
+            f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
+        )
+        for perm in itertools.permutations(range(len(roles))):
+            for pos in range(len(roles)):
+                cond = f"'{etype}；'"
+                for j in perm[:pos]:
+                    cond += f" || ' {roles[j]}：' || ({vals[roles[j]]}) || '；'"
+                cond += f" || ' {roles[perm[pos]]}：'"
+                selects.append(
+                    f"SELECT {URL_EXPR} AS url, {cond} AS cond, "
+                    f"({vals[roles[perm[pos]]]}) AS label {gate}"
+                )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""WITH {_DOCS_CTE},
+ex AS ({body})
+SELECT cond, url,
+       array_to_string(list_sort(list_distinct(list(label))), '|') AS labels
+FROM ex GROUP BY cond, url"""
+
+
+def containment_audit_sql() -> str:
+    """Expected P13 audit output over en canonical gold triples: a triple
+    passes iff some sentence token-contains both args — i.e. some fact
+    sentence renders exactly {subj, obj}, or some event sentence's surfaces
+    cover both (variant-rendered org objects fail: 'Acme Corporation' does
+    not token-contain 'Acme Corp')."""
+    surf = {"person": _person, "org": _org, "city": _city}
+    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
+    ev_selects = []
+    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
+        vs = [surf[t](r) for t, r in zip(ev["types"], raw_exprs)]
+        ev_selects.append(
+            f"SELECT {URL_EXPR} AS url, {vs[0]} AS v1, {vs[1]} AS v2, {vs[2]} AS v3 "
+            f"FROM docs WHERE lang = 'en' AND doc_id % 4 = 1 "
+            f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
+        )
+    ev_cte = " UNION ALL ".join(ev_selects)
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT {URL_EXPR} AS url, {_subj_expr()} AS s, {_obj_expr(False)} AS o
+      FROM facts WHERE lang = 'en'),
+g AS (SELECT DISTINCT {URL_EXPR} AS url, {_RELS}[rel_idx + 1] AS pred,
+             {_subj_expr()} AS subj, {_obj_expr(True)} AS obj
+      FROM facts WHERE lang = 'en'),
+ev AS ({ev_cte})
+SELECT g.url, g.pred, g.subj, g.obj,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM r WHERE r.url = g.url
+                AND (g.subj = r.s OR g.subj = r.o)
+                AND (g.obj = r.s OR g.obj = r.o))
+        OR EXISTS (SELECT 1 FROM ev e WHERE e.url = g.url
+                AND g.subj IN (e.v1, e.v2, e.v3)
+                AND g.obj IN (e.v1, e.v2, e.v3))
+       THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM g"""
+
+
 def metric_f1_perfect_sql() -> str:
     """MetricF1 row assuming the pipeline is exact: P = R = F1 = 1.0."""
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

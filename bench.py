@@ -50,12 +50,19 @@ def main() -> int:
         warm(F.col("id").cast("double"))
     ).count()
 
+    # min-of-2 per query: this VM exhibits wandering 10-20s whole-machine
+    # stalls (kernel sys-time storms, documented in BENCH/BASELINE.md); the
+    # min of two full passes is the standard protocol here — it measures the
+    # plan, not the stall lottery.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        rows[name] = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(passes):
+        for name in HEADLINE:
+            t0 = time.time()
+            rows[name] = qs[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     # throughput numbers for the scaling story
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -75,6 +82,7 @@ def main() -> int:
                 if kg_wall
                 else None,
                 "cpus": cpus,
+                "passes": passes,
             }
         )
     )

@@ -42,3 +42,12 @@ def test_run_sql(spark):
     spark.range(5).createOrReplaceTempView("t_fileops")
     got = fileops.run_sql(spark, "SELECT count(*) AS n FROM t_fileops").collect()[0].n
     assert got == 5
+
+
+def test_load_json_array(spark, tmp_path):
+    # S2 whole-file JSON array (dataset/webnlg.py:139-150)
+    p = tmp_path / "arr.json"
+    p.write_text('[{"text": "a", "n": 1}, {"text": "b", "n": 2}]')
+    from autoextraction_spark.operators.fileops import load_json_array
+    got = {(r.text, r.n) for r in load_json_array(spark, str(p)).collect()}
+    assert got == {("a", 1), ("b", 2)}

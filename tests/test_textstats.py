@@ -40,6 +40,38 @@ def test_lang_id_rule(spark):
         assert got[i] == expect, (i, got[i])
 
 
+def test_containment_audit_reference_semantics(spark):
+    # reference test.py:7-27: ALL args must appear in ONE newline-split
+    # segment; args split across segments fail
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Acme hired Bob in Denver\nfiller line", ["Acme", "Bob", "Denver"]),
+        (2, "Acme hired Bob\nin Denver", ["Acme", "Bob", "Denver"]),
+        (3, "no mention at all", ["Acme"]),
+        (4, "Acme Corporation is big", ["Acme Corp"]),  # substring: passes
+    ]
+    df = spark.createDataFrame(rows, "id int, text string, args array<string>")
+    got = {r.id: r.passed for r in textstats.containment_audit(df).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    # boundary mode: token-bounded containment distinguishes Corp/Corporation
+    gotb = {
+        r.id: r.passed
+        for r in textstats.containment_audit(df, boundary=True).collect()
+    }
+    assert gotb[1] is True and gotb[4] is False
+    # custom segment regex (sentence split)
+    s = spark.createDataFrame(
+        [(1, "Alice Stone works for Acme Corp. markets were calm.")],
+        "id int, text string",
+    )
+    out = textstats.containment_audit(
+        s, args_col=F.array(F.lit("Alice Stone"), F.lit("Acme Corp")),
+        seg_re="[.]", boundary=True,
+    ).collect()[0]
+    assert out.passed is True
+
+
 def test_fingerprint(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],
