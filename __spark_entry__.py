@@ -76,6 +76,22 @@ def q_kg_metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_slot_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 per-relation accounting F1 (DQN.py:277-427): rendered pipeline
+    triples scored against CANONICAL gold — variant-rendered org objects
+    count as tn (unmatched completed extractions), so per-pred precision
+    dips below 1.0 exactly where linking is needed."""
+    pred = _pipeline_triples(spark, sf_dir)
+    gold = corpus.gold_triples(spark, sf_dir, canonical=True)
+    m = output.slot_accounting_f1(pred, gold, group="pred")
+    return m.select(
+        "pred", "tp", "tn", "tot",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_kg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-slot (3-role) event extraction — DuEE-style ordered filling
     (P3 semantics), reified as (url, etype, role, value) rows."""
@@ -467,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_detect": q_kg_detect,
         "kg_metric_f1": q_kg_metric_f1,
+        "kg_slot_f1": q_kg_slot_f1,
         "kg_events": q_kg_events,
         "kg_triples_canonical": q_kg_triples_canonical,
         "kg_linking": q_kg_linking,
@@ -507,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": oracle.gold_triples_sql(canonical=False),
         "kg_detect": oracle.detect_sql(),
         "kg_metric_f1": oracle.metric_f1_perfect_sql(),
+        "kg_slot_f1": oracle.slot_f1_sql(),
         "kg_events": oracle.events_sql(),
         "kg_triples_canonical": oracle.gold_triples_sql(canonical=True),
         "kg_linking": oracle.linking_map_sql(),

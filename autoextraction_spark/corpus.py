@@ -85,11 +85,15 @@ def web_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame
     # splits and needs no such step.
     docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
     if replicate > 1:
+        # shift derives from the DATA (max id + 1), so replicas can never
+        # collide with base ids however large the skeleton grows (ADVICE.md);
+        # one tiny agg job, only on replicated (scaling-bench) runs
+        shift = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
         docs = docs.select(
             F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("r"),
             "doc_id",
             "lang",
-        ).select((F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"), "lang")
+        ).select((F.col("doc_id") + F.col("r") * shift).alias("doc_id"), "lang")
     return docs.mapInPandas(_gen, schema=WEB_PAGES_SCHEMA)
 
 

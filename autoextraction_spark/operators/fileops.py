@@ -8,8 +8,9 @@ real Spark SQL — no custom parser.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def load_csv(spark: SparkSession, path: str, sep: str = "\t", header: bool = False) -> DataFrame:
@@ -38,17 +39,27 @@ def merge_files(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _with_rank(df: DataFrame, order: str) -> DataFrame:
+    """Global 0-based rank via sort + ``zipWithIndex`` — the sort is a
+    parallel range-partitioned exchange and the index assignment is
+    per-partition, unlike a no-partition ``Window.orderBy`` which funnels
+    the whole dataset through ONE task (the round-1 anti-pattern,
+    VERDICT.md item 7)."""
+    sorted_df = df.orderBy(order)
+    schema = T.StructType(
+        list(sorted_df.schema.fields) + [T.StructField("_rn", T.LongType(), False)]
+    )
+    rdd = sorted_df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return df.sparkSession.createDataFrame(rdd, schema)
+
+
 def zip_join(a: DataFrame, b: DataFrame, order_a: str, order_b: str) -> DataFrame:
     """JoinFiles (ljqpy.py:98-103): zip two datasets row-by-row.
 
     Row order must be DEFINED in a distributed engine — callers supply the
     ordering columns; rows pair up by rank.
     """
-    wa = Window.orderBy(order_a)
-    wb = Window.orderBy(order_b)
-    ra = a.withColumn("_rn", F.row_number().over(wa))
-    rb = b.withColumn("_rn", F.row_number().over(wb))
-    return ra.join(rb, "_rn", "inner").drop("_rn")
+    return _with_rank(a, order_a).join(_with_rank(b, order_b), "_rn", "inner").drop("_rn")
 
 
 def remove_dup_rows(df: DataFrame) -> DataFrame:
@@ -61,9 +72,20 @@ def sort_rows(df: DataFrame, cols: list[str], ascending: bool = True) -> DataFra
     return df.orderBy(*[F.asc(c) if ascending else F.desc(c) for c in cols])
 
 
-def sample_rows(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
-    """SampleRows (ljqpy.py:224-230): deterministic n-row sample."""
-    return df.orderBy(F.rand(seed)).limit(n)
+def sample_rows(
+    df: DataFrame, n: int, key_cols: list[str] | None = None, seed: int = 42
+) -> DataFrame:
+    """SampleRows (ljqpy.py:224-230): deterministic n-row sample.
+
+    Orders by a hash of ROW CONTENT (md5 over ``key_cols``, default all
+    columns), not ``rand(seed)`` — rand is seeded per partition, so the same
+    call returned different rows under different layouts (ADVICE.md).
+    ``orderBy + limit`` compiles to TakeOrderedAndProject: per-partition
+    top-n then a driver merge of n·partitions rows, never a global sort.
+    """
+    keys = [F.col(c).cast("string") for c in (key_cols or df.columns)]
+    h = F.md5(F.concat_ws("\x1f", *keys, F.lit(str(seed))))
+    return df.orderBy(h).limit(n)
 
 
 def set_product(a: DataFrame, b: DataFrame) -> DataFrame:

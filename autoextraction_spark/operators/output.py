@@ -127,6 +127,44 @@ def triple_text(triples: DataFrame) -> DataFrame:
     )
 
 
+def slot_accounting_f1(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: list[str] | None = None,
+    group: str = "pred",
+) -> DataFrame:
+    """O6 per-dataset accounting F1 (DQN.py:277-427, final P/R/F1 :421-427).
+
+    The reference walks ``env.spo_list``: ``tot`` += gold tuples per episode
+    root; for each COMPLETED cond without '[None]', ``tp`` += matched gold
+    tuples, else ``tn`` += 1 (the reference's name for an unmatched completed
+    extraction — really a false positive). precision = tp/(tp+tn),
+    recall = tp/tot. Grouped by ``group`` (per relation/dataset), computed
+    as ONE full-outer-join + one aggregation.
+    """
+    keys = keys or ["url", "pred", "subj", "obj"]
+    p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
+    j = p.join(g, on=keys, how="full_outer")
+    has_p, has_g = F.col("_p").isNotNull(), F.col("_g").isNotNull()
+    grouped = j.groupBy(group).agg(
+        F.count(F.when(has_p & has_g, 1)).alias("tp"),
+        F.count(F.when(has_p & ~has_g, 1)).alias("tn"),
+        F.count("_g").alias("tot"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("tn"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tot"), F.lit(1))
+    return grouped.select(
+        group,
+        "tp",
+        "tn",
+        "tot",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-9))).alias("f1"),
+    )
+
+
 def metric_f1(pred: DataFrame, gold: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """O5 ``MetricF1`` (predict.py:54-79) as ONE aggregate job.
 

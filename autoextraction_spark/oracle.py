@@ -481,6 +481,32 @@ SELECT cond, url,
 FROM ex GROUP BY cond, url"""
 
 
+def slot_f1_sql() -> str:
+    """Expected O6 accounting: rendered pipeline triples vs canonical gold,
+    grouped per pred — tn counts variant-rendered org objects."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT DISTINCT {URL_EXPR} AS url, {_RELS}[rel_idx + 1] AS pred,
+             {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+g AS (SELECT DISTINCT {URL_EXPR} AS url, {_RELS}[rel_idx + 1] AS pred,
+             {_subj_expr()} AS subj, {_obj_expr(True)} AS obj FROM facts),
+rp AS (SELECT pred, count(*) AS np FROM r GROUP BY pred),
+gp AS (SELECT pred, count(*) AS tot FROM g GROUP BY pred),
+tpp AS (SELECT r.pred AS pred, count(*) AS tp
+        FROM r JOIN g USING (url, pred, subj, obj) GROUP BY r.pred),
+acc AS (SELECT gp.pred, coalesce(tpp.tp, 0) AS tp,
+               rp.np - coalesce(tpp.tp, 0) AS tn, gp.tot
+        FROM gp LEFT JOIN rp USING (pred) LEFT JOIN tpp USING (pred)),
+pr AS (SELECT pred, tp, tn, tot,
+              tp * 1.0 / greatest(tp + tn, 1) AS p,
+              tp * 1.0 / greatest(tot, 1) AS rec
+       FROM acc)
+SELECT pred, CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+       CAST(tot AS BIGINT) AS tot,
+       round(p, 6) AS precision, round(rec, 6) AS recall,
+       round(2.0 * p * rec / greatest(p + rec, 0.000000001), 6) AS f1
+FROM pr"""
+
+
 def containment_audit_sql() -> str:
     """Expected P13 audit output over en canonical gold triples: a triple
     passes iff some sentence token-contains both args — i.e. some fact

@@ -17,6 +17,7 @@ used before any per-host grouped stage: salt → partial agg → final agg.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -66,16 +67,33 @@ class KgPipeline:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.workdir, f"manifest_{stage}.json")
 
-    def is_done(self, stage: str) -> bool:
-        return (
+    def _fingerprint(self, stage: str, upstream_fp: str) -> str:
+        """Config fingerprint: stage + sf_dir + policy + the UPSTREAM stage's
+        fingerprint, so a config change invalidates everything downstream."""
+        return hashlib.md5(
+            f"{stage}|{self.sf_dir}|{self.policy}|{upstream_fp}".encode()
+        ).hexdigest()
+
+    def is_done(self, stage: str, fingerprint: str | None = None) -> bool:
+        """Stage is resumable iff manifest + _SUCCESS exist AND the recorded
+        fingerprint matches the current config — resume against a workdir
+        built from a different corpus/policy rebuilds instead of silently
+        returning stale outputs (ADVICE.md)."""
+        if not (
             os.path.exists(self._manifest_path(stage))
             and os.path.exists(os.path.join(self._dir(stage), "_SUCCESS"))
-        )
+        ):
+            return False
+        if fingerprint is None:
+            return True
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f).get("fingerprint") == fingerprint
 
     def _read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._dir(stage))
 
-    def _write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+    def _write(self, stage: str, df: DataFrame, fingerprint: str = "",
+               partition_by: list[str] | None = None) -> DataFrame:
         t0 = time.time()
         lineage = df.withColumn("_stage", F.lit(stage)).withColumn(
             "_part_id", F.spark_partition_id()
@@ -94,31 +112,38 @@ class KgPipeline:
             "wall_sec": round(time.time() - t0, 2),
             "sf_dir": self.sf_dir,
             "policy": self.policy,
+            "fingerprint": fingerprint,
         }
         with open(self._manifest_path(stage), "w") as f:
             json.dump(manifest, f)
         return out
 
-    def _stage(self, name: str, build, resume: bool, partition_by=None) -> DataFrame:
-        if resume and self.is_done(name):
+    def _stage(self, name: str, build, resume: bool, fp: str, partition_by=None) -> DataFrame:
+        if resume and self.is_done(name, fp):
             return self._read(name)
-        return self._write(name, build(), partition_by)
+        return self._write(name, build(), fp, partition_by)
 
     # -- stages ---------------------------------------------------------------
     def run(self, resume: bool = True) -> DataFrame:
+        fp = self._fingerprint("pages", "")
         pages = self._stage(
-            "pages", lambda: corpus.web_pages(self.spark, self.sf_dir), resume
+            "pages", lambda: corpus.web_pages(self.spark, self.sf_dir), resume, fp
         )
+        fp = self._fingerprint("text", fp)
         txt = self._stage(
             "text",
             lambda: with_extracted_text(pages.drop("_stage", "_part_id")),
             resume,
+            fp,
         )
+        fp = self._fingerprint("detected", fp)
         det = self._stage(
             "detected",
             lambda: detect.detect_relations(txt.drop("_stage", "_part_id")),
             resume,
+            fp,
         )
+        fp = self._fingerprint("triples", fp)
         triples = self._stage(
             "triples",
             lambda: output.to_triples(
@@ -131,13 +156,16 @@ class KgPipeline:
                 )
             ),
             resume,
+            fp,
         )
+        map_fp = self._fingerprint("linking_map", fp)
         mapping = self._stage(
             "linking_map",
             lambda: linking.canonical_mapping(
                 linking.mention_vocab(triples.drop("_stage", "_part_id"))
             ),
             resume,
+            map_fp,
         )
         canonical = self._stage(
             "canonical",
@@ -146,6 +174,7 @@ class KgPipeline:
                 mapping.drop("_stage", "_part_id"),
             ),
             resume,
+            self._fingerprint("canonical", map_fp),
             partition_by=["pred"],  # stage G: query-pruned triple layout
         )
         return canonical

@@ -12,8 +12,9 @@ Design rules at scale:
 - stateless stages (A, B) compose directly onto the stream;
 - the iterative fork loop (stage C) runs inside ``foreachBatch`` — iteration
   is per-micro-batch, never cross-batch state;
-- exactly-once = streaming checkpointLocation + idempotent append (the
-  deterministic pipeline emits identical triples for identical input files).
+- exactly-once = streaming checkpointLocation + an IDEMPOTENT epoch sink:
+  each micro-batch dynamically overwrites its own ``_epoch=<id>`` partition,
+  so a retried epoch replaces rather than duplicates its output.
 """
 
 from __future__ import annotations
@@ -45,9 +46,16 @@ def _process_batch(out_dir: str):
         det = detect.detect_relations(txt)
         completed = slot_fill.ordered_slot_fill(det, checkpoint=False, carry_text=False)
         triples = output.to_triples(output.completed_filter(completed))
+        # idempotent per epoch: foreachBatch re-runs a failed epoch with the
+        # SAME epoch_id, and a blind append would re-append rows the failed
+        # attempt already wrote (ADVICE.md). Dynamic partition overwrite on
+        # _epoch makes the retry REPLACE its own partition — this plus the
+        # streaming checkpoint is what makes the sink exactly-once.
         (
             triples.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
             .parquet(out_dir)
         )
 

@@ -45,6 +45,26 @@ def test_resume_skips_completed_stages(spark, sf_dir, tmp_path):
     assert os.path.exists(p2._manifest_path("canonical"))
 
 
+def test_resume_rebuilds_on_config_change(spark, sf_dir, tmp_path):
+    # a workdir built under one policy must NOT serve stale stage outputs to
+    # a resume under another policy (fingerprint mismatch -> rebuild)
+    wd = str(tmp_path / "run3")
+    KgPipeline(spark, sf_dir, wd, policy="rl").run(resume=False)
+    p_seq = KgPipeline(spark, sf_dir, wd, policy="sequence")
+    fp = p_seq._fingerprint("pages", "")
+    assert not p_seq.is_done("pages", fp)  # recorded fingerprint differs
+    before = os.path.getmtime(p_seq._manifest_path("triples"))
+    p_seq.run(resume=True)
+    assert os.path.getmtime(p_seq._manifest_path("triples")) > before
+    # sequence policy misses alt-phrased facts: strictly fewer triples
+    m = {x["stage"]: x for x in p_seq.metrics()}
+    assert m["triples"]["fingerprint"] == p_seq._fingerprint(
+        "triples", p_seq._fingerprint(
+            "detected", p_seq._fingerprint("text", p_seq._fingerprint("pages", ""))
+        )
+    )
+
+
 def test_salted_host_counts_match_direct(spark, sf_dir):
     pages = corpus.web_pages(spark, sf_dir)
     salted = {r.host: r.n_pages for r in salted_host_counts(pages, 16).collect()}

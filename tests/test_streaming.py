@@ -23,7 +23,12 @@ def test_incremental_ingest_matches_batch(spark, sf_dir, tmp_path):
     q2 = ingest.stream_kg_pipeline(spark, in_dir, out_dir, ckpt)
     q2.awaitTermination(300)
 
-    got = spark.read.parquet(out_dir).select("url", "pred", "subj", "obj").distinct()
+    all_rows = spark.read.parquet(out_dir).select("url", "pred", "subj", "obj")
+    # exactly-once: the epoch-partition-overwrite sink must leave ZERO
+    # duplicate triples (no .distinct() crutch — each page lands in exactly
+    # one epoch and to_triples dedups within a batch)
+    assert all_rows.count() == all_rows.distinct().count()
+    got = all_rows.distinct()
     gold = corpus.gold_triples(spark, sf_dir)
     assert got.exceptAll(gold).isEmpty()
     assert gold.exceptAll(got).isEmpty()
