@@ -41,7 +41,7 @@ def build_html(doc_id: int, lang: str) -> str:
         if (doc_id + i) % 3 == 0:
             parts.append(f"<p>{S.FILLERS[(doc_id * 5 + i) % len(S.FILLERS)]}</p>")
     if S.has_event(doc_id, lang):
-        parts.append(f"<p>{S.event_sentence(doc_id)}</p>")
+        parts.append(f"<p>{S.event_sentence(doc_id, lang)}</p>")
     parts.append('<script>var tracker = "t0";</script></body></html>')
     return "".join(parts)
 
@@ -127,9 +127,10 @@ def gold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d, src_lang in zip(pdf["doc_id"].astype("int64"), pdf["lang"]):
                 d = int(d)
-                if not S.has_event(d, S.doc_lang(src_lang)):
+                lang = S.doc_lang(src_lang)
+                if not S.has_event(d, lang):
                     continue
-                etype, vals = S.event_surfaces(d)
+                etype, vals = S.event_surfaces(d, lang)
                 for role, v in zip(S.EVENTS[etype]["roles"], vals):
                     rows.append((S.page_url(d), etype, role, v))
             yield pd.DataFrame(

@@ -34,7 +34,7 @@ def relation_anchors(spark: SparkSession) -> DataFrame:
         zh = S.ZH_TEMPLATES[rel]
         rows.append(("zh", rel, zh[0][0], None))
     for etype, ev in S.EVENTS.items():
-        rows.append(("en", etype, ev["anchor"], None))
+        rows.append((ev["lang"], etype, ev["anchor"], None))
     return spark.createDataFrame(
         rows, "lang string, rel string, primary_anchor string, alt_anchor string"
     )

@@ -109,12 +109,43 @@ SELECT DISTINCT {URL_EXPR} AS url,
 FROM facts"""
 
 
+_ZH_SURF = {
+    "person": lambda raw: f"{_ZH_P}[({raw}) % 12 + 1]",
+    "org": lambda raw: f"{_ZH_O}[({raw}) % 12 + 1]",
+    "city": lambda raw: f"{_ZH_C}[({raw}) % 12 + 1]",
+}
+def _event_rows() -> list[tuple[str, str, dict, str]]:
+    """(etype, gate_sql, {role: value_sql}, lang) per event type — the
+    single place that knows the per-language event parity math."""
+    surf_en = {"person": _person, "org": _org, "city": _city}
+    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
+    out = []
+    for lang, names in S.EVENT_NAMES_BY_LANG.items():
+        for ei, etype in enumerate(names):
+            ev = S.EVENTS[etype]
+            surf = surf_en if lang == "en" else _ZH_SURF
+            vals = {
+                r: surf[t](x)
+                for r, t, x in zip(ev["roles"], ev["types"], raw_exprs)
+            }
+            gate = (
+                f"lang = '{lang}' AND doc_id % 4 = 1 "
+                f"AND ((doc_id - 1) // 4) % {len(names)} = {ei}"
+            )
+            out.append((etype, gate, vals, lang))
+    return out
+
+
 def detect_sql() -> str:
     """Expected output of the relation-detection gate (url, rel, rc_score)."""
     alt_cond = (
         f"lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)}"
     )
-    ev_names = sql_str_list(S.EVENT_NAMES)
+    ev_selects = " UNION ALL ".join(
+        f"SELECT {URL_EXPR} AS url, '{etype}' AS rel, "
+        f"round(1.0/(1.0 + exp(-2.5)), 6) AS rc_score FROM docs WHERE {gate}"
+        for etype, gate, _, _ in _event_rows()
+    )
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
 gated AS (
   SELECT doc_id, lang, rel_idx,
@@ -126,24 +157,18 @@ SELECT {URL_EXPR} AS url,
        round(1.0/(1.0 + exp(-(CASE WHEN has_primary = 1 THEN 2.5 ELSE 1.5 END))), 6) AS rc_score
 FROM gated
 UNION ALL
-SELECT {URL_EXPR} AS url,
-       {ev_names}[CAST(((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} AS INT) + 1] AS rel,
-       round(1.0/(1.0 + exp(-2.5)), 6) AS rc_score
-FROM docs WHERE lang = 'en' AND doc_id % 4 = 1"""
+{ev_selects}"""
 
 
 def events_sql() -> str:
-    """Expected (url, etype, role, value) of the multi-slot event pipeline."""
-    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
-    surf = {"person": _person, "org": _org, "city": _city}
+    """Expected (url, etype, role, value) of the multi-slot event pipeline
+    (en AND zh event sets)."""
     selects = []
-    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
-        for role, typ, raw in zip(ev["roles"], ev["types"], raw_exprs):
+    for etype, gate, vals, _ in _event_rows():
+        for role, val in vals.items():
             selects.append(
                 f"SELECT {URL_EXPR} AS url, '{etype}' AS etype, '{role}' AS role, "
-                f"{surf[typ](raw)} AS value FROM docs "
-                f"WHERE lang = 'en' AND doc_id % 4 = 1 "
-                f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
+                f"{val} AS value FROM docs WHERE {gate}"
             )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_DOCS_CTE}\n{body}"
@@ -450,19 +475,12 @@ FROM events"""
 
 def perm_examples_sql() -> str:
     """Expected P4+P7 output: permutation-expanded prefix examples over the
-    event tuples, deduped by (cond, url)."""
+    event tuples (en and zh), deduped by (cond, url)."""
     import itertools
 
-    surf = {"person": _person, "org": _org, "city": _city}
-    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
     selects = []
-    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
-        roles = ev["roles"]
-        vals = {r: surf[t](x) for r, t, x in zip(roles, ev["types"], raw_exprs)}
-        gate = (
-            f"FROM docs WHERE lang = 'en' AND doc_id % 4 = 1 "
-            f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
-        )
+    for etype, gate, vals, _ in _event_rows():
+        roles = list(S.EVENTS[etype]["roles"])
         for perm in itertools.permutations(range(len(roles))):
             for pos in range(len(roles)):
                 cond = f"'{etype}；'"
@@ -471,7 +489,7 @@ def perm_examples_sql() -> str:
                 cond += f" || ' {roles[perm[pos]]}：'"
                 selects.append(
                     f"SELECT {URL_EXPR} AS url, {cond} AS cond, "
-                    f"({vals[roles[perm[pos]]]}) AS label {gate}"
+                    f"({vals[roles[perm[pos]]]}) AS label FROM docs WHERE {gate}"
                 )
     body = "\nUNION ALL\n".join(selects)
     return f"""WITH {_DOCS_CTE},
@@ -513,15 +531,14 @@ def containment_audit_sql() -> str:
     sentence renders exactly {subj, obj}, or some event sentence's surfaces
     cover both (variant-rendered org objects fail: 'Acme Corporation' does
     not token-contain 'Acme Corp')."""
-    surf = {"person": _person, "org": _org, "city": _city}
-    raw_exprs = ["doc_id*17 + 1", "doc_id*19 + 2", "doc_id*23 + 3"]
     ev_selects = []
-    for ei, (etype, ev) in enumerate(S.EVENTS.items()):
-        vs = [surf[t](r) for t, r in zip(ev["types"], raw_exprs)]
+    for etype, gate, vals, lang in _event_rows():
+        if lang != "en":  # the audit query is en-scoped
+            continue
+        vs = [vals[r] for r in S.EVENTS[etype]["roles"]]
         ev_selects.append(
             f"SELECT {URL_EXPR} AS url, {vs[0]} AS v1, {vs[1]} AS v2, {vs[2]} AS v3 "
-            f"FROM docs WHERE lang = 'en' AND doc_id % 4 = 1 "
-            f"AND ((doc_id - 1) // 4) % {len(S.EVENT_NAMES)} = {ei}"
+            f"FROM docs WHERE {gate}"
         )
     ev_cte = " UNION ALL ".join(ev_selects)
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

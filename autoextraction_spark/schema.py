@@ -90,45 +90,69 @@ NONE_SENTINEL = "[None]"
 # DuEE-style multi-slot event schemas (dataset/duee.py:38-64 semantics):
 # one template per event type; role i is extracted by substituting assigned
 # roles as literals and grouping the requested one. parts has len(roles)+1
-# segments: parts[0] ROLE0 parts[1] ROLE1 parts[2] ROLE2 parts[3]
+# segments: parts[0] ROLE0 parts[1] ROLE1 parts[2] ROLE2 parts[3].
+# zh event types mirror the reference's DuEE (Chinese) coverage — events are
+# NOT en-only (round-1 gap, VERDICT.md item 4).
 EVENTS: dict[str, dict] = {
     "hired": {
         "roles": ["employer", "employee", "city"],
         "types": ["org", "person", "city"],
         "parts": ["", " hired ", " in ", "."],
         "anchor": " hired ",
+        "lang": "en",
     },
     "merger": {
         "roles": ["acquirer", "target", "city"],
         "types": ["org", "org", "city"],
         "parts": ["", " merged with ", " at ", "."],
         "anchor": " merged with ",
+        "lang": "en",
+    },
+    # zh parts must not contain any ZH_TEMPLATES connector as a substring
+    # ('位于' would plant false based_in matches) — guarded by test_schema
+    "聘用": {
+        "roles": ["雇主", "雇员", "城市"],
+        "types": ["org", "person", "city"],
+        "parts": ["", "聘用了", "，地点为", "。"],
+        "anchor": "聘用了",
+        "lang": "zh",
+    },
+    "并购": {
+        "roles": ["收购方", "被收购方", "城市"],
+        "types": ["org", "org", "city"],
+        "parts": ["", "并购了", "，交易城市为", "。"],
+        "anchor": "并购了",
+        "lang": "zh",
     },
 }
 EVENT_NAMES = list(EVENTS)
+EVENT_NAMES_BY_LANG = {
+    lg: [e for e, ev in EVENTS.items() if ev["lang"] == lg] for lg in ("en", "zh")
+}
 
 
 def has_event(doc_id: int, lang: str) -> bool:
-    return lang == "en" and doc_id % 4 == 1
+    return doc_id % 4 == 1
 
 
-def event_params(doc_id: int) -> tuple[str, list[int]]:
+def event_params(doc_id: int, lang: str = "en") -> tuple[str, list[int]]:
     # (doc_id-1)//4 alternates parity across event docs (doc_id%4==1, so
     # doc_id itself is always odd — a modulus of doc_id would pin one type)
-    etype = EVENT_NAMES[((doc_id - 1) // 4) % len(EVENT_NAMES)]
+    names = EVENT_NAMES_BY_LANG[lang]
+    etype = names[((doc_id - 1) // 4) % len(names)]
     raws = [doc_id * 17 + 1, doc_id * 19 + 2, doc_id * 23 + 3]
     return etype, raws
 
 
-def event_surfaces(doc_id: int) -> tuple[str, list[str]]:
-    etype, raws = event_params(doc_id)
+def event_surfaces(doc_id: int, lang: str = "en") -> tuple[str, list[str]]:
+    etype, raws = event_params(doc_id, lang)
     ev = EVENTS[etype]
-    vals = [surface("en", t, r) for t, r in zip(ev["types"], raws)]
+    vals = [surface(lang, t, r) for t, r in zip(ev["types"], raws)]
     return etype, vals
 
 
-def event_sentence(doc_id: int) -> str:
-    etype, vals = event_surfaces(doc_id)
+def event_sentence(doc_id: int, lang: str = "en") -> str:
+    etype, vals = event_surfaces(doc_id, lang)
     parts = EVENTS[etype]["parts"]
     out = parts[0]
     for v, p in zip(vals, parts[1:]):

@@ -77,8 +77,10 @@ def _matches(
 @lru_cache(maxsize=2048)
 def _event_pattern(etype: str, assigned_key: tuple, want_role: str):
     """Regex for extracting ``want_role`` of event ``etype`` given assigned
-    roles substituted as literals. Returns (pattern, group_index)."""
+    roles substituted as literals. Returns (pattern, group_index). The
+    entity class follows the event's language (zh events use the CJK run)."""
     ev = S.EVENTS[etype]
+    ent = ZH_ENT if ev["lang"] == "zh" else EN_ENT
     assigned = dict(assigned_key)
     segs = [re.escape(ev["parts"][0])]
     group_idx, seen_groups = 0, 0
@@ -89,7 +91,7 @@ def _event_pattern(etype: str, assigned_key: tuple, want_role: str):
             seen_groups += 1
             if role == want_role:
                 group_idx = seen_groups
-            segs.append(f"({EN_ENT})")
+            segs.append(f"({ent})")
         segs.append(re.escape(part))
     return re.compile("".join(segs)), group_idx
 

@@ -38,6 +38,30 @@ def test_variant_org_is_linkable():
     assert found, "corpus must plant org-name variants for entity linking"
 
 
+def test_event_parts_avoid_relation_connectors():
+    # an event part containing a relation connector would plant false
+    # relation matches in event sentences (e.g. '…位于' would fire based_in)
+    for etype, ev in S.EVENTS.items():
+        templates = S.ZH_TEMPLATES if ev["lang"] == "zh" else S.EN_TEMPLATES
+        connectors = [c for t in templates.values() for c, _ in t]
+        for part in ev["parts"]:
+            for conn in connectors:
+                assert conn.strip() not in part, (etype, part, conn)
+        # and event anchors must not appear in relation templates
+        for conn in connectors:
+            assert ev["anchor"].strip() not in conn, (etype, conn)
+
+
+def test_zh_events_exist():
+    assert S.EVENT_NAMES_BY_LANG["zh"], "events must not be en-only"
+    assert S.has_event(1, "zh") and S.has_event(1, "en")
+    etype, vals = S.event_surfaces(1, "zh")
+    assert S.EVENTS[etype]["lang"] == "zh"
+    assert all(any("一" <= ch <= "鿿" for ch in v) for v in vals)
+    sent = S.event_sentence(1, "zh")
+    assert all(v in sent for v in vals)
+
+
 def test_no_entity_is_substring_ambiguous():
     # 'X Corp' must not be a prefix-token collision with a different org base
     bases = set(S.ORG_BASES)
