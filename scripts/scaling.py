@@ -34,7 +34,7 @@ def job():
     pages = corpus.web_pages(spark, sf_dir, replicate=replicate)
     txt = with_extracted_text(pages)
     det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det)
+    completed = slot_fill.ordered_slot_fill(det, carry_text=False)
     return output.to_triples(output.completed_filter(completed)).count()
 
 # Untimed warm-up run: spawning the python-worker pool at high parallelism is
