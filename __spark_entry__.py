@@ -387,6 +387,22 @@ def q_perm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 prompt-budget truncation (duee_fin.py:92-94): drop trailing cond
+    segments until token(cond)+token(text)+3 fits the budget."""
+    ev = _read(spark, sf_dir, "events")
+    m = F.get_json_object("props", "$.k").cast("int") % 40
+    df = ev.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit("；arg："),
+            F.repeat(F.lit("tok "), m), F.lit("；next："),
+        ).alias("cond"),
+        F.repeat(F.lit("w "), 30).alias("text"),
+    )
+    return nested.truncate_cond(df, budget=50).select("event_id", "cond_trunc")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 frequency vocab (ljqpy.py:232-247): token counts, cutoff, dense id."""
     docs = _read(spark, sf_dir, "documents")
@@ -508,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "json_flatten": q_json_flatten,
         "spo_flatten": q_spo_flatten,
+        "budget_truncate": q_budget_truncate,
         "perm_examples": q_perm_examples,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
@@ -619,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spo_flatten": oracle.spo_flatten_sql(),
         "perm_examples": oracle.perm_examples_sql(),
+        "budget_truncate": oracle.budget_truncate_sql(budget=50),
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 100)

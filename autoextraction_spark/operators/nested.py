@@ -72,6 +72,42 @@ def spo_slot_schema(spo_col: str = "spo") -> Column:
     return F.concat(head, tails)
 
 
+def truncate_cond(
+    df: DataFrame,
+    cond_col: str = "cond",
+    text_col: str = "text",
+    budget: int = 512,
+    out_col: str = "cond_trunc",
+) -> DataFrame:
+    """P6 prompt-budget truncation (dataset/duee_fin.py:92-94): drop trailing
+    '；'-segments of cond while token_len(cond) + token_len(text) + 3 >
+    budget. Dropping from the end one-at-a-time ≡ keeping the LARGEST prefix
+    that fits (token counts are monotone in prefix length), so this is a
+    pure column expression — no loop, no UDF.
+
+    Token counting uses the BPE-ish regexp (textstats.BPE_TOKEN_RE) as the
+    deterministic stand-in for the reference's HF tokenizer; with the real
+    tokenizer unavailable in this environment, byte-compat holds for the
+    truncation RULE, not the token counts. Floor: the first segment (the
+    relation/event type) is always kept, where the reference would truncate
+    into the empty string on pathological budgets.
+    """
+    from .textstats import BPE_TOKEN_RE
+
+    def toks(c: Column) -> Column:
+        return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+    text_len = toks(F.col(text_col))
+    segs = F.split(F.col(cond_col), "；")
+    fits = F.filter(
+        F.sequence(F.lit(1), F.size(segs)),
+        lambda k: toks(F.array_join(F.slice(segs, 1, k), "；")) + text_len + 3
+        <= F.lit(budget),
+    )
+    k_best = F.coalesce(F.array_max(fits), F.lit(1))
+    return df.withColumn(out_col, F.array_join(F.slice(segs, 1, k_best), "；"))
+
+
 def _sampled_order(k: int, sample_idx: int, seed: str) -> list[int]:
     """Deterministic pseudo-random order: sort slot indices by md5 — the
     reproducible stand-in for the reference's random.shuffle."""

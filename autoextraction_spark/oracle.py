@@ -473,6 +473,31 @@ SELECT event_id, '尾实体-类型' AS slot,
 FROM events"""
 
 
+def budget_truncate_sql(budget: int = 50) -> str:
+    """Expected P6 output: largest cond prefix (by '；' segments, floor 1)
+    whose token count + text tokens + 3 fits the budget."""
+    from .operators.textstats import BPE_TOKEN_RE
+
+    re = BPE_TOKEN_RE
+    return f"""WITH base AS (
+  SELECT event_id,
+         event_type || '；arg：'
+           || repeat('tok ', CAST(json_extract(props, '$.k') AS INT) % 40)
+           || '；next：' AS cond,
+         repeat('w ', 30) AS text
+  FROM events
+),
+segs AS (SELECT event_id, cond, str_split(cond, '；') AS s,
+                len(regexp_extract_all(text, '{re}')) AS text_len
+         FROM base),
+pick AS (SELECT event_id, s,
+                coalesce(list_max(list_filter(range(1, len(s) + 1),
+                  k -> len(regexp_extract_all(array_to_string(s[1:k], '；'), '{re}'))
+                       + text_len + 3 <= {budget})), 1) AS k_best
+         FROM segs)
+SELECT event_id, array_to_string(s[1:k_best], '；') AS cond_trunc FROM pick"""
+
+
 def perm_examples_sql() -> str:
     """Expected P4+P7 output: permutation-expanded prefix examples over the
     event tuples (en and zh), deduped by (cond, url)."""

@@ -75,6 +75,39 @@ def test_permutation_examples_grammar_and_dedup(spark):
     }
 
 
+def test_truncate_cond_matches_reference_loop(spark):
+    # behavioral parity with duee_fin.py:92-94's while-loop (regex tokens
+    # standing in for the HF tokenizer)
+    import re
+
+    from autoextraction_spark.operators.textstats import BPE_TOKEN_RE
+
+    tok = re.compile(BPE_TOKEN_RE)
+
+    def ref_loop(cond, text, budget):
+        while len(tok.findall(cond)) + len(tok.findall(text)) + 3 > budget and "；" in cond:
+            cond = "；".join(cond.split("；")[:-1])
+        return cond
+
+    rows = [
+        ("ev；a：one two three；b：four five；c：", "some document text here", 18),
+        ("ev；a：one two three；b：four five；c：", "some document text here", 12),
+        ("ev；a：one two three；b：four five；c：", "some document text here", 99),
+        ("ev；a：x；b：y", "t", 6),
+    ]
+    df = spark.createDataFrame(
+        [(c, t) for c, t, _ in rows], "cond string, text string"
+    )
+    for (cond, text, budget) in rows:
+        got = (
+            nested.truncate_cond(
+                spark.createDataFrame([(cond, text)], "cond string, text string"),
+                budget=budget,
+            ).collect()[0].cond_trunc
+        )
+        assert got == ref_loop(cond, text, budget), (cond, budget)
+
+
 def test_permutation_examples_none_fill_and_label_merge(spark):
     # missing slot -> '[None]' label (duie.py:96-101); two tuples sharing a
     # cond merge their labels into one set (P7, duee.py:92-102)
