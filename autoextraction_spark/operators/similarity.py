@@ -148,6 +148,14 @@ def ann_topk(
     The equi-join on (table, bucket) replaces the cross join — the plan that
     survives 10^9 vectors. Candidate pairs found in several tables are
     deduped BEFORE scoring so each dot product is computed once.
+
+    SIZING (the defaults are fixture-scale, NOT production): expected bucket
+    occupancy is N / 2^n_planes per table, so pick
+    ``n_planes ≈ log2(N / target_bucket_size)`` — e.g. N=10^9 with ~1k-row
+    buckets → 20 planes — and raise ``n_tables`` to buy recall back
+    (P[collide in ≥1 table] = 1-(1-p^n_planes)^n_tables, p = 1-θ/π). The
+    driver-checked query pins n_planes=2/n_tables=4 for the 500-vector
+    test corpus.
     """
     qb = with_lsh_tables(queries, vec_col, n_planes, n_tables, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket"
