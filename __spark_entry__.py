@@ -34,8 +34,10 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> DataFrame:
-    pages = corpus.web_pages(spark, sf_dir)
-    txt = with_extracted_text(pages)
+    # with_text=True: generation + the frozen extract_text run in ONE python
+    # stage (production depth — a real job scans pages and extracts in one
+    # UDF pass; html never crosses Arrow twice)
+    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
     det = detect.detect_relations(txt)
     completed = slot_fill.ordered_slot_fill(det, policy=policy, carry_text=False)
     return output.to_triples(output.completed_filter(completed))
@@ -57,7 +59,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage B relation-detection gate (E1): broadcast anchor join + sigmoid
     threshold 0.6 (predict.py:145-146)."""
-    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
     return detect.detect_relations(pages).select(
         "url", "rel", F.round("rc_score", 6).alias("rc_score")
     )
@@ -95,7 +97,7 @@ def q_kg_slot_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-slot (3-role) event extraction — DuEE-style ordered filling
     (P3 semantics), reified as (url, etype, role, value) rows."""
-    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
     det = detect.detect_relations(pages)
     completed = slot_fill.ordered_slot_fill(det, carry_text=False)
     return output.to_event_rows(output.completed_filter(completed))
@@ -215,7 +217,7 @@ def q_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical gold triple checked for token-bounded containment of both
     args within one sentence of the extracted page text. Variant-rendered
     org objects fail ('Acme Corporation' !∋ token 'Acme Corp')."""
-    pages = with_extracted_text(corpus.web_pages(spark, sf_dir))
+    pages = corpus.web_pages(spark, sf_dir, with_text=True)
     en = pages.filter(F.col("lang") == "en").select("url", "text")
     gold = corpus.gold_triples(spark, sf_dir, canonical=True)
     audited = textstats.containment_audit(

@@ -50,32 +50,46 @@ def warc_ts(doc_id: int) -> _dt.datetime:
     return _EPOCH + _dt.timedelta(days=doc_id % 365, seconds=(doc_id * 7) % 86400)
 
 
-def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        doc_ids = pdf["doc_id"].astype("int64")
-        langs = pdf["lang"].map(S.doc_lang)
-        yield pd.DataFrame(
-            {
-                "doc_id": doc_ids,
-                "url": [S.page_url(d) for d in doc_ids],
-                "warc_ts": [warc_ts(d) for d in doc_ids],
-                "html": [
-                    build_html(d, lg).encode("utf-8")
-                    for d, lg in zip(doc_ids, langs)
-                ],
-                "text": None,
-                "lang": langs,
-            }
-        )
+def _gen(with_text: bool):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .operators.text_extract import extract_text
+
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].astype("int64")
+            langs = pdf["lang"].map(S.doc_lang)
+            html = [
+                build_html(d, lg).encode("utf-8")
+                for d, lg in zip(doc_ids, langs)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "url": [S.page_url(d) for d in doc_ids],
+                    "warc_ts": [warc_ts(d) for d in doc_ids],
+                    "html": html,
+                    "text": [extract_text(h) for h in html] if with_text else None,
+                    "lang": langs,
+                }
+            )
+
+    return run
 
 
-def web_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def web_pages(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, with_text: bool = False
+) -> DataFrame:
     """Synthesize the input table from the documents skeleton at ``sf_dir``.
 
     ``text`` is NULL — stage A (text_extract) fills it; the per-row invariant
-    is byte-identical extraction per url. ``replicate=k`` scales the corpus
-    k× for load/scaling runs: replica r shifts ids by r·10^6, producing
-    distinct urls AND distinct facts (all content is doc_id arithmetic).
+    is byte-identical extraction per url. ``with_text=True`` runs the SAME
+    frozen ``extract_text`` inside the generator pass: a real deployment
+    reads pages from storage and extracts in ONE python stage, and fusing
+    the (sandbox-only) generator with extraction restores that production
+    python-op depth — the html bytes otherwise cross the Arrow boundary
+    twice, which measurably caps throughput. ``replicate=k`` scales the
+    corpus k× for load/scaling runs: replica r shifts ids by r·(max_id+1),
+    producing distinct urls AND distinct facts (all content is doc_id
+    arithmetic).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
     # Repartition the tiny skeleton BEFORE generation (and before the k×
@@ -83,7 +97,11 @@ def web_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame
     # from it would otherwise run at that parallelism — a serial bottleneck
     # that caps scaling. A real Common-Crawl read has thousands of input
     # splits and needs no such step.
-    docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+    # 4 waves per core: the generated-corpus stage's tail is 1/(4·cores) of
+    # the work, so one straggling partition (or one of this VM's documented
+    # 10-20s stalls) costs a sliver, not a wave — the serial floor that
+    # capped scaling efficiency at 2 waves/core
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 4, 16))
     if replicate > 1:
         # shift derives from the DATA (max id + 1), so replicas can never
         # collide with base ids however large the skeleton grows (ADVICE.md);
@@ -94,7 +112,7 @@ def web_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame
             "doc_id",
             "lang",
         ).select((F.col("doc_id") + F.col("r") * shift).alias("doc_id"), "lang")
-    return docs.mapInPandas(_gen, schema=WEB_PAGES_SCHEMA)
+    return docs.mapInPandas(_gen(with_text), schema=WEB_PAGES_SCHEMA)
 
 
 def gold_triples(spark: SparkSession, sf_dir: str, canonical: bool = False) -> DataFrame:

@@ -44,8 +44,13 @@ def get_spark(
     # uniformly faster here. Must be set before JVM/worker launch.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        # local[N,4]: allow 4 task attempts like a real cluster — local mode
+        # defaults to maxFailures=1, so one flaky python-worker death (this
+        # VM's stall pathology occasionally resets worker sockets on
+        # long runs) kills the whole job instead of retrying the task
+        SparkSession.builder.master(f"local[{cpus},4]")
         .appName(app_name)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

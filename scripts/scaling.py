@@ -31,8 +31,7 @@ cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
 spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
 
 def job():
-    pages = corpus.web_pages(spark, sf_dir, replicate=replicate)
-    txt = with_extracted_text(pages)
+    txt = corpus.web_pages(spark, sf_dir, replicate=replicate, with_text=True).drop("html")
     det = detect.detect_relations(txt)
     completed = slot_fill.ordered_slot_fill(det, carry_text=False)
     return output.to_triples(output.completed_filter(completed)).count()
@@ -59,8 +58,11 @@ def run(cpus: int, sf_dir: str, replicate: int) -> dict:
         [sys.executable, "-c", WORKER, str(cpus), sf_dir, str(replicate)],
         capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"worker local[{cpus}] produced no result")
+    return json.loads(lines[-1])
 
 
 def main() -> int:

@@ -70,6 +70,42 @@ def test_simhash_near_dups(dup_docs):
     assert (1, 4) not in pairs
 
 
+def test_prefix_filter_join_is_exact(spark):
+    # the prefix-filter inverted index must find EVERY pair with J >= t —
+    # cross-check against brute-force all-pairs on a pseudo-random corpus
+    import itertools
+
+    words = [f"w{i}" for i in range(30)]
+    docs, x = [], 7
+    for i in range(12):
+        toks = []
+        for j in range(10 + i % 5):
+            x = (x * 48271) % 2147483647
+            toks.append(words[x % len(words)])
+        docs.append((i, " ".join(toks)))
+        # planted near-dup: same doc with the last token changed
+        docs.append((100 + i, " ".join(toks[:-1] + ["zz"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in dedup.jaccard_dup_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            expect[(min(ia, ib), max(ia, ib))] = round(j, 9)
+    assert got == expect and expect  # non-vacuous
+
+
 def test_exact_jaccard_values(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
