@@ -25,7 +25,6 @@ from autoextraction_spark.operators import (  # noqa: E402
     textstats,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
-from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
 
 
@@ -146,6 +145,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication: minhash pairs → connected
+    components → one canonical survivor per transitive cluster."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.dedup_documents(docs, "doc_id", "text", method="minhash",
+                                threshold=0.8)
+    return out.select("doc_id", "keep_id", "is_canonical")
+
+
+def q_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 order-sensitivity split (data_filter.py:174-242): the triples the
+    adaptive policy recovers that the fixed schema-order baseline misses —
+    the reference's 'hard' eval-split construction, end-to-end."""
+    rl = _pipeline_triples(spark, sf_dir, policy="rl")
+    seq = _pipeline_triples(spark, sf_dir, policy="sequence")
+    return rl.exceptAll(seq)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "connected_components": q_connected_components,
         "ngram_jaccard": q_ngram_jaccard,
+        "doc_dedup": q_doc_dedup,
+        "order_split": q_order_split,
         "embed_neardup": q_embed_neardup,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -551,6 +570,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracle.simhash_sql(),
         "connected_components": oracle.cc_lang_star_sql(),
         "ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
+        "doc_dedup": oracle.doc_dedup_sql(threshold=0.8),
+        "order_split": oracle.order_split_sql(),
         "embed_neardup": oracle.embed_neardup_lsh_sql(
             threshold=0.4, n_planes=2, n_tables=4, dim=64
         ),

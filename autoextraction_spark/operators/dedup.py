@@ -262,6 +262,45 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """End-to-end near-dup DEDUPLICATION (not just pair detection): near-dup
+    pairs → connected components → every document labeled with its cluster's
+    canonical (minimum) id. Filter ``is_canonical`` to keep one document per
+    cluster — transitively: A~B and B~C collapse to one survivor even when
+    A~C is below threshold (the standard near-dup-cluster semantics).
+
+    Returns the input columns + ``keep_id`` + ``is_canonical``. The pair
+    graph is tiny relative to the corpus (only near-dups appear), so the CC
+    runs on edges, never on documents; the final join is left to AQE, which
+    broadcasts the mapping when it is small enough (a forced broadcast hint
+    could OOM on a pathologically duplicated corpus).
+    """
+    from .canonicalize import connected_components
+
+    if method == "minhash":
+        pairs = minhash_dup_pairs(df, id_col, text_col, threshold, **kwargs)
+    elif method == "jaccard":
+        pairs = jaccard_dup_pairs(df, id_col, text_col, threshold, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    mapping = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    ).select(F.col("node").alias(id_col), F.col("component").alias("keep_id"))
+    out = df.join(mapping, id_col, "left")
+    return out.withColumn(
+        "keep_id", F.coalesce("keep_id", F.col(id_col))
+    ).withColumn("is_canonical", (F.col("keep_id") == F.col(id_col)).cast("long"))
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash bigint) — 64-bit SimHash over whitespace tokens.
 

@@ -202,8 +202,9 @@ WORD_SHINGLES_CTE = (
 )
 
 
-def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
-    """Replicates dedup.minhash_dup_pairs on the documents table."""
+def _minhash_pairs_ctes(num_perm: int = 16, bands: int = 8) -> str:
+    """CTE chain ending in ``jac(id_a, id_b, jaccard)`` — shared by the
+    pair query and the dedup-cluster query."""
     from .operators.dedup import MINHASH_P, minhash_coeffs
 
     r = num_perm // bands
@@ -220,7 +221,7 @@ def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8
         )
         for b in range(bands)
     )
-    return f"""WITH {WORD_SHINGLES_CTE},
+    return f"""{WORD_SHINGLES_CTE},
 hs AS (SELECT id, {_portable_hash('sh')} % {MINHASH_P} AS h FROM sh),
 mh AS (SELECT id, {mh_cols} FROM hs GROUP BY id),
 bands AS ({band_rows}),
@@ -230,11 +231,35 @@ sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
           FROM cand c JOIN sh a ON a.id = c.id_a
           JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
-          GROUP BY c.id_a, c.id_b)
-SELECT i.id_a, i.id_b,
-       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
-WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= {threshold}"""
+          GROUP BY c.id_a, c.id_b),
+jac AS (SELECT i.id_a, i.id_b,
+               i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.id = i.id_a
+        JOIN sizes sb ON sb.id = i.id_b)"""
+
+
+def minhash_pairs_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
+    """Replicates dedup.minhash_dup_pairs on the documents table."""
+    return f"""WITH {_minhash_pairs_ctes(num_perm, bands)}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {threshold}"""
+
+
+def doc_dedup_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
+    """Expected dedup.dedup_documents output: every document labeled with
+    the min doc_id of its near-dup cluster (transitive closure of the
+    minhash pair graph via a recursive CTE)."""
+    return f"""WITH RECURSIVE {_minhash_pairs_ctes(num_perm, bands)},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT a, b FROM sym
+                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS id, least(a, min(b)) AS keep FROM reach GROUP BY a)
+SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id,
+       CAST(CASE WHEN coalesce(c.keep, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""
 
 
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:
@@ -522,6 +547,32 @@ ex AS ({body})
 SELECT cond, url,
        array_to_string(list_sort(list_distinct(list(label))), '|') AS labels
 FROM ex GROUP BY cond, url"""
+
+
+def order_split_sql() -> str:
+    """Expected O8 split: rendered gold triples the SEQUENCE (subject-first,
+    primary-connector-only subject extraction) policy cannot recover.
+
+    seq recovers a fact iff it is primary-rendered, OR its subject also
+    appears as the subject of a primary fact of the same (url, rel) —
+    anchored object extraction then sees ALL connectors. rl recovers
+    everything (P/R = 1.0), so the split is gold MINUS that set."""
+    alt = f"(lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)})"
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT {URL_EXPR} AS url, rel_idx, {_RELS}[rel_idx + 1] AS pred,
+             {_subj_expr()} AS subj, {_obj_expr(False)} AS obj,
+             {alt} AS is_alt
+      FROM facts),
+prim_subj AS (SELECT DISTINCT url, rel_idx, subj FROM r WHERE NOT is_alt),
+seq AS (SELECT url, pred, subj, obj FROM r WHERE NOT is_alt
+        UNION
+        SELECT a.url, a.pred, a.subj, a.obj FROM r a
+        WHERE a.is_alt AND EXISTS (SELECT 1 FROM prim_subj p
+              WHERE p.url = a.url AND p.rel_idx = a.rel_idx
+                AND p.subj = a.subj))
+SELECT DISTINCT url, pred, subj, obj FROM r
+EXCEPT
+SELECT url, pred, subj, obj FROM seq"""
 
 
 def slot_f1_sql() -> str:

@@ -25,7 +25,6 @@ sys.path.insert(0, "/root/repo")
 from autoextraction_spark.session import get_spark
 from autoextraction_spark import corpus
 from autoextraction_spark.operators import detect, output, slot_fill
-from autoextraction_spark.operators.text_extract import with_extracted_text
 
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
 spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)

@@ -106,6 +106,26 @@ def test_prefix_filter_join_is_exact(spark):
     assert got == expect and expect  # non-vacuous
 
 
+def test_dedup_documents_transitive_clusters(spark):
+    # A~B and B~C near-dup but A~C below threshold: all three must collapse
+    # to ONE canonical survivor (cluster semantics, not pair semantics)
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    b = base.replace("w12", "x")          # ~0.82 vs base
+    c = b.replace("w1 ", "y ")            # ~0.82 vs b, ~0.67 vs base
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (4, "totally different text entirely here now")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.keep_id, r.is_canonical)
+        for r in dedup.dedup_documents(
+            docs, "doc_id", "text", method="jaccard", threshold=0.6
+        ).collect()
+    }
+    assert out[1] == (1, 1) and out[2] == (1, 0) and out[3] == (1, 0)
+    assert out[4] == (4, 1)
+
+
 def test_exact_jaccard_values(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
