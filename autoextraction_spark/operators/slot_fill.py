@@ -35,7 +35,6 @@ reference episode cap DQN.py:21/predict.py:86).
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,7 +50,8 @@ MAX_STEPS = 20  # reference episode cap, DQN.py:21 / predict.py:86
 STATE_COLS = ["url", "rel", "text", "lang", "assigned", "remaining", "score", "step"]
 
 _STEP_SCHEMA = (
-    "url string, rel string, text string, lang string, assigned string, "
+    "url string, rel string, text string, lang string, "
+    "assigned map<string,string>, "
     "remaining array<string>, score double, step int, chosen string, "
     "reward double, mentions array<string>, probs array<double>, "
     "scores array<double>"
@@ -179,7 +179,7 @@ def _step_batches(policy: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chosen, reward, mentions, probs, scores = [], [], [], [], []
-            for text, rel, lang, assigned_js, remaining in zip(
+            for text, rel, lang, assigned_in, remaining in zip(
                 pdf["text"], pdf["rel"], pdf["lang"], pdf["assigned"], pdf["remaining"]
             ):
                 if len(remaining) == 0:  # already complete: pass through
@@ -189,7 +189,9 @@ def _step_batches(policy: str):
                     probs.append([0.0])
                     scores.append([0.0])
                     continue
-                assigned = json.loads(assigned_js)
+                # Arrow MapType arrives as dict (or list of kv tuples on
+                # older conversions) — no JSON round-trip (round-1 wart)
+                assigned = assigned_in if isinstance(assigned_in, dict) else dict(assigned_in)
                 slot, cands, rw = scorers.step_state(
                     text, rel, lang, assigned, list(remaining), policy
                 )
@@ -211,14 +213,12 @@ def _step_batches(policy: str):
 
 def fork_step(live: DataFrame, policy: str = "rl") -> DataFrame:
     """One loop iteration: score → choose → extract → fork. Shuffle-free."""
-    stepped = live.withColumn("assigned", F.to_json("assigned")).mapInPandas(
-        _step_batches(policy), schema=_STEP_SCHEMA
-    )
+    stepped = live.mapInPandas(_step_batches(policy), schema=_STEP_SCHEMA)
     cand = F.explode(
         F.arrays_zip(F.col("mentions"), F.col("probs"), F.col("scores"))
     ).alias("cand")
     done = F.col("chosen") == ""
-    assigned_map = F.from_json("assigned", "map<string,string>")
+    assigned_map = F.col("assigned")
     return (
         stepped.select("*", cand)
         .select(
