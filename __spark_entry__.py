@@ -214,6 +214,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: nearest-centroid cells (codegen argmax over
+    a centroid model artifact), n_probe-cell probing, exact re-rank."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        vecs.filter(F.col("vec_id") < 10), vecs, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over the skewed host key."""
     pages = corpus.web_pages(spark, sf_dir)
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_audit": q_containment_audit,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "host_counts": q_host_counts,
         "image_features": q_image_features,
         "tpch_q1": q_tpch_q1,
@@ -582,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_audit": oracle.containment_audit_sql(),
         "cosine_topk": oracle.cosine_topk_sql(k=5, n_queries=10),
         "ann_topk": oracle.ann_topk_sql(k=5, n_queries=10),
+        "ivf_topk": oracle.ivf_topk_sql(k=5, n_queries=10, n_centroids=16, n_probe=4),
         "host_counts": oracle.host_counts_sql(),
         "image_features": oracle.image_features_sql(),
         "tpch_q1": """

@@ -189,6 +189,90 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer ANN.
+
+    The corpus is partitioned into ``n_centroids`` cells by nearest-centroid
+    cosine; a query probes its ``n_probe`` nearest cells and ranks ONLY
+    those cells' vectors by exact cosine. Deterministic centroid choice here
+    is the first ``n_centroids`` vectors by id — an engine-reproducible
+    stand-in for k-means; swap in ``pyspark.ml.clustering.KMeans`` centers
+    for trained cells, the plumbing is identical.
+
+    Scale shape: centroid vectors are a driver-side MODEL ARTIFACT (exactly
+    what KMeans.fit produces — collecting n_centroids rows is model fitting,
+    not a data collect); cell assignment is a pure-codegen argmax fold over
+    the centroid literal array — one narrow map over the corpus, NO shuffle;
+    the probe is an equi-join on cell id. Tune n_centroids ≈ √N so cells
+    stay ~√N and the probed candidate set is n_probe·N/n_centroids.
+    """
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in cent_rows
+        ]
+    )
+
+    def cell_cos(v: Column):
+        return lambda c: _dot(c["cv"], v) / (_norm(c["cv"]) * _norm(v))
+
+    def assign(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        scored = F.transform(
+            cents, lambda c: F.struct((-cell_cos(v)(c)).alias("neg"), c["cell"].alias("cell"))
+        )
+        return df.withColumn(out, F.array_sort(scored))
+
+    c_assigned = assign(corpus, "_cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at("_cells", 1)["cell"].alias("cell"),
+    )
+    q_assigned = assign(queries, "_cells").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(F.slice("_cells", 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = (
+        q_assigned.join(c_assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>"))
+            / (
+                _norm(F.col("q_vec").cast("array<double>"))
+                * _norm(F.col("c_vec").cast("array<double>"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

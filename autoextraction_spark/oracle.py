@@ -424,6 +424,32 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {k}"""
 
 
+def ivf_topk_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+                 n_probe: int = 4) -> str:
+    """Replicates similarity.ivf_topk (deterministic first-N centroids)."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})))")
+    c_vc = cos.format(a="c.cv", b="v.e")
+    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < {n_centroids}),
+ranked AS (SELECT v.vec_id, v.e, c.cell,
+                  row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {c_vc} DESC, c.cell) AS rn
+           FROM v CROSS JOIN cents c),
+asn AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1),
+qcells AS (SELECT vec_id AS query_id, e AS qe, cell FROM ranked
+           WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                  {cos.format(a="q.qe", b="a.e")} AS cosine
+           FROM qcells q JOIN asn a ON a.cell = q.cell
+           WHERE a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}"""
+
+
 def embed_neardup_lsh_sql(threshold: float = 0.4, n_planes: int = 2,
                           n_tables: int = 4, dim: int = 64) -> str:
     """Replicates similarity.embedding_neardup_pairs (LSH-blocked default)."""

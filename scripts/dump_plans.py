@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from autoextraction_spark import corpus  # noqa: E402
 from autoextraction_spark.operators import dedup, detect, output, slot_fill  # noqa: E402
-from autoextraction_spark.operators.text_extract import with_extracted_text  # noqa: E402
+
 from autoextraction_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
@@ -35,13 +35,14 @@ def main() -> None:
 
     sections = []
 
-    pages = corpus.web_pages(spark, SF)
-    txt = with_extracted_text(pages)
+    txt = corpus.web_pages(spark, SF, with_text=True).drop("html")
     det = detect.detect_relations(txt)
     sections.append(
         ("Stage B output (detection gate over extracted text)",
-         "The gate is a broadcast join against 14 anchor rows with the "
-         "threshold folded into the join condition — pure codegen, no UDF.",
+         "Generation + frozen extract_text run in ONE MapInPandas "
+         "(production python-op depth); the gate is a broadcast join "
+         "against 14 anchor rows with the threshold folded into the join "
+         "condition — pure codegen, no UDF.",
          explain_str(det))
     )
 

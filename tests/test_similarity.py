@@ -44,6 +44,23 @@ def test_ann_recall_vs_bruteforce(vectors):
             assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_ivf_recall_improves_with_probes(vectors):
+    queries = vectors.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(queries, vectors, k=5).collect()}
+    few = similarity.ivf_topk(queries, vectors, k=5, n_centroids=16, n_probe=1)
+    many = similarity.ivf_topk(queries, vectors, k=5, n_centroids=16, n_probe=8)
+    rf = len(exact & {(r.query_id, r.neighbor_id) for r in few.collect()}) / len(exact)
+    rm = len(exact & {(r.query_id, r.neighbor_id) for r in many.collect()}) / len(exact)
+    assert rm >= rf           # more probes => no worse recall
+    assert rm >= 0.5, (rf, rm)  # probing half the cells finds most true top-5
+    # probed-cell candidates are exactly re-ranked: cosines must agree
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in similarity.cosine_topk(queries, vectors, k=5).collect()}
+    for r in many.collect():
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
 def test_lsh_bucket_deterministic(vectors):
     b1 = similarity.with_lsh_bucket(vectors).select("vec_id", "bucket")
     b2 = similarity.with_lsh_bucket(vectors).select("vec_id", "bucket")
