@@ -79,6 +79,48 @@ def stream_kg_pipeline(
     )
 
 
+def stateful_exact_dedup(
+    pages_stream: DataFrame, content_col: str = "html"
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup via ``applyInPandasWithState``: the
+    first page per content digest survives (min url for determinism); every
+    later duplicate — same batch or any later one — is dropped.
+
+    State = one boolean per digest group, so the state store holds exactly
+    |distinct contents| single-byte entries, hash-partitioned (no skew
+    surface). At production scale back the store with RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) and, if the crawl is
+    unbounded, swap NoTimeout for a processing-time timeout to bound
+    retention (re-admitting a duplicate after the TTL — the standard
+    trade)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = pages_stream.select(
+        F.md5(F.col(content_col).cast("binary")).alias("digest"), "url"
+    )
+
+    def dedup_fn(key, pdfs, state):
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[[pdf["url"].idxmin()]]
+            if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
+                best = cand
+        if state.exists or best is None:
+            return  # duplicate of an earlier batch (or empty group): drop
+        state.update((True,))
+        yield best[["digest", "url"]]
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="digest string, url string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_page_counts(pages_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window ingest monitoring (late data tolerated
     up to 1 day on warc_ts): the streaming-aggregation pattern."""

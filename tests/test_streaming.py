@@ -39,6 +39,44 @@ def test_incremental_ingest_matches_batch(spark, sf_dir, tmp_path):
     assert glob.glob(f"{ckpt}/offsets/*")
 
 
+def test_stateful_dedup_across_batches(spark, sf_dir, tmp_path):
+    # duplicates landed in a LATER micro-batch must be dropped by the
+    # cross-batch digest state (applyInPandasWithState)
+    in_dir = str(tmp_path / "landing3")
+    out_dir = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt3")
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).filter(
+        F.col("doc_id") < 40
+    ).cache()
+    # drop 1: docs 0-19; drop 2: docs 10-39 (10-19 are exact re-crawls)
+    pages.filter(F.col("doc_id") < 20).write.mode("append").parquet(in_dir)
+
+    def drain():
+        # a digest emits AT MOST ONCE over the query lifetime (the state
+        # bit), so a plain parquet append is exactly-once per digest
+        q = (
+            ingest.stateful_exact_dedup(ingest.stream_pages(spark, in_dir))
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 20
+    pages.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    urls = [r.url for r in spark.read.parquet(out_dir).collect()]
+    # 40 distinct docs total; the 10 re-crawled pages appear exactly once
+    assert len(urls) == len(set(urls)) == 40
+
+
 def test_windowed_counts_stream(spark, sf_dir, tmp_path):
     in_dir = str(tmp_path / "landing2")
     corpus.web_pages(spark, sf_dir).write.mode("append").parquet(in_dir)
