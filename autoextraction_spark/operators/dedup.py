@@ -214,8 +214,13 @@ def prefix_filter_candidates(shingled: DataFrame, threshold: float) -> DataFrame
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "id")
         .filter(
+            # -1e-9: ceil must never round UP past the true integer when
+            # t·n is exactly integral but its binary float lands a hair above
+            # (0.1*30 = 3.0000000000000004 would shorten the prefix and lose
+            # a threshold-boundary pair — ADVICE.md); the epsilon can only
+            # LENGTHEN the prefix, which never costs recall
             F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
         )
         .select("id", "sh")
     )
@@ -267,7 +272,7 @@ def dedup_documents(
     id_col: str,
     text_col: str,
     method: str = "minhash",
-    threshold: float = 0.8,
+    threshold: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """End-to-end near-dup DEDUPLICATION (not just pair detection): near-dup
@@ -275,6 +280,13 @@ def dedup_documents(
     canonical (minimum) id. Filter ``is_canonical`` to keep one document per
     cluster — transitively: A~B and B~C collapse to one survivor even when
     A~C is below threshold (the standard near-dup-cluster semantics).
+
+    ``method``: 'minhash' / 'jaccard' (``threshold`` = min Jaccard, defaults
+    0.8 / 0.5), 'simhash' (keyed on ``max_hamming`` via kwargs — passing
+    ``threshold`` raises rather than being silently ignored, ADVICE.md), or
+    'embedding' (``text_col`` names the vector column; ``threshold`` = min
+    cosine, default 0.9 — semantic dedup with the same pairs→CC→canonical
+    treatment, LSH-bucketed candidates per similarity.py).
 
     Returns the input columns + ``keep_id`` + ``is_canonical``. The pair
     graph is tiny relative to the corpus (only near-dups appear), so the CC
@@ -285,11 +297,30 @@ def dedup_documents(
     from .canonicalize import connected_components
 
     if method == "minhash":
-        pairs = minhash_dup_pairs(df, id_col, text_col, threshold, **kwargs)
+        pairs = minhash_dup_pairs(
+            df, id_col, text_col, 0.8 if threshold is None else threshold, **kwargs
+        )
     elif method == "jaccard":
-        pairs = jaccard_dup_pairs(df, id_col, text_col, threshold, **kwargs)
+        pairs = jaccard_dup_pairs(
+            df, id_col, text_col, 0.5 if threshold is None else threshold, **kwargs
+        )
     elif method == "simhash":
+        if threshold is not None:
+            raise ValueError(
+                "method='simhash' is keyed on max_hamming=<int> (kwargs), not "
+                "threshold — a Jaccard/cosine threshold would be silently wrong"
+            )
         pairs = simhash_dup_pairs(df, id_col, text_col, **kwargs)
+    elif method == "embedding":
+        from .similarity import embedding_neardup_pairs
+
+        pairs = embedding_neardup_pairs(
+            df,
+            threshold=0.9 if threshold is None else threshold,
+            id_col=id_col,
+            vec_col=text_col,
+            **kwargs,
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
     mapping = connected_components(

@@ -166,7 +166,21 @@ def permutation_examples(
         "arity int, perm_id int, ord array<int>",
     )
     slots, assigned = F.col(slots_col), F.col(assigned_col)
-    j = df.join(F.broadcast(perms), F.size(slots) == F.col("arity"))
+    # tuples wider than max_arity would silently produce ZERO examples (no
+    # matching perm-dimension row to inner-join) — fail loudly instead
+    # (ADVICE.md). assert_true inside a filter costs no extra job: it
+    # evaluates per row in the same scan and raises on first violation.
+    arity_guard = F.assert_true(
+        F.size(slots) <= max_arity,
+        F.concat(
+            F.lit("permutation_examples: tuple arity "),
+            F.size(slots).cast("string"),
+            F.lit(f" exceeds max_arity={max_arity}; raise max_arity"),
+        ),
+    )
+    j = df.filter(arity_guard.isNull()).join(
+        F.broadcast(perms), F.size(slots) == F.col("arity")
+    )
     ordered = F.transform(F.col("ord"), lambda i: F.element_at(slots, i + 1))
     step = j.select(
         F.col(text_col).alias("text"),

@@ -56,12 +56,14 @@ def main() -> int:
     # plan, not the stall lottery.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _ in range(passes):
         for name in HEADLINE:
             t0 = time.time()
             rows[name] = qs[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
+            raw[name].append(dt)
             timings[name] = min(timings.get(name, dt), dt)
 
     # throughput numbers for the scaling story
@@ -83,6 +85,9 @@ def main() -> int:
                 else None,
                 "cpus": cpus,
                 "passes": passes,
+                # full per-pass spread (min-of-N understates steady-state
+                # latency; readers can see the floor AND the band — ADVICE.md)
+                "raw_sec": raw,
             }
         )
     )

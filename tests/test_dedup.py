@@ -135,3 +135,10 @@ def test_exact_jaccard_values(spark):
     j = dedup.exact_jaccard(pairs, sh).collect()[0]
     # shingles: {a b, b c, c d} vs {a b, b c, c e} -> 2/4
     assert j.jaccard == 0.5
+
+
+def test_dedup_documents_simhash_rejects_threshold(dup_docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.dedup_documents(dup_docs, "doc_id", "text", method="simhash", threshold=0.8)

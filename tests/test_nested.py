@@ -123,3 +123,16 @@ def test_permutation_examples_none_fill_and_label_merge(spark):
     assert got["r； b："] == ["[None]", "z"]
     assert got["r； a：x； b："] == ["[None]"]
     assert got["r； b：z； a："] == ["y"]
+
+
+def test_permutation_examples_raises_on_arity_overflow(spark):
+    # ADVICE.md: >max_arity tuples must fail loudly, not vanish
+    import pytest
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("t", "r", list("abcdefg"), {})],
+        "text string, rel string, slots array<string>, assigned map<string,string>",
+    )
+    with pytest.raises(PySparkException, match="exceeds max_arity"):
+        nested.permutation_examples(df, max_arity=6).collect()
