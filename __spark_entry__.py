@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
     dedup, detect, linking, multimodal, nested, output, similarity, slot_fill,
-    textstats,
+    textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
@@ -431,6 +431,52 @@ def q_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.truncate_cond(df, budget=50).select("event_id", "cond_trunc")
 
 
+def q_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 pair encoding with offsets (Environment.py:56-62, nyt.py:138-147):
+    [CLS] cond [SEP] text [SEP] with token_type_ids + offset_mapping,
+    truncated to 512 — one flat row per encoded position."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("language "), F.col("lang")).alias("cond"),
+        "text",
+    )
+    return tokenize.encode_pairs(docs, id_cols=["doc_id"])
+
+
+def q_span_labels_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 token-match span labeling (nyt.py:122-136,148-153): find every
+    gold subj/obj token-subsequence in the encoded pair, keep matches whose
+    endpoints both lie in the text segment; e exclusive."""
+    t = corpus.gold_fact_tuples(spark, sf_dir)
+    slots = F.array(
+        F.struct(F.lit("subj").alias("slot"), F.col("subj").alias("value")),
+        F.struct(F.lit("obj").alias("slot"), F.col("obj").alias("value")),
+    )
+    inp = t.select(
+        "url", "i", F.col("rel").alias("cond"),
+        F.col("sentence").alias("text"), slots.alias("slots"),
+    )
+    return tokenize.label_spans_search(inp, id_cols=["url", "i"])
+
+
+def q_span_labels_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 char-span span labeling (webnlg.py:114-137, duee.py:136-160):
+    gold char spans mapped to token spans via the offset mapping; e
+    inclusive (labels[s][e] = 1)."""
+    t = corpus.gold_fact_tuples(spark, sf_dir)
+    spans = F.array(
+        F.struct(F.lit("subj").alias("slot"), F.col("subj").alias("value"),
+                 F.col("subj_start").alias("start")),
+        F.struct(F.lit("obj").alias("slot"), F.col("obj").alias("value"),
+                 F.col("obj_start").alias("start")),
+    )
+    inp = t.select(
+        "url", "i", F.col("rel").alias("cond"),
+        F.col("sentence").alias("text"), spans.alias("spans"),
+    )
+    return tokenize.label_spans_char(inp, id_cols=["url", "i"])
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9 frequency vocab (ljqpy.py:232-247): token counts, cutoff, dense id."""
     docs = _read(spark, sf_dir, "documents")
@@ -557,6 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spo_flatten": q_spo_flatten,
         "budget_truncate": q_budget_truncate,
         "perm_examples": q_perm_examples,
+        "tokenize_offsets": q_tokenize_offsets,
+        "span_labels_search": q_span_labels_search,
+        "span_labels_char": q_span_labels_char,
         "vocab_topk": q_vocab_topk,
         "rel2id": q_rel2id,
         "cooccur_pairs": q_cooccur_pairs,
@@ -671,6 +720,9 @@ def oracle_sql() -> dict[str, str]:
         "spo_flatten": oracle.spo_flatten_sql(),
         "perm_examples": oracle.perm_examples_sql(),
         "budget_truncate": oracle.budget_truncate_sql(budget=50),
+        "tokenize_offsets": oracle.tokenize_offsets_sql(),
+        "span_labels_search": oracle.span_labels_search_sql(),
+        "span_labels_char": oracle.span_labels_char_sql(),
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 100)

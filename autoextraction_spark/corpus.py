@@ -136,6 +136,45 @@ def gold_triples(spark: SparkSession, sf_dir: str, canonical: bool = False) -> D
     return docs.mapInPandas(gen, schema="url string, pred string, subj string, obj string").distinct()
 
 
+def gold_fact_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold (url, i, rel, subj, obj, sentence, subj_start, obj_start) rows —
+    one per planted fact, with the CHAR offsets of both entities in the
+    rendered sentence.
+
+    This is the training-data-generation input shape: the reference's dataset
+    files carry gold tuples next to the text (nyt.py relation_list) and, for
+    DuEE, explicit ``argument_start_index`` char offsets (duee.py:38-64) —
+    exactly what the P10 (token-match) and P11 (char-span) span-labeling
+    operators consume.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, src_lang in zip(pdf["doc_id"].astype("int64"), pdf["lang"]):
+                d = int(d)
+                lang = S.doc_lang(src_lang)
+                url = S.page_url(d)
+                for i in range(S.n_facts(d)):
+                    rel, subj, conn, obj, tail = S.fact_parts(d, i, lang)
+                    rows.append(
+                        (url, i, rel, subj, obj, f"{subj}{conn}{obj}{tail}",
+                         0, len(subj) + len(conn))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "i", "rel", "subj", "obj", "sentence",
+                         "subj_start", "obj_start"],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema="url string, i long, rel string, subj string, obj string, "
+               "sentence string, subj_start long, obj_start long",
+    )
+
+
 def gold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected (url, etype, role, value) rows of the event pipeline."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")

@@ -661,6 +661,125 @@ SELECT g.url, g.pred, g.subj, g.obj,
 FROM g"""
 
 
+def _conn_expr() -> str:
+    """The fact sentence's connector string (schema.fact_parts), per rel_idx
+    with the alt-template parity — shared by the span-labeling oracles."""
+    en_whens, zh_whens = [], []
+    for k, (rel, _, _) in enumerate(S.RELATIONS):
+        templates = S.EN_TEMPLATES[rel]
+        prim = templates[0][0]
+        if len(templates) > 1:
+            alt = templates[1][0]
+            en = f"CASE WHEN (doc_id*3 + i) % 4 = 0 THEN '{alt}' ELSE '{prim}' END"
+        else:
+            en = f"'{prim}'"
+        en_whens.append(f"WHEN rel_idx = {k} THEN {en}")
+        zh_whens.append(f"WHEN rel_idx = {k} THEN '{S.ZH_TEMPLATES[rel][0][0]}'")
+    return (
+        f"CASE WHEN lang = 'zh' THEN CASE {' '.join(zh_whens)} END "
+        f"ELSE CASE {' '.join(en_whens)} END END"
+    )
+
+
+def _sentence_cte() -> str:
+    return f"""sent AS (
+  SELECT {URL_EXPR} AS url, CAST(i AS BIGINT) AS i,
+         {_RELS}[rel_idx + 1] AS rel,
+         {_subj_expr()} AS subj, {_conn_expr()} AS conn,
+         {_obj_expr(False)} AS obj,
+         CASE WHEN lang = 'zh' THEN '。' ELSE '.' END AS tail
+  FROM facts
+)"""
+
+
+def tokenize_offsets_sql(max_len: int = 512) -> str:
+    """Replicates tokenize.encode_pairs over the documents table with
+    cond = 'language ' || lang: [CLS] cond [SEP] text [SEP] with type ids
+    and char offsets. The driver documents text is single-space lowercase
+    words, so the whitespace split IS the BPE-ish tokenization and offsets
+    follow from prefix lengths."""
+    start = ("CASE WHEN i = 0 THEN 0 "
+             "ELSE length(array_to_string(w[1:i], ' ')) + 1 END")
+    return f"""WITH d AS (SELECT doc_id, lang, str_split(text, ' ') AS w FROM documents),
+head AS (
+  SELECT doc_id, 0 AS pos, '[CLS]' AS token, 0 AS type_id, 0 AS tok_start, 0 AS tok_end FROM d
+  UNION ALL SELECT doc_id, 1, 'language', 0, 0, 8 FROM d
+  UNION ALL SELECT doc_id, 2, lang, 0, 9, 9 + length(lang) FROM d
+  UNION ALL SELECT doc_id, 3, '[SEP]', 0, 0, 0 FROM d
+  UNION ALL SELECT doc_id, 4 + len(w), '[SEP]', 1, 0, 0 FROM d
+),
+t0 AS (SELECT doc_id, w, unnest(range(len(w))) AS i FROM d),
+txt AS (
+  SELECT doc_id, 4 + i AS pos, w[i + 1] AS token, 1 AS type_id,
+         {start} AS tok_start,
+         {start} + length(w[i + 1]) AS tok_end
+  FROM t0
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+       CAST(type_id AS BIGINT) AS type_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_end AS BIGINT) AS tok_end
+FROM (SELECT * FROM head UNION ALL SELECT * FROM txt)
+WHERE pos < {max_len}"""
+
+
+def span_labels_search_sql() -> str:
+    """Replicates tokenize.label_spans_search over gold fact tuples: every
+    token-subsequence occurrence of subj/obj in the pair encoding
+    (cond = rel name), coordinates in encoded positions, e exclusive.
+    n_pre = |[CLS]| + |cond tokens| + |[SEP]|; a match at 1-based text-token
+    position p sits at encoded s = n_pre + p - 1."""
+    re_ = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+{_sentence_cte()},
+tok AS (SELECT url, i, subj, obj,
+               regexp_extract_all(subj || conn || obj || tail, '{re_}') AS tl,
+               2 + len(regexp_extract_all(rel, '{re_}')) AS n_pre
+        FROM sent),
+m AS (
+  SELECT url, i, 'subj' AS slot, subj AS value, tl, n_pre,
+         regexp_extract_all(subj, '{re_}') AS el FROM tok
+  UNION ALL
+  SELECT url, i, 'obj' AS slot, obj AS value, tl, n_pre,
+         regexp_extract_all(obj, '{re_}') AS el FROM tok
+),
+hits AS (SELECT url, i, slot, value, n_pre, len(el) AS k,
+                unnest(list_filter(range(1, len(tl) - len(el) + 2),
+                                   p -> tl[p:p + len(el) - 1] = el)) AS p
+         FROM m)
+SELECT url, i, slot, value,
+       CAST(n_pre + p - 1 AS BIGINT) AS s,
+       CAST(n_pre + p - 1 + k AS BIGINT) AS e
+FROM hits"""
+
+
+def span_labels_char_sql() -> str:
+    """Replicates tokenize.label_spans_char over gold fact tuples: char
+    spans (subj at 0, obj at len(subj)+len(conn)) mapped to token spans via
+    offsets, e INCLUSIVE. Token index of a boundary = number of tokens in
+    the sentence prefix before it (tokens never straddle an entity
+    boundary)."""
+    re_ = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+{_sentence_cte()},
+base AS (SELECT url, i, subj, obj,
+                subj || conn || obj || tail AS sentence,
+                2 + len(regexp_extract_all(rel, '{re_}')) AS n_pre,
+                length(subj) AS ls, length(conn) AS lc, length(obj) AS lo
+         FROM sent),
+sp AS (
+  SELECT url, i, 'subj' AS slot, subj AS value, sentence, n_pre,
+         0 AS c0, ls AS c1 FROM base
+  UNION ALL
+  SELECT url, i, 'obj' AS slot, obj AS value, sentence, n_pre,
+         ls + lc AS c0, ls + lc + lo AS c1 FROM base
+)
+SELECT url, i, slot, value,
+       CAST(n_pre + len(regexp_extract_all(substr(sentence, 1, c0), '{re_}')) AS BIGINT) AS s,
+       CAST(n_pre + len(regexp_extract_all(substr(sentence, 1, c1), '{re_}')) - 1 AS BIGINT) AS e
+FROM sp"""
+
+
 def metric_f1_perfect_sql() -> str:
     """MetricF1 row assuming the pipeline is exact: P = R = F1 = 1.0."""
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

@@ -215,16 +215,25 @@ def fact_surfaces(doc_id: int, i: int, lang: str) -> tuple[str, str, str, str]:
     return rel, subj, obj, obj_canon
 
 
-def fact_sentence(doc_id: int, i: int, lang: str) -> str:
+def fact_parts(doc_id: int, i: int, lang: str) -> tuple[str, str, str, str, str]:
+    """(rel, subj, conn, obj, tail) — the sentence split at its entity
+    boundaries. Single source of truth for fact sentences AND the gold char
+    spans the span-labeling operators (P10/P11) consume: subj spans
+    [0, len(subj)), obj spans [len(subj)+len(conn), +len(obj))."""
     rel, subj, obj, _ = fact_surfaces(doc_id, i, lang)
     if lang == "zh":
         conn, _ = ZH_TEMPLATES[rel][0]
-        return f"{subj}{conn}{obj}。"
+        return rel, subj, conn, obj, "。"
     templates = EN_TEMPLATES[rel]
     conn, _ = (
         templates[1] if len(templates) > 1 and use_alt_template(doc_id, i) else templates[0]
     )
-    return f"{subj}{conn}{obj}."
+    return rel, subj, conn, obj, "."
+
+
+def fact_sentence(doc_id: int, i: int, lang: str) -> str:
+    _, subj, conn, obj, tail = fact_parts(doc_id, i, lang)
+    return f"{subj}{conn}{obj}{tail}"
 
 
 def doc_lang(src_lang: str) -> str:
