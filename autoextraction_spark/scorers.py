@@ -208,3 +208,28 @@ def step_state(
     cands = extract_candidates(text, rel, lang, assigned, chosen)
     reward = sum(c[2] for c in cands) / len(cands)
     return chosen, cands, reward
+
+
+# (text, rel, lang, assigned, remaining) — one live episode state
+State = tuple[str, str, str, dict[str, str], list[str]]
+
+
+def batch_step(
+    states: list[State], policy: str = "rl"
+) -> list[tuple[str, list[tuple[str, float, float]], float]]:
+    """Score a whole WAVE of live states in ONE call — the neural-scorer
+    swap point.
+
+    The fused episode runner (slot_fill.py) collects every live state at the
+    current depth across all rows of the Arrow batch and hands them here
+    together, so a real model implementation can pad/stack them into one
+    tensor batch and run a single GPU forward per wave (Q-net over the
+    remaining slots + GlobalPointer over the chosen slot), instead of one
+    forward per (row, step). This deterministic stand-in just loops — the
+    semantics contract is only that output[i] corresponds to states[i] and
+    equals ``step_state(*states[i], policy)``.
+    """
+    return [
+        step_state(text, rel, lang, assigned, remaining, policy)
+        for text, rel, lang, assigned, remaining in states
+    ]

@@ -142,3 +142,17 @@ def test_dedup_documents_simhash_rejects_threshold(dup_docs):
 
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.dedup_documents(dup_docs, "doc_id", "text", method="simhash", threshold=0.8)
+
+
+def test_exact_jaccard_length_filter_keeps_boundary(spark):
+    # |A|=4, |B|=2, t=0.5: t*|A| = |B| exactly — the boundary pair must
+    # survive the length filter (FP rounding may not drop it)
+    sh = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "a"), (2, "b"),
+         (3, "x")],
+        "id long, sh string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.exact_jaccard(pairs, sh, threshold=0.5).collect()}
+    assert got == {(1, 2): 0.5}  # (1,3) killed by the length filter

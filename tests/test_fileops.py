@@ -1,5 +1,7 @@
 """ljqpy.py utility-operator parity (S10-S12)."""
 
+from pyspark.sql import functions as F
+
 from autoextraction_spark.operators import fileops
 
 
@@ -51,3 +53,15 @@ def test_load_json_array(spark, tmp_path):
     from autoextraction_spark.operators.fileops import load_json_array
     got = {(r.text, r.n) for r in load_json_array(spark, str(p)).collect()}
     assert got == {("a", 1), ("b", 2)}
+
+
+def test_zip_join_rank_stays_jvm_side(spark):
+    # the rank must not round-trip rows through Python (no RDD scan in the
+    # plan) and must be a dense 0..n-1 sequence under any partition layout
+    a = spark.range(0, 97).select((F.col("id") * 3 % 97).alias("k")).repartition(7)
+    ranked = fileops._with_rank(a, "k")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+    rows = ranked.orderBy("_rn").collect()
+    assert [r._rn for r in rows] == list(range(97))
+    assert [r.k for r in rows] == sorted(r.k for r in rows)

@@ -91,3 +91,16 @@ def test_candidate_order_deterministic():
     text = "Alice Stone works for Acme Corp.\nBrian Rivera works for Acme Corp."
     subj = scorers.extract_candidates(text, "works_for", "en", {}, "subject")
     assert [m for m, _, _ in subj] == ["Alice Stone", "Brian Rivera"]
+
+
+def test_batch_step_aligns_with_step_state():
+    # the wave API must be a pure batching of step_state — output[i]
+    # corresponds to states[i] (the neural-swap contract)
+    states = [
+        ("Alice Stone works for Acme Corp.", "works_for", "en", {}, ["subject", "object"]),
+        ("Acme Corp is based in Rome.", "based_in", "en", {"subject": "Acme Corp"}, ["object"]),
+        ("no match here", "founded", "en", {}, ["subject", "object"]),
+    ]
+    got = scorers.batch_step(list(states))
+    want = [scorers.step_state(*s) for s in states]
+    assert got == want
