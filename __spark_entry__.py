@@ -174,6 +174,18 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) DEDUPLICATION end-to-end: LSH-blocked
+    cosine pairs → connected components → one canonical survivor per
+    transitive cluster (dedup_documents method='embedding')."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    out = dedup.dedup_documents(
+        vecs, "vec_id", "embedding", method="embedding",
+        threshold=0.4, n_planes=2, n_tables=4, dim=64,
+    )
+    return out.select("vec_id", "keep_id", "is_canonical")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex (training-data op)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup": q_doc_dedup,
         "order_split": q_order_split,
         "embed_neardup": q_embed_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -632,6 +645,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup": oracle.doc_dedup_sql(threshold=0.8),
         "order_split": oracle.order_split_sql(),
         "embed_neardup": oracle.embed_neardup_lsh_sql(
+            threshold=0.4, n_planes=2, n_tables=4, dim=64
+        ),
+        "semantic_dedup": oracle.semantic_dedup_sql(
             threshold=0.4, n_planes=2, n_tables=4, dim=64
         ),
         "token_stats": oracle.token_stats_sql(),

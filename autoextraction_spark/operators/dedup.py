@@ -342,7 +342,7 @@ def dedup_documents(
     else:
         raise ValueError(f"unknown method {method!r}")
     mapping = connected_components(
-        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b", check_every=2
     ).select(F.col("node").alias(id_col), F.col("component").alias("keep_id"))
     out = df.join(mapping, id_col, "left")
     return out.withColumn(

@@ -12,9 +12,18 @@
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def auto_n_planes(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Plane count that keeps expected sign-LSH bucket occupancy near
+    ``target_bucket``: occupancy ≈ N / 2^n_planes, so
+    n_planes = ⌈log2(N / target_bucket)⌉ (min 1). N=10^9 with 1k-row
+    buckets → 20 planes; recall is then bought back with ``n_tables``."""
+    return max(1, math.ceil(math.log2(max(n_vectors / target_bucket, 2.0))))
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -139,7 +148,7 @@ def ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
 ) -> DataFrame:
@@ -149,14 +158,17 @@ def ann_topk(
     survives 10^9 vectors. Candidate pairs found in several tables are
     deduped BEFORE scoring so each dot product is computed once.
 
-    SIZING (the defaults are fixture-scale, NOT production): expected bucket
-    occupancy is N / 2^n_planes per table, so pick
-    ``n_planes ≈ log2(N / target_bucket_size)`` — e.g. N=10^9 with ~1k-row
-    buckets → 20 planes — and raise ``n_tables`` to buy recall back
+    SIZING: expected bucket occupancy is N / 2^n_planes per table. When
+    ``n_planes`` is None (default) it is DERIVED from the corpus count via
+    ``auto_n_planes`` — N=10^9 with ~1k-row buckets → 20 planes (the count
+    is one cheap job, a model-sizing action like IVF's centroid fit); raise
+    ``n_tables`` to buy recall back
     (P[collide in ≥1 table] = 1-(1-p^n_planes)^n_tables, p = 1-θ/π). The
     driver-checked query pins n_planes=2/n_tables=4 for the 500-vector
     test corpus.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
     qb = with_lsh_tables(queries, vec_col, n_planes, n_tables, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket"
     )
@@ -279,7 +291,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
-    n_planes: int = 2,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
 ) -> DataFrame:
@@ -292,9 +304,12 @@ def embedding_neardup_pairs(
     (VERDICT.md item 4); a hard ``block_col`` remains available for keys the
     caller KNOWS are selective. Recall at the threshold is
     1-(1-p^n_planes)^n_tables with p = 1-θ/π — near-identical pairs
-    (the near-dup regime) collide with probability ≈ 1; size n_planes up
-    (and n_tables with it) as the corpus grows to keep buckets bounded.
+    (the near-dup regime) collide with probability ≈ 1; ``n_planes`` is
+    auto-sized from the corpus count when not given (``auto_n_planes``), so
+    buckets stay bounded as the corpus grows.
     """
+    if n_planes is None and not block_col:
+        n_planes = auto_n_planes(df.count())
     if block_col:
         a = df.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),

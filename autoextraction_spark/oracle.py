@@ -450,9 +450,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {k}"""
 
 
-def embed_neardup_lsh_sql(threshold: float = 0.4, n_planes: int = 2,
-                          n_tables: int = 4, dim: int = 64) -> str:
-    """Replicates similarity.embedding_neardup_pairs (LSH-blocked default)."""
+def _embed_pair_ctes(threshold: float, n_planes: int, n_tables: int,
+                     dim: int) -> str:
+    """CTE chain ending in ``epairs(id_a, id_b)`` — LSH-blocked cosine pairs
+    over the embeddings view; shared by the pair query and semantic dedup."""
     from .operators.similarity import hyperplane_weights
 
     rows = []
@@ -468,16 +469,42 @@ def embed_neardup_lsh_sql(threshold: float = 0.4, n_planes: int = 2,
             f"SELECT vec_id, {t} AS tbl, {' + '.join(bucket_terms)} AS bucket FROM v"
         )
     buckets = " UNION ALL ".join(rows)
-    return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    return f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 bk AS ({buckets}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
-)
-SELECT c.id_a, c.id_b, round({_COS}, 6) AS cosine
-FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
-WHERE {_COS} >= {threshold}"""
+),
+epairs AS (
+  SELECT c.id_a, c.id_b, {_COS} AS cosine
+  FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+  WHERE {_COS} >= {threshold}
+)"""
+
+
+def embed_neardup_lsh_sql(threshold: float = 0.4, n_planes: int = 2,
+                          n_tables: int = 4, dim: int = 64) -> str:
+    """Replicates similarity.embedding_neardup_pairs (LSH-blocked default)."""
+    return f"""WITH {_embed_pair_ctes(threshold, n_planes, n_tables, dim)}
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM epairs"""
+
+
+def semantic_dedup_sql(threshold: float = 0.4, n_planes: int = 2,
+                       n_tables: int = 4, dim: int = 64) -> str:
+    """Expected dedup_documents(method='embedding') output: every vector
+    labeled with the min vec_id of its cosine-near-dup cluster (transitive
+    closure of the pair graph, like doc_dedup_sql)."""
+    return f"""WITH RECURSIVE {_embed_pair_ctes(threshold, n_planes, n_tables, dim)},
+sym AS (SELECT id_a AS a, id_b AS b FROM epairs
+        UNION SELECT id_b, id_a FROM epairs),
+reach(a, b) AS (SELECT a, b FROM sym
+                UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS id, least(a, min(b)) AS keep FROM reach GROUP BY a)
+SELECT emb.vec_id, coalesce(c.keep, emb.vec_id) AS keep_id,
+       CAST(CASE WHEN coalesce(c.keep, emb.vec_id) = emb.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id"""
 
 
 def host_counts_sql() -> str:

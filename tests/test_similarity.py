@@ -104,3 +104,10 @@ def test_embedding_neardup_lsh_default(vectors):
         doubled, threshold=0.999, n_planes=2, n_tables=4, dim=64
     )
     assert pairs.count() == 1
+
+
+def test_auto_n_planes_sizing():
+    # N=10^9, 1k buckets -> 20 planes; tiny corpora floor at 1
+    assert similarity.auto_n_planes(10**9, 1024) == 20
+    assert similarity.auto_n_planes(500, 1024) == 1
+    assert similarity.auto_n_planes(8192, 1024) == 3
