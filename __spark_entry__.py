@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autoextraction_spark import corpus, oracle  # noqa: E402
+from autoextraction_spark import metrics as kgmetrics  # noqa: E402
+from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
     dedup, detect, linking, multimodal, nested, output, similarity, slot_fill,
     textstats, tokenize,
@@ -171,6 +173,51 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _read(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
         vecs, threshold=0.4, n_planes=2, n_tables=4, dim=64
+    )
+
+
+def q_char_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 char-bag F1 (metrics.char_f1): rendered vs canonical object
+    surface per gold fact — lowercase char-multiset overlap, spaces
+    stripped; variant-rendered orgs ('Acme Corporation' vs 'Acme Corp')
+    score below 1."""
+    t = corpus.gold_fact_tuples(spark, sf_dir)
+    return t.select(
+        "url", "i",
+        F.round(kgmetrics.char_f1_udf(F.col("obj"), F.col("obj_canon")), 6).alias("cf1"),
+    )
+
+
+def q_cond_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 cond-grammar render → parse roundtrip (Environment.py:106-108
+    grammar, predict.py:109-126 seq2dict): typed state serialized to the
+    byte-exact cond string, parsed back, both emitted — the oracle renders
+    the same grammar in SQL, so one byte of drift hash-mismatches."""
+    t = corpus.gold_fact_tuples(spark, sf_dir)
+    is_zh = F.col("lang") == "zh"
+    assigned = F.when(
+        is_zh,
+        F.create_map(
+            F.lit(KS.ZH_SLOTS[0]), F.col("subj"), F.lit(KS.ZH_SLOTS[1]), F.col("obj")
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit(KS.EN_SLOTS[0]), F.col("subj"), F.lit(KS.EN_SLOTS[1]), F.col("obj")
+        )
+    )
+    states = t.select("url", "i", "lang", "rel", assigned.alias("assigned"))
+    parsed = output.parse_cond(output.render_cond(states))
+
+    def slot_rt(idx: int):
+        return F.when(
+            is_zh, F.element_at("parsed_assigned", F.lit(KS.ZH_SLOTS[idx]))
+        ).otherwise(F.element_at("parsed_assigned", F.lit(KS.EN_SLOTS[idx])))
+
+    return parsed.select(
+        "url", "i", "cond",
+        F.col("parsed_rel").alias("rel_rt"),
+        slot_rt(0).alias("subj_rt"),
+        slot_rt(1).alias("obj_rt"),
     )
 
 
@@ -595,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_dedup": q_doc_dedup,
         "order_split": q_order_split,
+        "char_f1": q_char_f1,
+        "cond_roundtrip": q_cond_roundtrip,
         "embed_neardup": q_embed_neardup,
         "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
@@ -644,6 +693,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "doc_dedup": oracle.doc_dedup_sql(threshold=0.8),
         "order_split": oracle.order_split_sql(),
+        "char_f1": oracle.char_f1_sql(),
+        "cond_roundtrip": oracle.cond_roundtrip_sql(),
         "embed_neardup": oracle.embed_neardup_lsh_sql(
             threshold=0.4, n_planes=2, n_tables=4, dim=64
         ),

@@ -158,20 +158,22 @@ def gold_fact_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 url = S.page_url(d)
                 for i in range(S.n_facts(d)):
                     rel, subj, conn, obj, tail = S.fact_parts(d, i, lang)
+                    obj_canon = S.fact_surfaces(d, i, lang)[3]
                     rows.append(
-                        (url, i, rel, subj, obj, f"{subj}{conn}{obj}{tail}",
-                         0, len(subj) + len(conn))
+                        (url, i, lang, rel, subj, obj, obj_canon,
+                         f"{subj}{conn}{obj}{tail}", 0, len(subj) + len(conn))
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["url", "i", "rel", "subj", "obj", "sentence",
-                         "subj_start", "obj_start"],
+                columns=["url", "i", "lang", "rel", "subj", "obj", "obj_canon",
+                         "sentence", "subj_start", "obj_start"],
             )
 
     return docs.mapInPandas(
         gen,
-        schema="url string, i long, rel string, subj string, obj string, "
-               "sentence string, subj_start long, obj_start long",
+        schema="url string, i long, lang string, rel string, subj string, "
+               "obj string, obj_canon string, sentence string, "
+               "subj_start long, obj_start long",
     )
 
 

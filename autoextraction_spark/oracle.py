@@ -807,6 +807,52 @@ SELECT url, i, slot, value,
 FROM sp"""
 
 
+def char_f1_sql() -> str:
+    """Replicates metrics.char_f1 (O7, reference utils.py char-bag F1) on
+    (rendered obj, canonical obj) per gold fact: lowercase char-multiset
+    overlap with spaces stripped — variant-rendered orgs score < 1."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+p AS (SELECT {URL_EXPR} AS url, CAST(i AS BIGINT) AS i,
+             lower(replace({_obj_expr(False)}, ' ', '')) AS pa,
+             lower(replace({_obj_expr(True)}, ' ', '')) AS pb
+      FROM facts),
+ca AS (SELECT url, i, c, count(*) AS na
+       FROM (SELECT url, i, unnest(str_split(pa, '')) AS c FROM p)
+       GROUP BY url, i, c),
+cb AS (SELECT url, i, c, count(*) AS nb
+       FROM (SELECT url, i, unnest(str_split(pb, '')) AS c FROM p)
+       GROUP BY url, i, c),
+ov AS (SELECT url, i, sum(least(na, nb)) AS overlap
+       FROM ca JOIN cb USING (url, i, c) GROUP BY url, i),
+sc AS (SELECT p.url, p.i, coalesce(o.overlap, 0) AS ov,
+              length(p.pa) AS la, length(p.pb) AS lb
+       FROM p LEFT JOIN ov o ON o.url = p.url AND o.i = p.i)
+SELECT url, i,
+       round(CASE WHEN ov = 0 THEN 0.0
+             ELSE 2.0 * (ov * 1.0 / greatest(la, 1)) * (ov * 1.0 / greatest(lb, 1))
+                  / ((ov * 1.0 / greatest(la, 1)) + (ov * 1.0 / greatest(lb, 1)))
+             END, 6) AS cf1
+FROM sc"""
+
+
+def cond_roundtrip_sql() -> str:
+    """Replicates output.render_cond → parse_cond (O2, predict.py:109-126):
+    the byte-exact cond grammar per language, with the parsed fields being
+    the roundtripped originals."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT {URL_EXPR} AS url, CAST(i AS BIGINT) AS i, lang,
+             {_RELS}[rel_idx + 1] AS rel, {_subj_expr()} AS subj,
+             {_obj_expr(False)} AS obj
+      FROM facts)
+SELECT url, i,
+       CASE WHEN lang = 'zh'
+            THEN rel || '； 头实体：' || subj || '； 尾实体：' || obj
+            ELSE rel || '; subject:' || subj || '; object:' || obj
+       END AS cond,
+       rel AS rel_rt, subj AS subj_rt, obj AS obj_rt
+FROM r"""
+
+
 def metric_f1_perfect_sql() -> str:
     """MetricF1 row assuming the pipeline is exact: P = R = F1 = 1.0."""
     return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},

@@ -80,7 +80,9 @@ def stream_kg_pipeline(
 
 
 def stateful_exact_dedup(
-    pages_stream: DataFrame, content_col: str = "html"
+    pages_stream: DataFrame,
+    content_col: str = "html",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch EXACT dedup via ``applyInPandasWithState``: the
     first page per content digest survives (min url for determinism); every
@@ -89,10 +91,12 @@ def stateful_exact_dedup(
     State = one boolean per digest group, so the state store holds exactly
     |distinct contents| single-byte entries, hash-partitioned (no skew
     surface). At production scale back the store with RocksDB
-    (``spark.sql.streaming.stateStore.providerClass``) and, if the crawl is
-    unbounded, swap NoTimeout for a processing-time timeout to bound
-    retention (re-admitting a duplicate after the TTL — the standard
-    trade)."""
+    (``session.get_spark(rocksdb_state=True)`` or ``spark.conf.set`` before
+    query start — the digest set of an unbounded crawl exceeds heap) and
+    pass ``ttl_ms`` to bound retention: each digest's state expires
+    ``ttl_ms`` after it was last SEEN (duplicates refresh the clock), after
+    which the same content is re-admitted once — the standard
+    bounded-memory trade for unbounded streams."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = pages_stream.select(
@@ -100,6 +104,9 @@ def stateful_exact_dedup(
     )
 
     def dedup_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # forget the digest: next sighting re-admits
+            return
         best = None
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -107,9 +114,13 @@ def stateful_exact_dedup(
             cand = pdf.loc[[pdf["url"].idxmin()]]
             if best is None or cand["url"].iloc[0] < best["url"].iloc[0]:
                 best = cand
-        if state.exists or best is None:
+        seen = state.exists
+        if best is not None and (not seen or ttl_ms is not None):
+            state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        if seen or best is None:
             return  # duplicate of an earlier batch (or empty group): drop
-        state.update((True,))
         yield best[["digest", "url"]]
 
     return keyed.groupBy("digest").applyInPandasWithState(
@@ -117,7 +128,11 @@ def stateful_exact_dedup(
         outputStructType="digest string, url string",
         stateStructType="seen boolean",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

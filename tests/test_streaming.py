@@ -92,3 +92,71 @@ def test_windowed_counts_stream(spark, sf_dir, tmp_path):
     q.awaitTermination(300)
     out = spark.sql("SELECT sum(n_pages) AS total FROM page_counts").collect()[0]
     assert out.total == 500
+
+
+def test_stateful_dedup_rocksdb_with_ttl(spark, sf_dir, tmp_path):
+    # RocksDB-backed state + processing-time TTL: within the TTL duplicates
+    # are dropped; once a digest's state expires (its timer fires in an idle
+    # micro-batch) the same content is RE-ADMITTED — the bounded-memory
+    # trade documented on stateful_exact_dedup. Timers need a continuous
+    # trigger (availableNow stops before idle timer batches can fire).
+    import time
+
+    from autoextraction_spark.session import ROCKSDB_STATE_PROVIDER
+
+    in_dir = str(tmp_path / "landing4")
+    out_dir = str(tmp_path / "survivors4")
+    ckpt = str(tmp_path / "ckpt4")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_PROVIDER
+    )
+    q = None
+    try:
+        pages = corpus.web_pages(spark, sf_dir, with_text=True).filter(
+            F.col("doc_id") < 10
+        ).cache()
+        pages.filter(F.col("doc_id") < 5).write.mode("append").parquet(in_dir)
+        q = (
+            ingest.stateful_exact_dedup(
+                ingest.stream_pages(spark, in_dir), ttl_ms=4000
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+        def rows():
+            try:
+                return spark.read.parquet(out_dir).count()
+            except Exception:
+                return 0
+
+        def wait_rows(n, timeout_s=120):
+            deadline = time.time() + timeout_s
+            while rows() < n and time.time() < deadline:
+                time.sleep(1)
+            return rows()
+
+        assert wait_rows(5) == 5  # first drop: all unique
+        time.sleep(8)  # TTL (4s) expires; timers fire in idle batches
+        pages.write.mode("append").parquet(in_dir)  # re-crawl ALL 10
+        # 0-4 re-admitted (state expired) + 5-9 new -> 10 more rows
+        assert wait_rows(15) == 15
+        urls = [r.url for r in spark.read.parquet(out_dir).collect()]
+        assert len(set(urls)) == 10
+        # RocksDB actually backs the store (provider-specific checkpoint layout)
+        assert glob.glob(f"{ckpt}/state/**/*.zip", recursive=True) or glob.glob(
+            f"{ckpt}/state/**/*.changelog", recursive=True
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
