@@ -210,6 +210,56 @@ def step_state(
     return chosen, cands, reward
 
 
+def choice_reward(
+    text: str,
+    rel: str,
+    lang: str,
+    assigned: dict[str, str],
+    remaining: list[str],
+    action_slot: str,
+    gold: list[dict[str, str]],
+    depth: int = 2,
+) -> tuple[float, list[tuple[str, float, float]]]:
+    """E7 two-step-lookahead reward (Environment.py:101-184
+    ``choice_decision``): train-time reward shaping for the slot-ordering
+    agent, scoring "how much gold-consistent extraction mass does choosing
+    ``action_slot`` next unlock". ``gold`` is the episode's gold tuple list
+    (the reference reads ``env.spo_list[cond]``; our corpus generates it).
+
+    depth=1 (``step == 1``): Σ max-logit over 1-step extractions of
+    ``action_slot`` that match some gold tuple's value for it.
+    depth=2 (``step == 2``): for every 1-step extraction e × every other
+    remaining slot c × every 2-step extraction s of c given e, add
+    max-logit(s) when (e, s) match some gold tuple on (action_slot, c) —
+    the reference's entity-major product loop, '[None]' fallback included.
+
+    Returns (reward, entities_1step). Pure function of its arguments, so a
+    distributed reward-generation pass is one narrow map — the piece E13/E14
+    (the offline DQN optimizer itself) would consume; those stay documented
+    out of scope.
+    """
+    cands1 = extract_candidates(text, rel, lang, assigned, action_slot)
+    if depth == 1:
+        r = sum(
+            mx
+            for m, _p, mx in cands1
+            for spo in gold
+            if spo.get(action_slot) == m
+        )
+        return r, cands1
+    rest = [s for s in remaining if s != action_slot]
+    r = 0.0
+    for m, _p, _mx in cands1:
+        forked = dict(assigned)
+        forked[action_slot] = m
+        for c in rest:
+            for m2, _p2, mx2 in extract_candidates(text, rel, lang, forked, c):
+                for spo in gold:
+                    if spo.get(action_slot) == m and spo.get(c) == m2:
+                        r += mx2
+    return r, cands1
+
+
 # (text, rel, lang, assigned, remaining) — one live episode state
 State = tuple[str, str, str, dict[str, str], list[str]]
 

@@ -104,3 +104,43 @@ def test_batch_step_aligns_with_step_state():
     got = scorers.batch_step(list(states))
     want = [scorers.step_state(*s) for s in states]
     assert got == want
+
+
+def test_choice_reward_two_step_lookahead():
+    # E7 (Environment.py:101-184): on an alt-phrased fact ("X is at Y"),
+    # unconstrained-subject extraction sees only primary connectors, so
+    # choosing OBJECT first unlocks more gold-consistent mass — exactly the
+    # order-sensitivity signal the reward must surface for the DQN
+    text = "Alice Stone is at Acme Corp."
+    gold = [{"subject": "Alice Stone", "object": "Acme Corp"}]
+    rem = ["subject", "object"]
+    r_subj, c_subj = scorers.choice_reward(
+        text, "works_for", "en", {}, rem, "subject", gold
+    )
+    r_obj, c_obj = scorers.choice_reward(
+        text, "works_for", "en", {}, rem, "object", gold
+    )
+    # subject-first: only '[None]' extracts (primary-only gate) -> no gold hit
+    assert c_subj == [scorers.NONE_CAND]
+    assert r_subj == 0.0
+    # object-first: alt connector fires; 2-step then recovers the subject
+    assert c_obj[0][0] == "Acme Corp"
+    assert r_obj > 0.0
+
+
+def test_choice_reward_depth1_matches_reference_math():
+    # step==1: sum of MAX LOGITS of 1-step extractions matching gold
+    text = "Alice Stone works for Acme Corp."
+    gold = [{"subject": "Alice Stone", "object": "Acme Corp"}]
+    r, cands = scorers.choice_reward(
+        text, "works_for", "en", {}, ["subject", "object"], "subject", gold,
+        depth=1,
+    )
+    assert [c[0] for c in cands] == ["Alice Stone"]
+    assert r == cands[0][2]  # one matching mention -> its max logit
+    # non-matching gold contributes nothing
+    r2, _ = scorers.choice_reward(
+        text, "works_for", "en", {}, ["subject", "object"], "subject",
+        [{"subject": "Bob Rivera", "object": "Acme Corp"}], depth=1,
+    )
+    assert r2 == 0.0
