@@ -10,9 +10,10 @@ def _cc(spark, edges, **kw):
     return {r.node: r.component for r in connected_components(df, **kw).collect()}
 
 
-def test_chain_converges_to_min(spark):
+@pytest.mark.parametrize("thr", [0, 1_000_000])  # distributed and driver paths
+def test_chain_converges_to_min(spark, thr):
     # d-c-b-a chain: min-label must propagate the full diameter
-    got = _cc(spark, [("d", "c"), ("c", "b"), ("b", "a")])
+    got = _cc(spark, [("d", "c"), ("c", "b"), ("b", "a")], small_graph_threshold=thr)
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
@@ -21,8 +22,10 @@ def test_two_components(spark):
     assert got == {"a": "a", "b": "a", "y": "y", "z": "y"}
 
 
-def test_cycle_and_self_loop(spark):
-    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("q", "q")])
+@pytest.mark.parametrize("thr", [0, 1_000_000])
+def test_cycle_and_self_loop(spark, thr):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("q", "q")],
+              small_graph_threshold=thr)
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["q"] == "q"
 
@@ -33,7 +36,7 @@ def test_long_chain_converges_in_log_rounds(spark):
     # max_iter=12 would RAISE if convergence were diameter-bound
     n = 1000
     edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n - 1)]
-    got = _cc(spark, edges, max_iter=12)
+    got = _cc(spark, edges, max_iter=12, small_graph_threshold=0)
     assert len(got) == n
     assert set(got.values()) == {"n0000"}
 
@@ -44,7 +47,7 @@ def test_nonconvergence_raises(spark):
         "src string, dst string",
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, small_graph_threshold=0)
 
 
 def test_random_graph_matches_union_find(spark):
@@ -69,5 +72,8 @@ def test_random_graph_matches_union_find(spark):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     expect = {u: find(u) for u in parent}
-    got = _cc(spark, edges)
-    assert got == expect
+    # the driver fast path and the distributed star loop must both match
+    got_driver = _cc(spark, edges)
+    got_dist = _cc(spark, edges, small_graph_threshold=0)
+    assert got_driver == expect
+    assert got_dist == expect
