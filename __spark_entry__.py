@@ -23,8 +23,8 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    dedup, detect, linking, multimodal, nested, output, similarity, slot_fill,
-    textstats, tokenize,
+    dedup, detect, linking, multimodal, nested, output, rl_train, similarity,
+    slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
@@ -627,6 +627,64 @@ def q_metric_f1_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _detected_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    return detect.detect_relations(txt).filter(F.col("rel").isin(KS.REL_NAMES))
+
+
+def q_rl_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 experience collection: one Arrow pass over the detection gate
+    emits the replay-buffer table (ε = 0, zero-init weights → sequence
+    ordering; relations only so the oracle stays two-step)."""
+    tr = rl_train.generate_transitions(_detected_relations(spark, sf_dir))
+    return tr.select(
+        "url", "rel", "step", "given", "action",
+        F.round("reward", 6).alias("reward"),
+        F.col("done").cast("int").alias("done"),
+        "n_next",
+    )
+
+
+def q_dqn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 distributed fitted-Q DQN: prioritized exponential-race minibatch
+    per iteration over the buffered transitions; returns the loss history
+    (one row per iteration). Training is iterative model fitting — not
+    SQL-expressible, so this entry is rows-only checked."""
+    tr = rl_train.generate_transitions(_detected_relations(spark, sf_dir))
+    _w, hist = rl_train.train_dqn(tr, n_iters=12, target_update=4, seed=7)
+    return spark.createDataFrame(
+        [(h["iter"], round(h["loss"], 6), round(h["mean_abs_td"], 6), h["batch"]) for h in hist],
+        "iter int, loss double, mean_abs_td double, batch int",
+    )
+
+
+def q_rl_learned_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end E13+E14+E7: fitted-Q train under the two-step-lookahead
+    shaped reward (gold joined from the corpus), then report the trained
+    policy's opening action per relation — the learned slot-ordering
+    preference. Rows-only checked (iterative training)."""
+    # materialize the gate once: each training generation re-rolls episodes
+    # over it, and the final first_actions pass reads it again
+    det = _detected_relations(spark, sf_dir).localCheckpoint(eager=True)
+    gft = corpus.gold_fact_tuples(spark, sf_dir)
+    slots = F.when(
+        F.col("lang") == "zh",
+        F.create_map(
+            F.lit(KS.ZH_SLOTS[0]), F.col("subj"), F.lit(KS.ZH_SLOTS[1]), F.col("obj")
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit(KS.EN_SLOTS[0]), F.col("subj"), F.lit(KS.EN_SLOTS[1]), F.col("obj")
+        )
+    )
+    gold = gft.select("url", "rel", slots.alias("slots"))
+    w, _hist = rl_train.fitted_q_train(
+        det, n_generations=2, iters_per_gen=10, epsilon0=0.5,
+        gold=gold, reward_mode="lookahead", seed=11,
+    )
+    return rl_train.first_actions(det, w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": q_kg_triples,
@@ -675,6 +733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score2prob": q_score2prob,
         "argmax_order": q_argmax_order,
         "metric_f1_sets": q_metric_f1_sets,
+        "rl_transitions": q_rl_transitions,
+        "dqn_train": q_dqn_train,
+        "rl_learned_policy": q_rl_learned_policy,
     }
 
 
@@ -844,4 +905,5 @@ def oracle_sql() -> dict[str, str]:
                                     0.000000001), 6) AS f1
             FROM s
         """,
+        "rl_transitions": oracle.rl_transitions_sql(),
     }

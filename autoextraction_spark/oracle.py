@@ -862,3 +862,70 @@ SELECT CAST(count(*) AS BIGINT) AS correct, CAST(count(*) AS BIGINT) AS output,
        CAST(count(*) AS BIGINT) AS golden,
        1.0 AS precision, 1.0 AS recall, 1.0 AS f1
 FROM g"""
+
+
+def rl_transitions_sql() -> str:
+    """Expected E13 transitions table for a SEQUENCE-ordered rollout —
+    ``rl_train.generate_transitions`` with ε = 0 and zero-initialized
+    weights (all Q equal → first-max tie-break → schema order), relations
+    only. One row per processed (state, action):
+
+    step 0 (action = first slot): one row per gated (url, rel); candidates
+    are the distinct subjects of PRIMARY-rendered facts (subject extraction
+    is primary-connector-only), reward = mean per-mention max logit = 2.5,
+    or the '[None]' fallback (reward 3.0, one fork) when every fact of the
+    relation is alt-rendered. done = false (one slot remains).
+
+    step 1 (action = second slot): one row per fork. For a real subject s:
+    candidates are the distinct objects of facts with subject s under ANY
+    connector (primary logit 2.5, alt 1.2, max per mention), reward = mean
+    over distinct objects. For the '[None]' fork nothing anchors → the
+    fallback again (reward 3.0, n_next 1). done = true.
+    """
+    is_alt = f"(lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)})"
+    def slot(col: str, idx: int) -> str:
+        return (
+            f"CASE WHEN {col} = 'zh' THEN '{S.ZH_SLOTS[idx]}' "
+            f"ELSE '{S.EN_SLOTS[idx]}' END"
+        )
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT doc_id, lang, i, rel_idx, {URL_EXPR} AS url,
+             {_RELS}[rel_idx + 1] AS rel,
+             {_subj_expr()} AS subj, {_obj_expr(False)} AS obj,
+             {is_alt} AS is_alt
+      FROM facts),
+gate AS (SELECT url, lang, rel_idx, any_value(rel) AS rel FROM r GROUP BY url, lang, rel_idx),
+prim_subj AS (SELECT DISTINCT url, lang, rel_idx, subj FROM r WHERE NOT is_alt),
+n_prim AS (SELECT url, rel_idx, count(*) AS n FROM prim_subj GROUP BY url, rel_idx),
+step0 AS (
+  SELECT g.url, g.rel, 0 AS step, '' AS given, {slot('g.lang', 0)} AS action,
+         CASE WHEN np.n IS NULL THEN 3.0 ELSE 2.5 END AS reward,
+         0 AS done, CAST(coalesce(np.n, 1) AS INT) AS n_next
+  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
+),
+obj_per_subj AS (
+  SELECT url, lang, rel_idx, subj, obj,
+         max(CASE WHEN is_alt THEN 1.2 ELSE 2.5 END) AS logit
+  FROM r GROUP BY url, lang, rel_idx, subj, obj
+),
+step1 AS (
+  SELECT o.url, any_value(g.rel) AS rel, 1 AS step, o.subj AS given,
+         {slot('o.lang', 1)} AS action, round(avg(o.logit), 6) AS reward,
+         1 AS done, CAST(count(*) AS INT) AS n_next
+  FROM obj_per_subj o
+  JOIN prim_subj p ON o.url = p.url AND o.rel_idx = p.rel_idx AND o.subj = p.subj
+  JOIN gate g ON o.url = g.url AND o.rel_idx = g.rel_idx
+  GROUP BY o.url, o.lang, o.rel_idx, o.subj
+),
+step1_none AS (
+  SELECT g.url, g.rel, 1 AS step, '{S.NONE_SENTINEL}' AS given,
+         {slot('g.lang', 1)} AS action, 3.0 AS reward, 1 AS done, 1 AS n_next
+  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
+  WHERE np.n IS NULL
+)
+SELECT url, rel, CAST(step AS INT) AS step, given, action, reward,
+       CAST(done AS INT) AS done, n_next FROM step0
+UNION ALL
+SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1
+UNION ALL
+SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1_none"""

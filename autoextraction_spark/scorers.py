@@ -21,6 +21,7 @@ partition-order independent, so results are stable under any repartitioning
 
 from __future__ import annotations
 
+import json
 import math
 import re
 import zlib
@@ -156,6 +157,68 @@ def q_value(text: str, rel: str, lang: str, assigned: dict[str, str], slot: str)
     return float(len(raw_candidates(text, rel, lang, assigned, slot)))
 
 
+FEATURE_DIM = 18  # 10 base + 8 hashed (rel, slot, progress) buckets
+
+
+def featurize(
+    text: str, rel: str, lang: str, assigned: dict[str, str], slot: str
+) -> list[float]:
+    """φ(state, action) for the trainable linear Q (E14, rl_train.py).
+
+    Stands in for the reference's BERT state-action encoder
+    (RL_utils/dqn.py:43-69 tokenizes ``choice + ' ' + cond`` against the
+    text); this is the documented swap seam — a neural encoder replaces this
+    function and nothing else. Features are cheap pure-python (substring
+    counts, position flags) so experience generation stays one narrow map:
+
+    - position flags of the slot in its schema (first / last),
+    - progress (how many slots already assigned),
+    - primary- / alt-connector occurrence counts in the text (clipped),
+    - their interactions with the position flags (a linear model needs the
+      explicit product to learn "go object-first when alt phrasing is
+      present" — the paper's order-sensitivity signal),
+    - a hashed (rel, slot, n_assigned) one-hot: keying the bucket on episode
+      progress keeps depth-0 openings (where ordering is chosen) from
+      aliasing with deeper forced/near-forced picks of the same slot —
+      without it, the many zero-reward final-step transitions drag down the
+      Q of the same slot AS AN OPENING and the ordering signal washes out.
+    """
+    names = (
+        list(S.EVENTS[rel]["roles"]) if rel in S.EVENTS else slot_names(lang)
+    )
+    idx = names.index(slot)
+    is_first = 1.0 if idx == 0 else 0.0
+    is_last = 1.0 if idx == len(names) - 1 else 0.0
+    if rel in S.EVENTS:
+        prim = float(text.count(S.EVENTS[rel]["anchor"]))
+        alt = 0.0
+    else:
+        conns = _connectors(rel, lang)
+        prim = float(sum(text.count(c) for c, p in conns if p))
+        alt = float(sum(text.count(c) for c, p in conns if not p))
+    prim = min(prim, 4.0) / 4.0
+    alt = min(alt, 4.0) / 4.0
+    feats = [
+        1.0, is_first, is_last, len(assigned) / 4.0, prim, alt,
+        prim * is_first, prim * is_last, alt * is_first, alt * is_last,
+    ]
+    onehot = [0.0] * (FEATURE_DIM - len(feats))
+    onehot[zlib.crc32(f"{rel}|{slot}|{len(assigned)}".encode("utf-8")) % len(onehot)] = 1.0
+    return feats + onehot
+
+
+def linear_q(
+    weights: list[float], text: str, rel: str, lang: str,
+    assigned: dict[str, str], slot: str,
+) -> float:
+    return sum(w * f for w, f in zip(weights, featurize(text, rel, lang, assigned, slot)))
+
+
+@lru_cache(maxsize=32)
+def _parse_learned(blob: str) -> tuple[float, ...]:
+    return tuple(json.loads(blob))
+
+
 def choose_slot(
     text: str,
     rel: str,
@@ -171,9 +234,20 @@ def choose_slot(
     ``reverse``  — always last slot (data_filter.py:195 action=-1).
     ``random``   — deterministic pseudo-random pick keyed on the state
                    (DQN.py:263-264 Random baseline, made reproducible).
+    ``learned:<json weights>`` — argmax of the TRAINED linear Q
+                   (rl_train.learned_policy): deployment of an E14-trained
+                   policy through the same fused inference pass.
     """
     if policy == "sequence":
         return remaining[0]
+    if policy.startswith("learned:"):
+        w = _parse_learned(policy[len("learned:"):])
+        best_i, best_q = 0, float("-inf")
+        for i, slot in enumerate(remaining):
+            q = linear_q(w, text, rel, lang, assigned, slot)
+            if q > best_q:
+                best_i, best_q = i, q
+        return remaining[best_i]
     if policy == "reverse":
         return remaining[-1]
     if policy == "random":

@@ -66,6 +66,26 @@ def main() -> None:
          explain_str(pairs))
     )
 
+    from autoextraction_spark import scorers
+    from autoextraction_spark import schema as S
+    from autoextraction_spark.operators import rl_train
+
+    trans = rl_train.generate_transitions(
+        det.filter(F.col("rel").isin(S.REL_NAMES))
+    )
+    td = rl_train.td_columns(
+        trans, [0.1] * scorers.FEATURE_DIM, [0.05] * scorers.FEATURE_DIM
+    )
+    sections.append(
+        ("E14 fitted-Q TD pass (training's hot scan is pure codegen)",
+         "Experience generation is the pipeline's ONE python stage; the "
+         "per-iteration TD target / priority scoring over the whole replay "
+         "buffer compiles to higher-order-function expressions (zip_with "
+         "dot products, array_max, aggregate) — no Python worker inside "
+         "the training loop's distributed scan.",
+         explain_str(td))
+    )
+
     l = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
         F.col("l_shipdate") <= "1998-09-02"
     ).select("l_returnflag", "l_quantity")

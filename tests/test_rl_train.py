@@ -1,0 +1,187 @@
+"""E13/E14 — distributed DQN training (operators/rl_train.py).
+
+Covers: transition generation semantics (one transition per processed
+(state, action), candidate forks, rewards = Environment.py:197 mean-max),
+the distributed TD pass against a hand-computed numpy fitted-Q reference,
+prioritized-race minibatch determinism, and the headline learning outcome:
+under the two-step-lookahead shaped reward the trained linear Q learns the
+OBJECT-FIRST opening on alt-phrased documents (the paper's order-sensitivity
+claim, reproduced by actual training rather than the hand-coded policy).
+"""
+
+from __future__ import annotations
+
+import math
+
+from autoextraction_spark import scorers
+from autoextraction_spark import schema as S
+from autoextraction_spark.operators import rl_train
+
+PRIM = "Alice Stone works for Acme Corp."
+ALT = "Brian Rivera is at Helios Labs."
+
+
+def _detected(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, rel string, text string, lang string"
+    )
+
+
+# ------------------------------------------------------------- E13 rollouts
+
+def test_transitions_primary_doc(spark):
+    det = _detected(spark, [("u1", "works_for", PRIM, "en")])
+    rows = {
+        (r["step"], r["given"], r["action"]): r
+        for r in rl_train.generate_transitions(det).collect()
+    }
+    r0 = rows[(0, "", "subject")]
+    assert r0["reward"] == 2.5 and r0["done"] is False and r0["n_next"] == 1
+    assert len(r0["feats"]) == scorers.FEATURE_DIM
+    # one fork -> one step-1 transition, anchored object extraction
+    r1 = rows[(1, "Alice Stone", "object")]
+    assert r1["reward"] == 2.5 and r1["done"] is True and r1["n_next"] == 1
+    # next_feats: step-0 row has 1 fork x 1 remaining choice; step-1 none
+    assert len(r0["next_feats"]) == 1 and len(r0["next_feats"][0]) == 1
+    assert r1["next_feats"] == [[]]
+    assert len(rows) == 2
+
+
+def test_transitions_alt_doc_sequence_fails(spark):
+    # subject-first on an alt-only doc: [None] fallback both steps
+    det = _detected(spark, [("u1", "works_for", ALT, "en")])
+    rows = {(r["step"], r["given"]): r for r in rl_train.generate_transitions(det).collect()}
+    assert rows[(0, "")]["reward"] == 3.0
+    r1 = rows[(1, S.NONE_SENTINEL)]
+    assert r1["reward"] == 3.0 and r1["n_next"] == 1
+    assert len(rows) == 2
+
+
+def test_transitions_epsilon_explores_deterministically(spark):
+    det = _detected(spark, [(f"u{i}", "works_for", PRIM, "en") for i in range(40)])
+    a = rl_train.generate_transitions(det, epsilon=0.5, seed=3).collect()
+    b = rl_train.generate_transitions(det, epsilon=0.5, seed=3).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))  # reproducible
+    first = {r["url"]: r["action"] for r in a if r["step"] == 0}
+    # with eps=0.5 across 40 urls, both openings must occur
+    assert set(first.values()) == {"subject", "object"}
+
+
+def test_transitions_lookahead_reward(spark):
+    # E7 shaped reward: object-first on the alt doc unlocks gold mass,
+    # subject-first unlocks none
+    det = _detected(spark, [("u1", "works_for", ALT, "en")])
+    gold = spark.createDataFrame(
+        [("u1", "works_for", {"subject": "Brian Rivera", "object": "Helios Labs"})],
+        "url string, rel string, slots map<string,string>",
+    )
+    seq = rl_train.generate_transitions(det, gold=gold, reward_mode="lookahead")
+    r0 = [r for r in seq.collect() if r["step"] == 0][0]
+    assert r0["action"] == "subject" and r0["reward"] == 0.0
+    # force the object-first opening via a weight on the is_last feature
+    w = [0.0] * scorers.FEATURE_DIM
+    w[2] = 1.0
+    obj_first = rl_train.generate_transitions(det, weights=w, gold=gold, reward_mode="lookahead")
+    r0 = [r for r in obj_first.collect() if r["step"] == 0][0]
+    # depth-2 product: the alt-connector object mention matches gold, then
+    # anchored subject extraction matches gold via the alt pattern (logit 1.2)
+    assert r0["action"] == "object" and abs(r0["reward"] - 1.2) < 1e-9
+
+
+def test_event_transitions_three_steps(spark):
+    text = "Acme Corp hired Alice Stone in Denver."
+    det = _detected(spark, [("u1", "hired", text, "en")])
+    rows = rl_train.generate_transitions(det).collect()
+    assert {r["step"] for r in rows} == {0, 1, 2}
+    assert [r["done"] for r in sorted(rows, key=lambda r: r["step"])] == [False, False, True]
+
+
+# ------------------------------------------------------------- E14 TD math
+
+def _np_fitted_q(rows, w, wt, gamma):
+    """Reference TD computation: target = r + gamma * mean_ns(max_c wt.phi)."""
+    out = []
+    for r in rows:
+        q = sum(a * b for a, b in zip(r["feats"], w))
+        if r["next_feats"]:
+            nq = 0.0
+            for choices in r["next_feats"]:
+                nq += max((sum(a * b for a, b in zip(v, wt)) for v in choices), default=0.0)
+            nq /= len(r["next_feats"])
+        else:
+            nq = 0.0
+        tgt = r["reward"] + gamma * nq * (0.0 if r["done"] else 1.0)
+        out.append((q, tgt))
+    return out
+
+
+def test_td_columns_match_reference_math(spark):
+    det = _detected(spark, [("u1", "works_for", PRIM + " " + ALT, "en"),
+                            ("u2", "founded", "Clara Okafor set up Juniper Labs.", "en")])
+    trans = rl_train.generate_transitions(det)
+    rows = trans.collect()
+    w = [0.1 * (i % 5) for i in range(scorers.FEATURE_DIM)]
+    wt = [0.05 * (i % 3) for i in range(scorers.FEATURE_DIM)]
+    got = {
+        (r["url"], r["rel"], r["step"], r["given"], r["action"]): (r["q_pred"], r["td_target"])
+        for r in rl_train.td_columns(trans, w, wt, gamma=0.5).collect()
+    }
+    for r in rows:
+        q, tgt = _np_fitted_q([r], w, wt, 0.5)[0]
+        gq, gt = got[(r["url"], r["rel"], r["step"], r["given"], r["action"])]
+        assert math.isclose(gq, q, abs_tol=1e-9)
+        assert math.isclose(gt, tgt, abs_tol=1e-9)
+
+
+def test_train_dqn_reduces_loss_and_is_deterministic(spark):
+    det = _detected(spark, [(f"u{i}", "works_for", PRIM if i % 2 else ALT, "en")
+                            for i in range(20)])
+    trans = rl_train.generate_transitions(det)
+    w1, h1 = rl_train.train_dqn(trans, n_iters=10, target_update=5, seed=1)
+    w2, h2 = rl_train.train_dqn(trans, n_iters=10, target_update=5, seed=1)
+    assert w1 == w2 and h1 == h2
+    assert len(h1) == 10 and all(r["batch"] > 0 for r in h1)
+    assert h1[-1]["loss"] < h1[0]["loss"]
+
+
+# ------------------------------------------------------- learning outcome
+
+def test_learned_policy_goes_object_first_on_alt_docs(spark):
+    """The headline: trained on the lookahead reward, the linear Q opens
+    alt-phrased works_for docs OBJECT-first (subject-first extracts nothing
+    there) and the deployed policy recovers the alt facts the sequence
+    baseline misses."""
+    alt_docs = [
+        (f"a{i}", "works_for",
+         f"{S.PEOPLE[i % 48]} is at {S.ORGS[(i * 7) % 48]}.", "en")
+        for i in range(12)
+    ]
+    prim_docs = [
+        (f"p{i}", "works_for",
+         f"{S.PEOPLE[(i * 5) % 48]} works for {S.ORGS[(i * 11) % 48]}.", "en")
+        for i in range(12)
+    ]
+    det = _detected(spark, alt_docs + prim_docs)
+    gold = spark.createDataFrame(
+        [(u, rel, {"subject": t.split(" is at " if " is at " in t else " works for ")[0],
+                   "object": t.split(" is at " if " is at " in t else " works for ")[1][:-1]})
+         for u, rel, t, _ in alt_docs + prim_docs],
+        "url string, rel string, slots map<string,string>",
+    )
+    w, hist = rl_train.fitted_q_train(
+        det, n_generations=2, iters_per_gen=15, epsilon0=0.6,
+        gold=gold, reward_mode="lookahead", seed=5, lr=0.1,
+    )
+    assert len(hist) == 30
+    # the trained Q must rank object over subject when alt phrasing is
+    # present, and recover EVERY alt fact through the deployed policy
+    pol = rl_train.learned_policy(w)
+    alt_text = alt_docs[0][2]
+    assert scorers.choose_slot(alt_text, "works_for", "en", {}, ["subject", "object"], pol) == "object"
+    from autoextraction_spark.operators import output, slot_fill
+    completed = slot_fill.ordered_slot_fill(det, policy=pol)
+    triples = output.to_triples(output.completed_filter(completed))
+    got = {(r["url"], r["subj"], r["obj"]) for r in triples.collect()}
+    for u, _rel, t, _ in alt_docs:
+        subj, rest = t.split(" is at ")
+        assert (u, subj, rest[:-1]) in got, f"alt fact lost on {u}"
