@@ -185,3 +185,48 @@ def test_learned_policy_goes_object_first_on_alt_docs(spark):
     for u, _rel, t, _ in alt_docs:
         subj, rest = t.split(" is at ")
         assert (u, subj, rest[:-1]) in got, f"alt fact lost on {u}"
+
+
+def test_trained_policy_full_corpus_parity(spark, sf_dir):
+    """Capstone: train on the REAL synthetic corpus (lookahead reward, gold
+    from the corpus generator), deploy the learned weights through the fused
+    inference pass, and match the hand-coded rl policy's P/R = 1.0 — beating
+    the sequence baseline's 0.873 recall. The reference's end-to-end story
+    (DQN.py train → predict.py decode) reproduced by actual training."""
+    from pyspark.sql import functions as F
+
+    from autoextraction_spark import corpus
+    from autoextraction_spark import schema as KS
+    from autoextraction_spark.operators import detect, output, slot_fill
+
+    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    det = (
+        detect.detect_relations(txt)
+        .filter(F.col("rel").isin(KS.REL_NAMES))
+        .localCheckpoint(eager=True)
+    )
+    gft = corpus.gold_fact_tuples(spark, sf_dir)
+    slots = F.when(
+        F.col("lang") == "zh",
+        F.create_map(F.lit(KS.ZH_SLOTS[0]), F.col("subj"),
+                     F.lit(KS.ZH_SLOTS[1]), F.col("obj")),
+    ).otherwise(
+        F.create_map(F.lit(KS.EN_SLOTS[0]), F.col("subj"),
+                     F.lit(KS.EN_SLOTS[1]), F.col("obj"))
+    )
+    gold = gft.select("url", "rel", slots.alias("slots"))
+    w, _ = rl_train.fitted_q_train(
+        det, n_generations=3, iters_per_gen=15, epsilon0=0.6,
+        gold=gold, reward_mode="lookahead", seed=11, lr=0.1,
+    )
+    completed = slot_fill.ordered_slot_fill(
+        det, policy=rl_train.learned_policy(w), carry_text=False
+    )
+    triples = output.to_triples(output.completed_filter(completed))
+    gold_triples = corpus.gold_triples(spark, sf_dir).filter(
+        F.col("pred").isin(KS.REL_NAMES)
+    )
+    m = output.metric_f1(
+        triples, gold_triples, keys=["url", "pred", "subj", "obj"]
+    ).collect()[0]
+    assert m["precision"] == 1.0 and m["recall"] == 1.0, dict(m.asDict())
