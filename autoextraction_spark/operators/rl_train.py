@@ -57,8 +57,11 @@ numerics. A 10^12-document corpus trains on a sampled buffer — pass
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
+import os
+import time
 import zlib
 from collections.abc import Iterator
 
@@ -364,29 +367,87 @@ def fitted_q_train(
     reward_mode: str = "step",
     buffer_fraction: float | None = None,
     seed: int = 0,
+    workdir: str | None = None,
+    resume: bool = True,
     **train_kw,
 ) -> tuple[list[float], list[dict]]:
     """Outer loop: regenerate experience under the improved policy with
     decayed ε (the on-policy dimension of DQN.py:125-160; ε ×
     ``epsilon_decay`` per generation ≡ ``explore_update``, dqn.py:143),
     then run ``iters_per_gen`` fitted-Q iterations. ``buffer_fraction``
-    samples the gated corpus before rollout — the 10^12-document knob."""
+    samples the gated corpus before rollout — the 10^12-document knob.
+
+    ``workdir`` makes training RESUMABLE with the same manifest scheme as
+    the extraction pipeline (pipeline.KgPipeline; the reference checkpoints
+    weights every ``iters_save`` episodes, DQN.py:155-156): per generation,
+    the rollout's transitions land as a parquet checkpoint with per-partition
+    lineage, and the trained weights + loss history land in a manifest whose
+    config FINGERPRINT chains through all prior generations — a killed job
+    re-runs only unfinished generations, and any config change (seed, ε
+    schedule, reward mode, optimizer knobs) invalidates everything
+    downstream instead of silently resuming stale state."""
     w: list[float] | None = None
     history: list[dict] = []
     eps = epsilon0
     if buffer_fraction is not None:
         detected = detected.sample(fraction=buffer_fraction, seed=seed)
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+    fp = ""
     for g in range(n_generations):
+        cfg = (
+            f"{g}|{seed}|{eps:.6f}|{iters_per_gen}|{reward_mode}|"
+            f"{buffer_fraction}|{sorted(train_kw.items())}|{fp}"
+        )
+        fp = hashlib.md5(cfg.encode()).hexdigest()
+        manifest_path = (
+            os.path.join(workdir, f"rl_gen_{g}.json") if workdir else None
+        )
+        if manifest_path and resume and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("fingerprint") == fp:
+                w = m["weights"]
+                history.extend(m["history"])
+                eps *= epsilon_decay
+                continue
+        t0 = time.time()
         trans = generate_transitions(
             detected, w, epsilon=eps, seed=seed + g, gold=gold,
             reward_mode=reward_mode,
         )
+        if workdir:
+            tdir = os.path.join(workdir, f"stage=rl_transitions/gen={g}")
+            success = os.path.join(tdir, "_SUCCESS")
+            fp_marker = os.path.join(tdir, f"_FP_{fp}")
+            if not (resume and os.path.exists(success) and os.path.exists(fp_marker)):
+                (
+                    trans.withColumn("_stage", F.lit(f"rl_transitions_g{g}"))
+                    .withColumn("_part_id", F.spark_partition_id())
+                    .write.mode("overwrite")
+                    .parquet(tdir)
+                )
+                open(fp_marker, "w").close()
+            trans = detected.sparkSession.read.parquet(tdir)
         w, h = train_dqn(trans, n_iters=iters_per_gen, seed=seed + g,
                          init_weights=w, **train_kw)
         for row in h:
             row["generation"] = g
             row["epsilon"] = eps
         history.extend(h)
+        if manifest_path:
+            with open(manifest_path, "w") as f:
+                json.dump(
+                    {
+                        "generation": g,
+                        "fingerprint": fp,
+                        "epsilon": eps,
+                        "weights": w,
+                        "history": h,
+                        "wall_sec": round(time.time() - t0, 2),
+                    },
+                    f,
+                )
         eps *= epsilon_decay
     assert w is not None
     return w, history

@@ -230,3 +230,29 @@ def test_trained_policy_full_corpus_parity(spark, sf_dir):
         triples, gold_triples, keys=["url", "pred", "subj", "obj"]
     ).collect()[0]
     assert m["precision"] == 1.0 and m["recall"] == 1.0, dict(m.asDict())
+
+
+def test_fitted_q_train_checkpoint_resume(spark, tmp_path):
+    """Training is resumable with the pipeline's manifest scheme: a rerun
+    with the same config re-runs NOTHING (weights come from manifests, the
+    transition parquet is untouched); a config change invalidates the
+    fingerprint chain and rebuilds."""
+    import glob
+    import os
+
+    det = _detected(spark, [(f"u{i}", "works_for", PRIM if i % 2 else ALT, "en")
+                            for i in range(10)])
+    wd = str(tmp_path / "rlwd")
+    kw = dict(n_generations=2, iters_per_gen=4, epsilon0=0.4, seed=3, workdir=wd)
+    w1, h1 = rl_train.fitted_q_train(det, **kw)
+    files = sorted(glob.glob(wd + "/stage=rl_transitions/gen=*/part-*"))
+    assert files, "transition checkpoints missing"
+    mt = {f: os.path.getmtime(f) for f in files}
+    w2, h2 = rl_train.fitted_q_train(det, **kw)
+    assert w1 == w2 and h1 == h2
+    assert all(os.path.getmtime(f) == mt[f] for f in files)
+    # config change -> fingerprint mismatch -> full rebuild of gen 0 onward
+    w3, _ = rl_train.fitted_q_train(det, **{**kw, "iters_per_gen": 5})
+    new_files = sorted(glob.glob(wd + "/stage=rl_transitions/gen=*/part-*"))
+    assert {f: os.path.getmtime(f) for f in new_files} != mt
+    assert w3 != w1
