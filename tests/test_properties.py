@@ -69,3 +69,46 @@ def test_sampled_perms_are_valid_and_deterministic(k):
     assert orders == [o for _, _, o in nested.perm_dimension([k])]
     # full expansion below the sampling threshold
     assert len(nested.perm_dimension([4])) == math.factorial(4)
+
+
+def _random_doc_text(draw):
+    """A doc with 1-3 works_for facts, each primary- or alt-phrased."""
+    from autoextraction_spark import schema as S
+
+    n = draw(st.integers(1, 3))
+    sents = []
+    for k in range(n):
+        p = S.PEOPLE[draw(st.integers(0, 47))]
+        o = S.ORGS[draw(st.integers(0, 47))]
+        conn = " works for " if draw(st.booleans()) else " is at "
+        sents.append(f"{p}{conn}{o}.")
+    return " ".join(sents)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_episode_transitions_invariants(data):
+    """Pure-function invariants of E13 rollouts on random fact mixes:
+    exactly one opening transition; its fork count equals the number of
+    depth-1 transitions; done marks exactly the final depth; every feature
+    vector has FEATURE_DIM entries; rollouts are deterministic."""
+    from autoextraction_spark.operators.rl_train import _episode_transitions
+
+    text = _random_doc_text(data.draw)
+    eps = data.draw(st.sampled_from([0.0, 0.5]))
+    args = ("u0", "works_for", text, "en", [0.0] * scorers.FEATURE_DIM,
+            eps, 7, None, "step", 20)
+    rows = _episode_transitions(*args)
+    assert rows == _episode_transitions(*args)  # deterministic
+    step0 = [r for r in rows if r[3] == 0]
+    step1 = [r for r in rows if r[3] == 1]
+    assert len(step0) == 1 and len(rows) == len(step0) + len(step1)
+    (_u, _rel, _lang, _s, given, action, reward, done, n_next, feats,
+     next_feats) = step0[0]
+    assert given == "" and not done and n_next == len(next_feats) == len(step1)
+    assert len(feats) == scorers.FEATURE_DIM
+    assert reward > 0
+    for r in step1:
+        assert r[7] is True  # done
+        assert len(r[9]) == scorers.FEATURE_DIM
+        assert all(len(v) == scorers.FEATURE_DIM for ns in r[10] for v in ns)
