@@ -135,6 +135,12 @@ def variant_edges(
 def canonical_mapping(mentions: DataFrame, **kwargs) -> DataFrame:
     """(ent_type, mention, canonical) — canonical = lexicographically
     smallest variant in the connected component; identity for singletons."""
+    # materialize the vocab ONCE: it is scanned four times inside the
+    # blocked-join plan (a/b sides + both verify lookups), again by the CC
+    # node/edge checkpoints, and once more by the final left join — without
+    # this every scan re-runs the upstream distinct over the triple table
+    # (profiled at sf0.1: ~3.5s of pure recomputation on a 161-row vocab)
+    mentions = mentions.localCheckpoint(eager=True)
     edges = variant_edges(mentions, **kwargs)
     # check_every=2: the convergence probe is count + exceptAll (2 driver
     # jobs); probing every other round saves ~30% of driver actions on deep
@@ -164,9 +170,13 @@ def canonical_triples(triples: DataFrame, mapping: DataFrame | None = None) -> D
     """
     if mapping is None:
         # triples feed the vocab AND the rewrite — materialize once instead
-        # of recomputing the upstream pipeline twice
+        # of recomputing the upstream pipeline twice; same for the mapping
+        # (vocabulary-sized), whose plan would otherwise re-run per
+        # broadcast build below
         triples = triples.localCheckpoint(eager=True)
-        mapping = canonical_mapping(mention_vocab(triples))
+        mapping = canonical_mapping(mention_vocab(triples)).localCheckpoint(
+            eager=True
+        )
     types = F.broadcast(rel_types(triples.sparkSession))
     m = F.broadcast(mapping)
     t = triples.join(types, "pred")
