@@ -120,7 +120,13 @@ def connected_components(
     fixpoint within ``max_iter`` rounds (≈ log₂ of the largest component —
     30 covers any graph that fits on a cluster).
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the INPUT edge plan once: nodes and e each force a job,
+    # and without this both re-execute the caller's (expensive) pair
+    # generation — a minhash/LSH/blocked-join chain in every production
+    # caller — instead of scanning a tiny materialized edge list
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
         .select(F.col("u").alias("node"))
