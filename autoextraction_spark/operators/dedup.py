@@ -25,6 +25,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 8
@@ -139,8 +140,21 @@ def lsh_candidate_pairs(
     )
 
 
+def _maybe_ckpt(df: DataFrame, materialize: bool) -> DataFrame:
+    """DISK_ONLY local checkpoint when ``materialize`` — note that under AQE
+    even ``eager=False`` finalizes and RUNS the upstream stages at plan
+    construction (``.rdd`` triggers adaptive execution), so pass
+    ``materialize=False`` from plan-only consumers (explain snapshots)."""
+    if not materialize:
+        return df
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def exact_jaccard(
-    pairs: DataFrame, shingled: DataFrame, threshold: float | None = None
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact set Jaccard per candidate pair.
 
@@ -157,8 +171,23 @@ def exact_jaccard(
 
     All joins remain on ids; document bodies never shuffle. Jaccard is
     returned unfiltered — callers apply their own ≥ t cut.
+
+    The per-id sizes and shingle arrays come from ONE aggregation (one
+    shuffle of the exploded table, not two) and the result — one compact
+    row per document — is lazily locally checkpointed: it feeds FOUR join
+    builds (a/b sizes, a/b arrays), and without the checkpoint each build
+    re-runs the whole corpus-scan → shingle → groupBy chain (profiled: the
+    documents parquet was scanned 6× per dedup query). Lazy (not eager) so
+    plan-only consumers (explain) stay side-effect-free; the length filter
+    still sees only (id, n) columns, so failing pairs never move arrays.
     """
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    per_id = _maybe_ckpt(
+        shingled.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"), F.collect_list("sh").alias("shs")
+        ),
+        materialize,
+    )
+    sizes = per_id.select("id", "n")
     p = pairs.join(
         sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a"
     ).join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
@@ -168,7 +197,7 @@ def exact_jaccard(
             (F.lit(threshold) * F.col("n_a") <= F.col("n_b") + F.lit(1e-9))
             & (F.lit(threshold) * F.col("n_b") <= F.col("n_a") + F.lit(1e-9))
         )
-    sets = shingled.groupBy("id").agg(F.collect_list("sh").alias("shs"))
+    sets = per_id.select("id", "shs")
     return (
         p.join(sets.withColumnsRenamed({"id": "id_a", "shs": "shs_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "shs": "shs_b"}), "id_b")
@@ -193,6 +222,7 @@ def minhash_dup_pairs(
     bands: int = DEFAULT_BANDS,
     shingle: str = "word",
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → minhash → LSH band join → exact
     Jaccard ≥ threshold. The full MinHash+LSH dedup operator."""
@@ -201,10 +231,16 @@ def minhash_dup_pairs(
         if shingle == "word"
         else char_shingles(F.col(text_col), shingle_n)
     )
-    shingled = exploded_shingles(df, id_col, expr)
-    sig = minhash_signature(shingled, num_perm)
+    # materialize once: the exploded shingle table feeds the signature AND
+    # the verify aggregation (2 corpus scans otherwise), and the signature
+    # feeds both sides of the band self-join. The shingle table is the one
+    # corpus-sized intermediate — one DISK_ONLY copy vs re-scanning +
+    # re-splitting the text per consumer is the right trade when the text
+    # column dominates I/O (it does at web scale).
+    shingled = _maybe_ckpt(exploded_shingles(df, id_col, expr), materialize)
+    sig = _maybe_ckpt(minhash_signature(shingled, num_perm), materialize)
     cands = lsh_candidate_pairs(sig, num_perm, bands)
-    return exact_jaccard(cands, shingled, threshold).filter(
+    return exact_jaccard(cands, shingled, threshold, materialize).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -257,6 +293,7 @@ def jaccard_dup_pairs(
     threshold: float = 0.5,
     shingle: str = "word",
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: shingle → prefix-filter inverted
     index (exact candidates) → exact set Jaccard ≥ threshold. Unlike the
@@ -266,9 +303,12 @@ def jaccard_dup_pairs(
         if shingle == "word"
         else char_shingles(F.col(text_col), shingle_n)
     )
-    shingled = exploded_shingles(df, id_col, expr)
+    # materialize once: the exploded table feeds the document-frequency
+    # count, the prefix-index build, and the verify aggregation — one
+    # materialization instead of three corpus scans (see minhash_dup_pairs)
+    shingled = _maybe_ckpt(exploded_shingles(df, id_col, expr), materialize)
     cands = prefix_filter_candidates(shingled, threshold)
-    return exact_jaccard(cands, shingled, threshold).filter(
+    return exact_jaccard(cands, shingled, threshold, materialize).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -57,7 +57,11 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
-    pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    # materialize=False: keep this a pure compile (under AQE a local
+    # checkpoint executes at plan construction) and keep the full join
+    # structure visible in the snapshot
+    pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.5,
+                                    materialize=False)
     sections.append(
         ("ngram_jaccard prefix-filter join (no cartesian anywhere)",
          "Candidates come from an equi-join of per-document shingle "
