@@ -162,9 +162,16 @@ def q_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 order-sensitivity split (data_filter.py:174-242): the triples the
     adaptive policy recovers that the fixed schema-order baseline misses —
     the reference's 'hard' eval-split construction, end-to-end."""
-    rl = _pipeline_triples(spark, sf_dir, policy="rl")
-    seq = _pipeline_triples(spark, sf_dir, policy="sequence")
-    return rl.exceptAll(seq)
+    # the two policy runs ARE the semantics (O8) — but they share the
+    # generation → extraction → detection upstream, which is materialized
+    # once instead of running the corpus pass twice
+    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    det = detect.detect_relations(txt).localCheckpoint(eager=True)
+    runs = {}
+    for policy in ("rl", "sequence"):
+        completed = slot_fill.ordered_slot_fill(det, policy=policy, carry_text=False)
+        runs[policy] = output.to_triples(output.completed_filter(completed))
+    return runs["rl"].exceptAll(runs["sequence"])
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

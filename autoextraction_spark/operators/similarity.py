@@ -294,6 +294,7 @@ def embedding_neardup_pairs(
     n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -322,7 +323,14 @@ def embedding_neardup_pairs(
         joined = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
         pairs = joined.select("id_a", "id_b", "v_a", "v_b")
     else:
-        bucketed = with_lsh_tables(df, vec_col, n_planes, n_tables, dim)
+        from .dedup import _maybe_ckpt
+
+        # the (table, bucket) projection — n_tables × n_planes dot products
+        # per vector — feeds BOTH sides of the self-join; one DISK_ONLY
+        # materialization instead of computing the projections twice
+        bucketed = _maybe_ckpt(
+            with_lsh_tables(df, vec_col, n_planes, n_tables, dim), materialize
+        )
         a = bucketed.select(
             F.col(id_col).alias("id_a"), "table", "bucket"
         )
