@@ -50,11 +50,12 @@ def main() -> int:
         warm(F.col("id").cast("double"))
     ).count()
 
-    # min-of-2 per query: this VM exhibits wandering 10-20s whole-machine
+    # min-of-N per query: this VM exhibits wandering 10-20s whole-machine
     # stalls (kernel sys-time storms, documented in BENCH/BASELINE.md); the
-    # min of two full passes is the standard protocol here — it measures the
-    # plan, not the stall lottery.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # min over full passes measures the plan, not the stall lottery. Three
+    # passes since the round-3 recompute fixes cut query walls ~40% — a
+    # stall now has to land on the same query three times to pollute a min.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
