@@ -160,3 +160,59 @@ def test_stateful_dedup_rocksdb_with_ttl(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_online_training_stream(spark, sf_dir, tmp_path):
+    """Online E13/E14: weights improve across micro-batches while the crawl
+    streams in; replay buffer is epoch-idempotent; the newest artifact
+    yields a deployable learned: policy."""
+    import json
+    import os
+
+    from autoextraction_spark import scorers
+    from autoextraction_spark.streaming import online_train
+
+    in_dir = str(tmp_path / "landing")
+    wd = str(tmp_path / "rl")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = corpus.web_pages(spark, sf_dir).cache()
+    pages.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    q = online_train.stream_online_training(
+        spark, in_dir, wd, ckpt, iters_per_batch=3, seed=9
+    )
+    q.awaitTermination(300)
+    arts = sorted(glob.glob(wd + "/weights_epoch_*.json"))
+    assert arts, "no weight artifacts written"
+    with open(arts[-1]) as f:
+        first = json.load(f)
+    assert len(first["weights"]) == scorers.FEATURE_DIM
+    assert first["weights"] != [0.0] * scorers.FEATURE_DIM
+
+    # second drop: training continues FROM the stored weights and ε decays
+    pages.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    q2 = online_train.stream_online_training(
+        spark, in_dir, wd, ckpt, iters_per_batch=3, seed=9
+    )
+    q2.awaitTermination(300)
+    arts2 = sorted(glob.glob(wd + "/weights_epoch_*.json"))
+    assert len(arts2) > len(arts)
+    with open(sorted(arts2, key=lambda p: json.load(open(p))["epoch"])[-1]) as f:
+        last = json.load(f)
+    assert last["epoch"] > first["epoch"]
+    assert last["epsilon"] < first["epsilon"]
+    assert last["weights"] != first["weights"]
+
+    # buffer is epoch-partitioned with no duplicate (url, rel, step, given,
+    # action) rows across retries
+    buf = spark.read.parquet(wd + "/replay_buffer")
+    key = buf.select("_epoch", "url", "rel", "step", "given", "action")
+    assert key.count() == key.distinct().count()
+
+    # deployable policy string
+    pol = online_train.current_policy(wd)
+    assert pol.startswith("learned:")
+    assert scorers.choose_slot(
+        "Alice Stone works for Acme Corp.", "works_for", "en", {},
+        ["subject", "object"], pol,
+    ) in ("subject", "object")
