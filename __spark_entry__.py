@@ -652,6 +652,20 @@ def q_rl_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rl_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 over the 3-role EVENT episodes (en + zh): the arity-3 fork path
+    of experience collection, sequence-ordered under ε = 0 / zero weights."""
+    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    det = detect.detect_relations(txt).filter(F.col("rel").isin(KS.EVENT_NAMES))
+    tr = rl_train.generate_transitions(det)
+    return tr.select(
+        "url", "rel", "step", "given", "action",
+        F.round("reward", 6).alias("reward"),
+        F.col("done").cast("int").alias("done"),
+        "n_next",
+    )
+
+
 def q_dqn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E14 distributed fitted-Q DQN: prioritized exponential-race minibatch
     per iteration over the buffered transitions; returns the loss history
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_order": q_argmax_order,
         "metric_f1_sets": q_metric_f1_sets,
         "rl_transitions": q_rl_transitions,
+        "rl_event_transitions": q_rl_event_transitions,
         "dqn_train": q_dqn_train,
         "rl_learned_policy": q_rl_learned_policy,
     }
@@ -913,4 +928,5 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "rl_transitions": oracle.rl_transitions_sql(),
+        "rl_event_transitions": oracle.rl_event_transitions_sql(),
     }

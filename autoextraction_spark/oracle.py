@@ -929,3 +929,39 @@ UNION ALL
 SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1
 UNION ALL
 SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1_none"""
+
+
+def rl_event_transitions_sql() -> str:
+    """Expected E13 transitions for the 3-role EVENT episodes (sequence
+    order under ε = 0 / zero weights): role0 → role1 → role2. Every event
+    doc renders exactly one event sentence, so each extraction step has
+    exactly one candidate (logit 2.5 → reward 2.5, one fork). ``given`` is
+    '' at step 0, the role-0 value at step 1, and at step 2 the
+    key-sorted JSON of the two assigned roles — rendered here byte-for-byte
+    (json.dumps with default separators, ensure_ascii=False)."""
+    selects = []
+    for etype, gate, vals, _lang in _event_rows():
+        ev = S.EVENTS[etype]
+        r0, r1, r2 = ev["roles"]
+        v = {r: vals[r] for r in ev["roles"]}
+        # step-2 given: JSON object over the two assigned roles, keys sorted
+        (ka, kb) = sorted([r0, r1])
+        j = (
+            "'{\"" + ka + "\": \"' || " + v[ka] + " || '\", \"" + kb
+            + "\": \"' || " + v[kb] + " || '\"}'"
+        )
+        base = f"SELECT {URL_EXPR} AS url, '{etype}' AS rel"
+        selects.append(
+            f"{base}, 0 AS step, '' AS given, '{r0}' AS action, "
+            f"2.5 AS reward, 0 AS done, 1 AS n_next FROM docs WHERE {gate}"
+        )
+        selects.append(
+            f"{base}, 1 AS step, {v[r0]} AS given, '{r1}' AS action, "
+            f"2.5 AS reward, 0 AS done, 1 AS n_next FROM docs WHERE {gate}"
+        )
+        selects.append(
+            f"{base}, 2 AS step, {j} AS given, '{r2}' AS action, "
+            f"2.5 AS reward, 1 AS done, 1 AS n_next FROM docs WHERE {gate}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_DOCS_CTE}\n{body}"
