@@ -15,7 +15,10 @@ stream scale: each micro-batch of landed pages
    ingest.py),
 3. runs ``iters_per_batch`` fitted-Q iterations over a recency window of
    the buffer (``window_epochs`` — the streaming analog of the reference's
-   bounded replay memory, replay_buffer.py max_size),
+   bounded replay memory, replay_buffer.py max_size; the window bounds what
+   training READS — storage retention is the matching ops task: drop
+   ``_epoch`` partitions older than the window on whatever cadence the
+   deployment's cleanup job runs),
 4. persists the updated weights + loss as ``weights_epoch_<id>.json``.
 
 Idempotency of the weight update: a retried epoch loads the newest weights
