@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Plan-hygiene audit: per query, how many times does the physical plan
+scan a parquet source / a checkpointed RDD / run a python stage?
+
+Spark does not reuse repeated subplans across join branches, so a derived
+table consumed N times is usually N full re-executions of its upstream —
+round 3 found the corpus being scanned 6× per dedup query this way (fixed
+with once-per-query materialization; see README "Scale design notes").
+Run this after adding or changing a query: a parquet-scan count above the
+query's inherent number of source tables is a recompute bug.
+
+``explain('formatted')`` prints every node twice (tree + detail section);
+counts below are already halved.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# iterative training queries execute eagerly at plan construction — skip
+SKIP = {"dqn_train", "rl_learned_policy"}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from autoextraction_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark(app_name="scan-audit", cpus=8, shuffle_partitions=8)
+    rows = []
+    for name, fn in entrymod.queries().items():
+        if name in SKIP:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            p = buf.getvalue()
+            rows.append(
+                (name, p.count("Scan parquet") // 2,
+                 p.count("Scan ExistingRDD") // 2, p.count("MapInPandas") // 2)
+            )
+        except Exception as ex:  # noqa: BLE001 — audit must cover the rest
+            print(f"{name}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
+    rows.sort(key=lambda r: -r[1])
+    print(f"{'query':24} {'parquet':>8} {'ckpt_rdd':>9} {'python':>7}")
+    for name, scans, rdd, mip in rows:
+        print(f"{name:24} {scans:>8} {rdd:>9} {mip:>7}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
