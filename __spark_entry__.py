@@ -667,43 +667,39 @@ def q_rl_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dqn_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E14 distributed fitted-Q DQN: prioritized exponential-race minibatch
-    per iteration over the buffered transitions; returns the loss history
-    (one row per iteration). Training is iterative model fitting — not
-    SQL-expressible, so this entry is rows-only checked."""
+    """E14's distributed TD pass, oracled: iteration 1 of fitted-Q under the
+    FIXED probe weights (rl_train.PROBE_W current net, PROBE_W_TARGET target
+    net — different, so the target-network path is exercised). Runs the real
+    machinery — one Arrow rollout pass (E13) then the pure-codegen
+    ``td_columns`` scoring (zip_with dots, per-fork array_max, chunk-mean,
+    γ(1−done) gating; ref RL_utils/dqn.py:126-152) — and emits one row per
+    buffered transition with its q_pred / TD target / TD error, which the
+    DuckDB oracle recomputes in closed form (weights fixed ⇒ the TD pass is
+    one SQL expression; see oracle.dqn_td_sql's precision contract). The
+    full ITERATIVE loop (prioritized race minibatch, SGD, target sync, ε
+    decay) is pytest-verified in test_rl_train."""
     tr = rl_train.generate_transitions(_detected_relations(spark, sf_dir))
-    _w, hist = rl_train.train_dqn(tr, n_iters=12, target_update=4, seed=7)
-    return spark.createDataFrame(
-        [(h["iter"], round(h["loss"], 6), round(h["mean_abs_td"], 6), h["batch"]) for h in hist],
-        "iter int, loss double, mean_abs_td double, batch int",
+    scored = rl_train.td_columns(tr, rl_train.PROBE_W, rl_train.PROBE_W_TARGET)
+    return scored.select(
+        "url", "rel", "step", "given", "action",
+        F.round("q_pred", 6).alias("q_pred"),
+        F.round("td_target", 6).alias("td_target"),
+        F.round(F.col("q_pred") - F.col("td_target"), 6).alias("td_err"),
     )
 
 
 def q_rl_learned_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end E13+E14+E7: fitted-Q train under the two-step-lookahead
-    shaped reward (gold joined from the corpus), then report the trained
-    policy's opening action per relation — the learned slot-ordering
-    preference. Rows-only checked (iterative training)."""
-    # materialize the gate once: each training generation re-rolls episodes
-    # over it, and the final first_actions pass reads it again
-    det = _detected_relations(spark, sf_dir).localCheckpoint(eager=True)
-    gft = corpus.gold_fact_tuples(spark, sf_dir)
-    slots = F.when(
-        F.col("lang") == "zh",
-        F.create_map(
-            F.lit(KS.ZH_SLOTS[0]), F.col("subj"), F.lit(KS.ZH_SLOTS[1]), F.col("obj")
-        ),
-    ).otherwise(
-        F.create_map(
-            F.lit(KS.EN_SLOTS[0]), F.col("subj"), F.lit(KS.EN_SLOTS[1]), F.col("obj")
-        )
-    )
-    gold = gft.select("url", "rel", slots.alias("slots"))
-    w, _hist = rl_train.fitted_q_train(
-        det, n_generations=2, iters_per_gen=10, epsilon0=0.5,
-        gold=gold, reward_mode="lookahead", seed=11,
-    )
-    return rl_train.first_actions(det, w)
+    """Deployment of a trained E14 policy, oracled: ``first_actions`` runs
+    ``scorers.choose_slot`` with a ``learned:<weights>`` policy string (the
+    exact inference path a trained model ships through) under the FIXED
+    PROBE_POLICY_W, whose opening-action margin flips on the presence of an
+    alt-rendered fact — the paper's order-sensitivity signal
+    (data_filter.py:174-207). The oracle recomputes the argmax in closed
+    form. TRAINING to such weights from scratch (fitted_q_train under the
+    lookahead reward reaching P/R = 1.0) is pytest-verified in
+    test_rl_train.test_trained_policy_full_corpus_parity."""
+    det = _detected_relations(spark, sf_dir)
+    return rl_train.first_actions(det, rl_train.PROBE_POLICY_W)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -929,4 +925,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rl_transitions": oracle.rl_transitions_sql(),
         "rl_event_transitions": oracle.rl_event_transitions_sql(),
+        "dqn_train": oracle.dqn_td_sql(),
+        "rl_learned_policy": oracle.learned_policy_sql(),
     }

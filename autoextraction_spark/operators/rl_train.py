@@ -86,6 +86,32 @@ BATCH_SZ = 32         # DQN.py:122 batch_sz
 TARGET_UPDATE = 20    # DQN.py:36 target_update
 PRIORITY_EPS = 1e-3   # keeps the race key finite for zero-TD rows
 
+# Fixed probe weights for the ORACLED fitted-Q iteration-1 check
+# (`__spark_entry__.q_dqn_train` / `oracle.dqn_td_sql`): with weights fixed,
+# one TD pass (`td_columns`) is a closed-form expression over the transition
+# table — q_pred = w·φ(s,a), target = r + γ·mean_next(max_choice w_t·φ)·(1-done)
+# (ref RL_utils/dqn.py:126-152) — which a DuckDB oracle recomputes exactly.
+# Precision contract: PROBE_W entries are multiples of 1/16 and
+# PROBE_W_TARGET entries multiples of 1/8; featurize components are multiples
+# of 1/4, so every dot product and the γ=1/2-discounted target is an exact
+# multiple of 1/64 — exactly 6 decimal digits, no cross-engine rounding
+# ambiguity at round(…, 6).
+PROBE_W = [0.25, 0.5, -0.25, 0.125, 0.75, -0.5, 0.1875, -0.125, 0.3125,
+           -0.25, 0.0625, -0.0625, 0.125, -0.1875, 0.25, -0.3125, 0.375,
+           -0.4375]
+PROBE_W_TARGET = [0.5, -0.25, 0.125, 0.375, -0.625, 0.25, -0.125, 0.5,
+                  -0.375, 0.125, 0.25, -0.25, 0.375, -0.125, 0.625, -0.5,
+                  0.125, -0.375]
+# Fixed deployment weights for the ORACLED learned-policy check
+# (`q_rl_learned_policy` / `oracle.learned_policy_sql`): the opening-action
+# margin is q(slot1) − q(slot0) = −0.25 + 2·alt + Δonehot with |Δonehot| ≤
+# 0.125, so the policy goes object-first exactly when the page contains ≥1
+# alt-rendered fact of the relation (alt ≥ 0.25) — the paper's
+# order-sensitivity signal (data_filter.py:174-207) — and no state ties.
+PROBE_POLICY_W = [0.0, 0.25, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 2.0,
+                  0.03125, -0.03125, 0.046875, -0.046875, 0.015625,
+                  -0.015625, 0.0625, -0.0625]
+
 
 def _hash_u(*parts: object) -> float:
     """Deterministic uniform in [0, 1) from a crc32 of the parts (python's

@@ -864,6 +864,89 @@ SELECT CAST(count(*) AS BIGINT) AS correct, CAST(count(*) AS BIGINT) AS output,
 FROM g"""
 
 
+def _slot_case(col: str, idx: int) -> str:
+    return (
+        f"CASE WHEN {col} = 'zh' THEN '{S.ZH_SLOTS[idx]}' "
+        f"ELSE '{S.EN_SLOTS[idx]}' END"
+    )
+
+
+def _rl_base_ctes() -> str:
+    """docs → facts → r (one row per rendered fact sentence, with its
+    primary/alt rendering flag) → gate (one row per detected (url, rel)) —
+    the CTE spine shared by every RL oracle."""
+    is_alt = f"(lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)})"
+    return f"""{_DOCS_CTE}, {_FACTS_CTE},
+r AS (SELECT doc_id, lang, i, rel_idx, {URL_EXPR} AS url,
+             {_RELS}[rel_idx + 1] AS rel,
+             {_subj_expr()} AS subj, {_obj_expr(False)} AS obj,
+             {is_alt} AS is_alt
+      FROM facts),
+gate AS (SELECT url, lang, rel_idx, any_value(rel) AS rel FROM r GROUP BY url, lang, rel_idx)"""
+
+
+def _rl_trans_ctes() -> str:
+    """Extends the base spine to ``trans``: the expected E13 transitions
+    table (one row per processed (state, action), lang carried through)."""
+    return f"""{_rl_base_ctes()},
+prim_subj AS (SELECT DISTINCT url, lang, rel_idx, subj FROM r WHERE NOT is_alt),
+n_prim AS (SELECT url, rel_idx, count(*) AS n FROM prim_subj GROUP BY url, rel_idx),
+step0 AS (
+  SELECT g.url, g.lang, g.rel, 0 AS step, '' AS given, {_slot_case('g.lang', 0)} AS action,
+         CASE WHEN np.n IS NULL THEN 3.0 ELSE 2.5 END AS reward,
+         0 AS done, CAST(coalesce(np.n, 1) AS INT) AS n_next
+  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
+),
+obj_per_subj AS (
+  SELECT url, lang, rel_idx, subj, obj,
+         max(CASE WHEN is_alt THEN 1.2 ELSE 2.5 END) AS logit
+  FROM r GROUP BY url, lang, rel_idx, subj, obj
+),
+step1 AS (
+  SELECT o.url, o.lang, any_value(g.rel) AS rel, 1 AS step, o.subj AS given,
+         {_slot_case('o.lang', 1)} AS action, round(avg(o.logit), 6) AS reward,
+         1 AS done, CAST(count(*) AS INT) AS n_next
+  FROM obj_per_subj o
+  JOIN prim_subj p ON o.url = p.url AND o.rel_idx = p.rel_idx AND o.subj = p.subj
+  JOIN gate g ON o.url = g.url AND o.rel_idx = g.rel_idx
+  GROUP BY o.url, o.lang, o.rel_idx, o.subj
+),
+step1_none AS (
+  SELECT g.url, g.lang, g.rel, 1 AS step, '{S.NONE_SENTINEL}' AS given,
+         {_slot_case('g.lang', 1)} AS action, 3.0 AS reward, 1 AS done, 1 AS n_next
+  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
+  WHERE np.n IS NULL
+),
+trans AS (
+  SELECT url, lang, rel, CAST(step AS INT) AS step, given, action, reward,
+         CAST(done AS INT) AS done, n_next FROM step0
+  UNION ALL
+  SELECT url, lang, rel, CAST(step AS INT), given, action, reward,
+         CAST(done AS INT), n_next FROM step1
+  UNION ALL
+  SELECT url, lang, rel, CAST(step AS INT), given, action, reward,
+         CAST(done AS INT), n_next FROM step1_none
+)"""
+
+
+def _rl_feat_ext() -> str:
+    """``cnt``/``feat`` extension over the base spine: per detected
+    (url, rel) the clipped primary/alt connector fractions that
+    ``scorers.featurize`` reads off the page text — a primary-rendered fact
+    sentence contributes exactly one occurrence of its relation's primary
+    connector (and alt correspondingly), so the text-count features are
+    fact-render counts."""
+    return """cnt AS (SELECT url, rel_idx,
+               count(*) FILTER (WHERE NOT is_alt) AS prim_n,
+               count(*) FILTER (WHERE is_alt) AS alt_n
+        FROM r GROUP BY url, rel_idx),
+feat AS (SELECT g.url, g.lang, g.rel,
+                least(coalesce(c.prim_n, 0), 4) / 4.0 AS prim,
+                least(coalesce(c.alt_n, 0), 4) / 4.0 AS alt
+         FROM gate g LEFT JOIN cnt c
+           ON g.url = c.url AND g.rel_idx = c.rel_idx)"""
+
+
 def rl_transitions_sql() -> str:
     """Expected E13 transitions table for a SEQUENCE-ordered rollout —
     ``rl_train.generate_transitions`` with ε = 0 and zero-initialized
@@ -882,53 +965,111 @@ def rl_transitions_sql() -> str:
     over distinct objects. For the '[None]' fork nothing anchors → the
     fallback again (reward 3.0, n_next 1). done = true.
     """
-    is_alt = f"(lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)})"
-    def slot(col: str, idx: int) -> str:
-        return (
-            f"CASE WHEN {col} = 'zh' THEN '{S.ZH_SLOTS[idx]}' "
-            f"ELSE '{S.EN_SLOTS[idx]}' END"
-        )
-    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
-r AS (SELECT doc_id, lang, i, rel_idx, {URL_EXPR} AS url,
-             {_RELS}[rel_idx + 1] AS rel,
-             {_subj_expr()} AS subj, {_obj_expr(False)} AS obj,
-             {is_alt} AS is_alt
-      FROM facts),
-gate AS (SELECT url, lang, rel_idx, any_value(rel) AS rel FROM r GROUP BY url, lang, rel_idx),
-prim_subj AS (SELECT DISTINCT url, lang, rel_idx, subj FROM r WHERE NOT is_alt),
-n_prim AS (SELECT url, rel_idx, count(*) AS n FROM prim_subj GROUP BY url, rel_idx),
-step0 AS (
-  SELECT g.url, g.rel, 0 AS step, '' AS given, {slot('g.lang', 0)} AS action,
-         CASE WHEN np.n IS NULL THEN 3.0 ELSE 2.5 END AS reward,
-         0 AS done, CAST(coalesce(np.n, 1) AS INT) AS n_next
-  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
-),
-obj_per_subj AS (
-  SELECT url, lang, rel_idx, subj, obj,
-         max(CASE WHEN is_alt THEN 1.2 ELSE 2.5 END) AS logit
-  FROM r GROUP BY url, lang, rel_idx, subj, obj
-),
-step1 AS (
-  SELECT o.url, any_value(g.rel) AS rel, 1 AS step, o.subj AS given,
-         {slot('o.lang', 1)} AS action, round(avg(o.logit), 6) AS reward,
-         1 AS done, CAST(count(*) AS INT) AS n_next
-  FROM obj_per_subj o
-  JOIN prim_subj p ON o.url = p.url AND o.rel_idx = p.rel_idx AND o.subj = p.subj
-  JOIN gate g ON o.url = g.url AND o.rel_idx = g.rel_idx
-  GROUP BY o.url, o.lang, o.rel_idx, o.subj
-),
-step1_none AS (
-  SELECT g.url, g.rel, 1 AS step, '{S.NONE_SENTINEL}' AS given,
-         {slot('g.lang', 1)} AS action, 3.0 AS reward, 1 AS done, 1 AS n_next
-  FROM gate g LEFT JOIN n_prim np ON g.url = np.url AND g.rel_idx = np.rel_idx
-  WHERE np.n IS NULL
-)
-SELECT url, rel, CAST(step AS INT) AS step, given, action, reward,
-       CAST(done AS INT) AS done, n_next FROM step0
-UNION ALL
-SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1
-UNION ALL
-SELECT url, rel, CAST(step AS INT), given, action, reward, CAST(done AS INT), n_next FROM step1_none"""
+    return f"""WITH {_rl_trans_ctes()}
+SELECT url, rel, step, given, action, reward, done, n_next FROM trans"""
+
+
+def _q_affine(
+    w: list[float], rel: str, lang: str, slot_idx: int, n_assigned: int
+) -> tuple[float, float, float]:
+    """(c0, cp, ca) with w·φ(state, slot) = c0 + cp·prim + ca·alt, where
+    prim/alt are featurize's clipped connector-count fractions (the ONLY
+    text-dependent features). Derived by probing ``scorers.featurize`` on
+    texts with known connector counts — exact because all probe weights and
+    feature values are binary fractions."""
+    from . import scorers
+
+    slot = (S.ZH_SLOTS if lang == "zh" else S.EN_SLOTS)[slot_idx]
+    assigned = {f"k{j}": "v" for j in range(n_assigned)}
+    conns = (S.ZH_TEMPLATES if lang == "zh" else S.EN_TEMPLATES)[rel]
+    prim_c = next(c for c, p in conns if p)
+    alt_c = next((c for c, p in conns if not p), None)
+    c0 = scorers.linear_q(w, "", rel, lang, assigned, slot)
+    cp = 4.0 * (scorers.linear_q(w, prim_c, rel, lang, assigned, slot) - c0)
+    ca = 0.0
+    if alt_c is not None:
+        ca = 4.0 * (scorers.linear_q(w, alt_c, rel, lang, assigned, slot) - c0)
+    return c0, cp, ca
+
+
+def dqn_td_sql() -> str:
+    """Expected iteration-1 fitted-Q TD pass (E14, ref RL_utils/dqn.py:
+    126-152) under the fixed PROBE weights: q_pred = w·φ(s, a), target =
+    r + γ·next_q·(1−done) with next_q = mean over forks of max over
+    remaining choices of w_target·φ — for two-slot relations every fork at
+    step 0 leaves the same single remaining slot and φ depends on assigned
+    only through its SIZE, so next_q collapses to one affine expression in
+    (prim, alt). All weight/feature values are binary fractions chosen so
+    every emitted number is an exact multiple of 1/64 (6 decimals)."""
+    from .operators.rl_train import GAMMA, PROBE_W, PROBE_W_TARGET
+
+    rows = []
+    for rel, _st, _ot in S.RELATIONS:
+        for lang in ("en", "zh"):
+            t0, tp, ta = _q_affine(PROBE_W_TARGET, rel, lang, 1, 1)
+            for step in (0, 1):
+                c0, cp, ca = _q_affine(PROBE_W, rel, lang, step, step)
+                rows.append(
+                    f"('{rel}', '{lang}', {step}, {c0!r}, {cp!r}, {ca!r}, "
+                    f"{t0!r}, {tp!r}, {ta!r})"
+                )
+    coef = (
+        "coef AS (SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(crel, clang, cstep, c0, cp, ca, t0, tp, ta))"
+    )
+    q_pred = "k.c0 + k.cp * f.prim + k.ca * f.alt"
+    target = (
+        "t.reward + CASE WHEN t.done = 1 THEN 0.0 "
+        f"ELSE {GAMMA!r} * (k.t0 + k.tp * f.prim + k.ta * f.alt) END"
+    )
+    return f"""WITH {_rl_trans_ctes()},
+{_rl_feat_ext()},
+{coef}
+SELECT t.url, t.rel, t.step, t.given, t.action,
+       round({q_pred}, 6) AS q_pred,
+       round({target}, 6) AS td_target,
+       round(({q_pred}) - ({target}), 6) AS td_err
+FROM trans t
+JOIN feat f ON t.url = f.url AND t.rel = f.rel AND t.lang = f.lang
+JOIN coef k ON k.crel = t.rel AND k.clang = t.lang AND k.cstep = t.step"""
+
+
+def learned_policy_sql() -> str:
+    """Expected opening-action distribution of the FIXED-weights learned
+    policy (``rl_train.first_actions`` with PROBE_POLICY_W): per (url, rel)
+    the policy opens with slot1 iff q(slot1) − q(slot0) > 0 (strict — the
+    first-max tie-break keeps slot0 on ties, like torch.argmax), and the
+    margin is an affine function of (prim, alt) with coefficients computed
+    here from the same featurize probe as dqn_td_sql."""
+    from .operators.rl_train import PROBE_POLICY_W
+
+    rows = []
+    for rel, _st, _ot in S.RELATIONS:
+        for lang in ("en", "zh"):
+            a0 = _q_affine(PROBE_POLICY_W, rel, lang, 0, 0)
+            a1 = _q_affine(PROBE_POLICY_W, rel, lang, 1, 0)
+            d0, dp, da = a1[0] - a0[0], a1[1] - a0[1], a1[2] - a0[2]
+            s0 = (S.ZH_SLOTS if lang == "zh" else S.EN_SLOTS)[0]
+            s1 = (S.ZH_SLOTS if lang == "zh" else S.EN_SLOTS)[1]
+            rows.append(
+                f"('{rel}', '{lang}', {d0!r}, {dp!r}, {da!r}, '{s0}', '{s1}')"
+            )
+    coef = (
+        "coef AS (SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(crel, clang, d0, dp, da, s0, s1))"
+    )
+    return f"""WITH {_rl_base_ctes()},
+{_rl_feat_ext()},
+{coef}
+SELECT f.rel,
+       CASE WHEN k.d0 + k.dp * f.prim + k.da * f.alt > 0
+            THEN k.s1 ELSE k.s0 END AS action,
+       CAST(count(*) AS BIGINT) AS n
+FROM feat f
+JOIN coef k ON k.crel = f.rel AND k.clang = f.lang
+GROUP BY 1, 2"""
 
 
 def rl_event_transitions_sql() -> str:

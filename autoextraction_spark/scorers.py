@@ -211,12 +211,22 @@ def linear_q(
     weights: list[float], text: str, rel: str, lang: str,
     assigned: dict[str, str], slot: str,
 ) -> float:
+    if len(weights) != FEATURE_DIM:  # a stale artifact after a FEATURE_DIM
+        # change would otherwise silently truncate the dot product (zip)
+        raise ValueError(
+            f"Q weights have {len(weights)} dims, featurize emits {FEATURE_DIM}"
+        )
     return sum(w * f for w, f in zip(weights, featurize(text, rel, lang, assigned, slot)))
 
 
 @lru_cache(maxsize=32)
 def _parse_learned(blob: str) -> tuple[float, ...]:
-    return tuple(json.loads(blob))
+    w = tuple(json.loads(blob))
+    if len(w) != FEATURE_DIM:
+        raise ValueError(
+            f"learned policy carries {len(w)} weights, featurize emits {FEATURE_DIM}"
+        )
+    return w
 
 
 def choose_slot(

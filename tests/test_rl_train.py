@@ -256,3 +256,71 @@ def test_fitted_q_train_checkpoint_resume(spark, tmp_path):
     new_files = sorted(glob.glob(wd + "/stage=rl_transitions/gen=*/part-*"))
     assert {f: os.path.getmtime(f) for f in new_files} != mt
     assert w3 != w1
+
+
+# ------------------------------------------- oracle closed-form coefficients
+
+def test_oracle_affine_matches_featurize():
+    """oracle._q_affine's (c0, cp, ca) must reproduce w·featurize exactly on
+    texts with known connector counts — the closed form the DuckDB oracle
+    uses to verify the iteration-1 TD pass and the learned-policy argmax."""
+    from autoextraction_spark import oracle
+
+    for w in (rl_train.PROBE_W, rl_train.PROBE_W_TARGET,
+              rl_train.PROBE_POLICY_W):
+        for rel, _st, _ot in S.RELATIONS:
+            for lang in ("en", "zh"):
+                conns = (S.ZH_TEMPLATES if lang == "zh" else S.EN_TEMPLATES)[rel]
+                prim_c = next(c for c, p in conns if p)
+                alt_c = next((c for c, p in conns if not p), None)
+                for slot_idx in (0, 1):
+                    for n in (0, 1):
+                        c0, cp, ca = oracle._q_affine(w, rel, lang, slot_idx, n)
+                        slot = (S.ZH_SLOTS if lang == "zh" else S.EN_SLOTS)[slot_idx]
+                        assigned = {f"a{j}": "x" for j in range(n)}
+                        # 2 primary + 1 alt rendered sentences
+                        text = prim_c * 2 + (alt_c or "")
+                        want = scorers.linear_q(w, text, rel, lang, assigned, slot)
+                        got = c0 + cp * 0.5 + (ca * 0.25 if alt_c else 0.0)
+                        assert got == want, (w is rl_train.PROBE_W, rel, lang, slot_idx, n)
+
+
+def test_probe_td_values_are_exact_at_6dp(spark):
+    """The PROBE weights' precision contract: every q_pred and every step-0
+    td_target emitted by the oracled dqn_train query is an exact multiple of
+    1/64 — round(x, 6) is the identity, so no cross-engine rounding."""
+    det = _detected(spark, [("u1", "works_for", PRIM + " " + ALT, "en"),
+                            ("u2", "works_for", ALT, "en")])
+    tr = rl_train.generate_transitions(det)
+    scored = rl_train.td_columns(tr, rl_train.PROBE_W, rl_train.PROBE_W_TARGET)
+    for r in scored.select("step", "q_pred", "td_target").collect():
+        assert (r["q_pred"] * 64) == round(r["q_pred"] * 64), r
+        if r["step"] == 0:
+            assert (r["td_target"] * 64) == round(r["td_target"] * 64), r
+
+
+def test_linear_q_rejects_wrong_dim():
+    """A stale weights artifact (wrong length after a FEATURE_DIM change)
+    must fail loudly, not silently truncate the dot product."""
+    import json
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        scorers.linear_q([0.0] * (scorers.FEATURE_DIM - 1), "t", "works_for",
+                         "en", {}, "subject")
+    with pytest.raises(ValueError):
+        scorers.choose_slot("t", "works_for", "en", {}, ["subject", "object"],
+                            "learned:" + json.dumps([0.0] * 3))
+
+
+def test_probe_policy_flips_on_alt_presence():
+    """PROBE_POLICY_W opens object-first exactly when the page carries an
+    alt-rendered fact of the relation (margin −0.25 + 2·alt ± ≤0.125)."""
+    pol = rl_train.learned_policy(rl_train.PROBE_POLICY_W)
+    slots = ["subject", "object"]
+    assert scorers.choose_slot(PRIM, "works_for", "en", {}, slots, pol) == "subject"
+    assert scorers.choose_slot(ALT, "works_for", "en", {}, slots, pol) == "object"
+    assert scorers.choose_slot(PRIM + ALT, "works_for", "en", {}, slots, pol) == "object"
+    zh = ["头实体", "尾实体"]
+    assert scorers.choose_slot("王伟任职于华信集团。", "works_for", "zh", {}, zh, pol) == "头实体"
