@@ -304,6 +304,23 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("url", "width", "height", "n_channels", *cols)
 
 
+def q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode path (engine-new; the reference has no multimodal):
+    PNG payloads synthesized worker-side with the scanline filter cycling
+    all five types, decoded by the stdlib-only codec (png.py — zlib inflate
+    + full filter reconstruction) inside one Arrow pass. Features are
+    integer-valued byte statistics, exact in float32, recomputed in closed
+    form by the oracle from doc_id arithmetic — one wrong reconstructed
+    pixel anywhere mismatches a sum/min/max/distinct-count."""
+    media = multimodal.png_media_table(corpus.web_pages(spark, sf_dir))
+    feats = multimodal.extract_image_features(media, use_real_decoder=True)
+    cols = [
+        F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+        for i in range(8)
+    ]
+    return feats.select("url", "width", "height", "n_channels", *cols)
+
+
 def q_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13 argument-containment audit (reference test.py:7-27): every
     canonical gold triple checked for token-bounded containment of both
@@ -731,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "host_counts": q_host_counts,
         "image_features": q_image_features,
+        "image_features_real": q_image_features_real,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "sessionize": q_sessionize,
@@ -790,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": oracle.ivf_topk_sql(k=5, n_queries=10, n_centroids=16, n_probe=4),
         "host_counts": oracle.host_counts_sql(),
         "image_features": oracle.image_features_sql(),
+        "image_features_real": oracle.image_features_real_sql(),
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

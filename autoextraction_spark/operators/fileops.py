@@ -48,10 +48,19 @@ def _with_rank(df: DataFrame, order: str) -> DataFrame:
     deserializing every row through Python pickles (round-2's flagged
     anti-pattern). Ties in ``order`` get an arbitrary but valid rank —
     callers should order by a (near-)unique key, as with any global rank.
+
+    The range-partitioned plan is MATERIALIZED (eager localCheckpoint)
+    before the count pass: both jobs must read the SAME partition boundaries
+    and per-partition counts, and repartitionByRange samples its boundaries
+    at execution time — re-executing the plan for pass 2 could silently
+    shift rows across partitions and corrupt every rank downstream
+    (ADVICE.md; the same recompute hazard checkpointed against elsewhere).
     """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    part = df.repartitionByRange(nparts, F.col(order)).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(nparts, F.col(order))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import png
+
 try:  # real decoders, absent in this container
     from PIL import Image  # noqa: F401
 
@@ -65,11 +67,88 @@ def media_table(pages: DataFrame) -> DataFrame:
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Real decoder — requires PIL. STUB: not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/pillow; install it and wire Image.open "
-        "here — the surrounding Spark plumbing is decode-library agnostic"
-    )
+    """Real decoder. PNG payloads are decoded by the stdlib-only codec in
+    ``png.py`` (zlib inflate + full scanline-filter reconstruction — no
+    third-party libraries needed); other formats remain the PIL swap seam.
+
+    Feature contract (8 floats, all INTEGER-valued so they are exact in
+    float32 and reproducible by the DuckDB oracle): per-channel byte sums
+    for the first three channels (last channel repeated when fewer), global
+    min and max byte, first byte (0,0,c0), last byte (w-1,h-1,c_last), and
+    the count of distinct byte values. Channel means are sums/(w·h) — left
+    to the consumer so the emitted features stay integral.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, rows = png.decode_png(payload)
+        sums = [0] * ch
+        mn, mx = 255, 0
+        distinct: set[int] = set()
+        for row in rows:
+            for c in range(ch):
+                sums[c] += sum(row[c::ch])
+            mn = min(mn, min(row))
+            mx = max(mx, max(row))
+            distinct.update(row)
+        feats = [
+            float(sums[min(c, ch - 1)]) for c in range(3)
+        ] + [
+            float(mn), float(mx),
+            float(rows[0][0]), float(rows[-1][-1]), float(len(distinct)),
+        ]
+        return w, h, ch, feats
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "non-PNG decoding requires PIL/pillow; install it and wire "
+            "Image.open here — the surrounding Spark plumbing is "
+            "decode-library agnostic"
+        )
+    raise NotImplementedError("PIL present but decoder not wired yet")
+
+
+def png_media_table(pages: DataFrame) -> DataFrame:
+    """Media table whose image payloads are REAL PNG bytes (the same
+    every-3rd-page-not-video rule as ``media_table``), synthesized
+    deterministically from ``doc_id`` so the decode→feature path is
+    verifiable by a closed-form oracle:
+
+    RGB image of ``w = (doc_id % 8 + 1) * 8`` × ``h = (doc_id % 5 + 1) * 8``
+    where pixel (x, y, c) = ``(doc_id*31 + y + 85*c) % 256`` (row-constant
+    per channel), encoded with the scanline filter CYCLING ``y % 5`` — a
+    decoder only reproduces the pixels if it implements all five PNG filter
+    reconstructions. Encoding happens worker-side in one Arrow pass; small
+    dims keep the correctness-gate cost trivial while exercising the same
+    code path as any size.
+    """
+    images = pages.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", "url")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                d = int(doc_id)
+                w, h = (d % 8 + 1) * 8, (d % 5 + 1) * 8
+                base = d * 31
+                rows = [
+                    bytes(
+                        (base + y + 85 * c) % 256
+                        for _x in range(w)
+                        for c in range(3)
+                    )
+                    for y in range(h)
+                ]
+                payload = png.encode_png(rows, w, h, 3, filter_mode="cycle")
+                out.append((url, "image", payload, w, h, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "kind", "payload", "media_w", "media_h",
+                    "duration_ms",
+                ],
+            )
+
+    return images.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _decode_image_fake(payload: bytes, w: int, h: int) -> tuple[int, int, int, list[float]]:

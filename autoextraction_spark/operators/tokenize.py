@@ -196,9 +196,10 @@ def label_spans_char(
     ``start`` is the char offset of ``value`` in the text (DuEE
     ``argument_start_index``); -1 means missing and is skipped
     (duee.py:146-148). Emits ``id_cols + (slot, value, s, e)`` with e
-    INCLUSIVE; when neither boundary matches a token edge the reference
-    falls through to labels[0][0] — reproduced as (s, e) = (0, 0)
-    (webnlg.py:125-136).
+    INCLUSIVE; ``s`` and ``e`` fall back to 0 INDEPENDENTLY when their
+    boundary misses every token edge — only the start matching yields
+    (s, 0) with s non-zero, exactly the reference's ``labels[s][0]``
+    lookup in example_generation (webnlg.py:125-136).
     """
     ids = id_cols or ["url"]
     id_fields = [
@@ -249,32 +250,39 @@ def collate_batches(
     """P12 pad-and-stack collate (dataset/nyt.py:185-207).
 
     Groups rows into fixed-size batches WITHIN each partition (a Spark
-    partition plays the DataLoader-worker role; batch ids are per-partition)
-    and pads every sequence to the batch max length — the
-    ``pad_sequence(batch_first=True)`` semantics. Output:
-    (batch_id, n, maxlen, padded, mask) where ``padded`` is the
-    batch_size×maxlen matrix and ``mask`` marks real tokens.
+    partition plays the DataLoader-worker role) and pads every sequence to
+    the batch max length — the ``pad_sequence(batch_first=True)``
+    semantics. Output: (part_id, batch_id, n, maxlen, padded, mask) where
+    ``padded`` is the batch_size×maxlen matrix and ``mask`` marks real
+    tokens. ``batch_id`` is GLOBALLY unique — the partition id is folded
+    into its high bits (and exposed as ``part_id``), so joins/groupBys on
+    batch identity never conflate batches from different partitions
+    (ADVICE.md).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId()
         buf: list[list[int]] = []
-        bid = 0
+        local_bid = 0
 
         def flush():
-            nonlocal bid, buf
+            nonlocal local_bid, buf
             maxlen = max(len(s) for s in buf)
             padded = [s + [pad] * (maxlen - len(s)) for s in buf]
             mask = [[1] * len(s) + [0] * (maxlen - len(s)) for s in buf]
             pdf = pd.DataFrame(
                 {
-                    "batch_id": [bid],
+                    "part_id": [pid],
+                    "batch_id": [(pid << 32) | local_bid],
                     "n": [len(buf)],
                     "maxlen": [maxlen],
                     "padded": [padded],
                     "mask": [mask],
                 }
             )
-            bid += 1
+            local_bid += 1
             buf = []
             return pdf
 
@@ -288,6 +296,6 @@ def collate_batches(
 
     return df.mapInPandas(
         run,
-        schema="batch_id long, n long, maxlen long, "
+        schema="part_id int, batch_id long, n long, maxlen long, "
                "padded array<array<long>>, mask array<array<long>>",
     )

@@ -536,6 +536,36 @@ def image_features_sql() -> str:
 SELECT url, width, height, n_channels, {feats} FROM m"""
 
 
+def image_features_real_sql() -> str:
+    """Real-decoder parity (multimodal.png_media_table → png.decode_png):
+    the synthesized image is row-constant per channel — pixel (x, y, c) =
+    (doc_id·31 + y + 85c) mod 256 — so every emitted byte statistic is
+    closed-form: channel sums are w·Σ_y v, min/max/distinct range over the
+    (y, c) residues, and the corner bytes are direct formulas. Any filter-
+    reconstruction bug in the decoder perturbs some byte and breaks a sum."""
+    return f"""WITH imgs AS (
+  SELECT doc_id, (doc_id % 8 + 1) * 8 AS w, (doc_id % 5 + 1) * 8 AS h
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0),
+ys AS (SELECT unnest(range(40)) AS y),
+cs AS (SELECT unnest(range(3)) AS c),
+px AS (SELECT i.doc_id, i.w, i.h,
+              (i.doc_id * 31 + y.y + 85 * c.c) % 256 AS v, c.c
+       FROM imgs i JOIN ys y ON y.y < i.h CROSS JOIN cs c),
+agg AS (SELECT doc_id, w, h,
+               CAST(w * sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE) AS f0,
+               CAST(w * sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS DOUBLE) AS f1,
+               CAST(w * sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS DOUBLE) AS f2,
+               CAST(min(v) AS DOUBLE) AS f3, CAST(max(v) AS DOUBLE) AS f4,
+               CAST(count(DISTINCT v) AS DOUBLE) AS f7
+        FROM px GROUP BY doc_id, w, h)
+SELECT {URL_EXPR} AS url, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels, f0, f1, f2, f3, f4,
+       CAST((doc_id * 31) % 256 AS DOUBLE) AS f5,
+       CAST((doc_id * 31 + h - 1 + 170) % 256 AS DOUBLE) AS f6,
+       f7
+FROM agg"""
+
+
 def spo_flatten_sql() -> str:
     """Expected P2 flatten output: the three composed slots per event row."""
     return """SELECT event_id, '头实体-用户' AS slot,

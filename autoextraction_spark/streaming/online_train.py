@@ -16,9 +16,9 @@ stream scale: each micro-batch of landed pages
 3. runs ``iters_per_batch`` fitted-Q iterations over a recency window of
    the buffer (``window_epochs`` — the streaming analog of the reference's
    bounded replay memory, replay_buffer.py max_size; the window bounds what
-   training READS — storage retention is the matching ops task: drop
-   ``_epoch`` partitions older than the window on whatever cadence the
-   deployment's cleanup job runs),
+   training READS, and the trainer itself DROPS ``_epoch`` partitions that
+   have aged past ``window_epochs + retention_margin_epochs``, so the
+   buffer's footprint is bounded without an external cleanup job),
 4. persists the updated weights + loss as ``weights_epoch_<id>.json``.
 
 Idempotency of the weight update: a retried epoch loads the newest weights
@@ -39,6 +39,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +75,7 @@ class OnlineTrainer:
         epsilon0: float = 0.6,
         epsilon_decay: float = 0.95,
         window_epochs: int | None = None,
+        retention_margin_epochs: int = 2,
         seed: int = 0,
         **train_kw,
     ):
@@ -83,9 +85,28 @@ class OnlineTrainer:
         self.epsilon0 = epsilon0
         self.epsilon_decay = epsilon_decay
         self.window_epochs = window_epochs
+        # keep a margin beyond the training window before dropping storage:
+        # a replayed epoch near the window edge must still find every
+        # partition its original run trained on
+        self.retention_margin_epochs = retention_margin_epochs
         self.seed = seed
         self.train_kw = train_kw
         os.makedirs(workdir, exist_ok=True)
+
+    def _retire_old_epochs(self, epoch_id: int) -> None:
+        """Drop ``_epoch=<k>`` partitions aged past the training window plus
+        the keep-margin. Partition directories are the retention unit — one
+        rmtree per retired epoch, no file-level bookkeeping."""
+        if self.window_epochs is None:
+            return
+        cutoff = epoch_id - self.window_epochs - self.retention_margin_epochs
+        for p in glob.glob(os.path.join(self.buffer_dir, "_epoch=*")):
+            try:
+                ep = int(p.rsplit("=", 1)[-1])
+            except ValueError:
+                continue
+            if ep <= cutoff:
+                shutil.rmtree(p, ignore_errors=True)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -103,7 +124,13 @@ class OnlineTrainer:
             .partitionBy("_epoch")
             .parquet(self.buffer_dir)
         )
-        buffer = spark.read.parquet(self.buffer_dir)
+        # upper bound _epoch <= epoch_id in BOTH branches: a replay from an
+        # older streaming checkpoint (or a backfill with later-epoch
+        # partitions present) must not train on the future — that would
+        # break the retry-recomputes-from-the-same-inputs idempotency
+        buffer = spark.read.parquet(self.buffer_dir).filter(
+            F.col("_epoch") <= epoch_id
+        )
         if self.window_epochs is not None:
             buffer = buffer.filter(
                 F.col("_epoch") > epoch_id - self.window_epochs
@@ -126,6 +153,9 @@ class OnlineTrainer:
         with open(tmp, "w") as f:
             json.dump(artifact, f)
         os.replace(tmp, os.path.join(self.workdir, f"weights_epoch_{epoch_id}.json"))
+        # retention runs AFTER the weight artifact lands: a crash between
+        # training and retirement retries the epoch with its window intact
+        self._retire_old_epochs(epoch_id)
 
 
 def stream_online_training(

@@ -7,6 +7,18 @@ line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is timed to full materialization (count of the result — results
 stay distributed, nothing is collected). Spark session boot is excluded.
+
+Stall-aware capture: this VM exhibits wandering whole-machine stalls AND
+hours-long degraded windows (kernel sys-time storms on shuffle/python-heavy
+work, documented in BENCH/BASELINE.md). Every pass is bracketed by a FIXED
+calibration micro-query (one shuffle leg + one pandas-UDF leg — the two
+pathology surfaces); a pass counts as QUIET only when both brackets land
+inside the band ``max(2.5 × floor, floor + 1 s)`` of the session's measured
+calibration floor. Per-query headline numbers are the min over quiet passes;
+capture keeps adding passes (up to a cap) until the target number of quiet
+passes has landed, so the recorded artifact defends itself: the calibration
+walls in ``calibration.per_pass`` show exactly which passes hit a degraded
+machine window.
 """
 
 from __future__ import annotations
@@ -27,6 +39,24 @@ HEADLINE = [
     "vocab_topk",
     "cooccur_pairs",
 ]
+
+
+def _calibration(spark, cpus: int) -> float:
+    """Fixed micro-job touching both stall surfaces: a hash-shuffle
+    aggregation (shuffle-file writes) and a tiny Arrow/pandas round-trip
+    (python worker pool). ~0.5-1 s quiet; 5-20 s inside a stall window."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    t0 = time.time()
+    spark.range(1_000_000, numPartitions=cpus).groupBy(
+        (F.col("id") % 97).alias("k")
+    ).count().count()
+    probe = F.pandas_udf(lambda s: s * 2.0, T.DoubleType())
+    spark.range(cpus * 5_000, numPartitions=cpus).select(
+        probe(F.col("id").cast("double"))
+    ).count()
+    return round(time.time() - t0, 3)
 
 
 def main() -> int:
@@ -50,22 +80,41 @@ def main() -> int:
         warm(F.col("id").cast("double"))
     ).count()
 
-    # min-of-N per query: this VM exhibits wandering 10-20s whole-machine
-    # stalls (kernel sys-time storms, documented in BENCH/BASELINE.md); the
-    # min over full passes measures the plan, not the stall lottery. Three
-    # passes since the round-3 recompute fixes cut query walls ~40% — a
-    # stall now has to land on the same query three times to pollute a min.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings: dict[str, float] = {}
+    # session calibration floor: min of 3 back-to-back probes
+    cal_floor = min(_calibration(spark, cpus) for _ in range(3))
+    cal_band = round(max(2.5 * cal_floor, cal_floor + 1.0), 3)
+
+    target_quiet = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    max_passes = int(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", str(target_quiet * 2))
+    )
     raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for _ in range(passes):
+    cal_per_pass: list[list[float]] = []
+    quiet_flags: list[bool] = []
+    n_quiet = 0
+    for _ in range(max_passes):
+        cal_pre = _calibration(spark, cpus)
         for name in HEADLINE:
             t0 = time.time()
             rows[name] = qs[name](spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
-            raw[name].append(dt)
-            timings[name] = min(timings.get(name, dt), dt)
+            raw[name].append(round(time.time() - t0, 3))
+        cal_post = _calibration(spark, cpus)
+        cal_per_pass.append([cal_pre, cal_post])
+        quiet = cal_pre <= cal_band and cal_post <= cal_band
+        quiet_flags.append(quiet)
+        n_quiet += quiet
+        if n_quiet >= target_quiet:
+            break
+
+    # per-query min over QUIET passes (all passes if none were quiet — the
+    # flags in the artifact then say exactly why the number is suspect)
+    use = [i for i, q in enumerate(quiet_flags) if q] or list(
+        range(len(quiet_flags))
+    )
+    timings = {
+        name: min(raw[name][i] for i in use) for name in HEADLINE
+    }
 
     # throughput numbers for the scaling story
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -85,7 +134,14 @@ def main() -> int:
                 if kg_wall
                 else None,
                 "cpus": cpus,
-                "passes": passes,
+                "passes": len(quiet_flags),
+                "quiet_passes": sum(quiet_flags),
+                "calibration": {
+                    "floor_sec": cal_floor,
+                    "band_sec": cal_band,
+                    "per_pass": cal_per_pass,
+                    "quiet": quiet_flags,
+                },
                 # full per-pass spread (min-of-N understates steady-state
                 # latency; readers can see the floor AND the band — ADVICE.md)
                 "raw_sec": raw,

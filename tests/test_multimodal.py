@@ -35,11 +35,64 @@ def test_image_features_shape(media):
     assert a == b
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_non_png_is_stubbed():
+    """Non-PNG payloads still hit the PIL swap seam (absent here)."""
     if multimodal.HAVE_PIL:
         pytest.skip("PIL present; stub not applicable")
     with pytest.raises(NotImplementedError):
-        multimodal._decode_image_real(b"x")
+        multimodal._decode_image_real(b"GIF89a....")
+
+
+def test_png_roundtrip_all_filters():
+    """encode(filter cycle) -> decode reconstructs every pixel for gray,
+    RGB and RGBA — exercises all five PNG scanline filters both ways."""
+    from autoextraction_spark.operators import png
+
+    for ch in (1, 3, 4):
+        w, h = 23, 11
+        rows = [
+            bytes(((x * ch + c + 7 * y) % 256) for x in range(w) for c in range(ch))
+            for y in range(h)
+        ]
+        data = png.encode_png(rows, w, h, ch, filter_mode="cycle")
+        w2, h2, ch2, rows2 = png.decode_png(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert [bytes(r) for r in rows2] == rows
+
+
+def test_png_decode_rejects_garbage():
+    from autoextraction_spark.operators import png
+
+    with pytest.raises(ValueError):
+        png.decode_png(b"not a png at all")
+
+
+def test_real_decode_features_match_pattern(spark):
+    """The real decode path (stdlib PNG codec) recovers the synthesized
+    pattern exactly: integer channel sums / min / max / corners / distinct
+    count computed from pixels equal the closed-form doc_id arithmetic."""
+    pages = spark.createDataFrame(
+        [(d, f"u{d}") for d in (3, 6, 9, 12)], "doc_id long, url string"
+    )
+    media = multimodal.png_media_table(pages)
+    feats = {
+        r.url: r for r in
+        multimodal.extract_image_features(media, use_real_decoder=True).collect()
+    }
+    assert set(feats) == {"u3", "u6", "u9", "u12"}
+    for d in (3, 6, 9, 12):
+        r = feats[f"u{d}"]
+        w, h = (d % 8 + 1) * 8, (d % 5 + 1) * 8
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        vals = [(d * 31 + y + 85 * c) % 256 for y in range(h) for c in range(3)]
+        for c in range(3):
+            assert r.features[c] == w * sum(
+                (d * 31 + y + 85 * c) % 256 for y in range(h)
+            )
+        assert r.features[3] == min(vals) and r.features[4] == max(vals)
+        assert r.features[5] == (d * 31) % 256
+        assert r.features[6] == (d * 31 + h - 1 + 170) % 256
+        assert r.features[7] == len(set(vals))
 
 
 def test_frame_sampling(media):

@@ -157,3 +157,75 @@ def test_encode_pairs_dataframe(spark):
     assert [r.type_id for r in rows] == [0, 0, 0, 0, 1, 1, 1]
     assert (rows[4].tok_start, rows[4].tok_end) == (0, 5)
     assert (rows[5].tok_start, rows[5].tok_end) == (6, 10)
+
+
+def test_collate_batch_ids_globally_unique(spark):
+    """batch_id carries the partition id in its high bits — no collisions
+    across partitions for consumers keying on batch identity (ADVICE.md)."""
+    df = spark.createDataFrame(
+        [([i, i + 1],) for i in range(20)], "input_ids array<long>"
+    ).repartition(4)
+    batches = tokenize.collate_batches(df, batch_size=2).collect()
+    ids = [b.batch_id for b in batches]
+    assert len(ids) == len(set(ids))
+    assert all((b.batch_id >> 32) == b.part_id for b in batches)
+
+
+def test_hf_tokenizer_parity_skip_if_absent():
+    """Parity contract vs BertTokenizerFast (ref Environment.py:56-62) — the
+    stand-in tokenizer is deliberately NOT WordPiece, so the asserted
+    equivalences are the ones the span-labeling operators depend on:
+
+    - pair layout ``[CLS] cond [SEP] text [SEP]`` with specials mapped to
+      offset (0, 0) and the same token_type_ids segmentation;
+    - for every HF token that is a WHOLE word (no ## continuation follows)
+      or a single CJK char / punctuation mark, the (type_id, char_start,
+      char_end) triple must also be produced by pair_encode — offsets
+      diverge only inside subword splits, which _find_pos/span labeling
+      never rely on.
+
+    Skips (with reason) until transformers + a BERT vocab are available in
+    the environment; the day they appear, any semantic drift is caught.
+    """
+    import re as _re
+
+    import pytest as _pytest
+
+    try:
+        from transformers import BertTokenizerFast  # type: ignore
+
+        hf = BertTokenizerFast.from_pretrained("bert-base-multilingual-cased")
+    except Exception as exc:  # ImportError or offline vocab fetch failure
+        _pytest.skip(f"transformers/BERT vocab unavailable: {exc}")
+
+    cond = "works_for; subject:Alice Stone; object:Acme Corp"
+    text = "Alice Stone works for Acme Corp. 王伟任职于华信集团。"
+    enc = hf(
+        cond, text, return_offsets_mapping=True,
+        return_token_type_ids=True, truncation=True, max_length=512,
+    )
+    hf_tokens = hf.convert_ids_to_tokens(enc["input_ids"])
+    ours = tokenize.pair_encode(cond, text)
+
+    assert ours[0][0] == "[CLS]" and hf_tokens[0] == "[CLS]"
+    assert [t for t, *_ in ours].count("[SEP]") == hf_tokens.count("[SEP]") == 2
+    # segment 1 ends both encodings
+    assert ours[-1] == ("[SEP]", 1, 0, 0)
+    assert enc["token_type_ids"][-1] == 1
+
+    our_spans = {
+        (ty, a, b) for t, ty, a, b in ours if t not in ("[CLS]", "[SEP]")
+    }
+    items = list(zip(hf_tokens, enc["token_type_ids"], enc["offset_mapping"]))
+    for i, (tk, ty, (a, b)) in enumerate(items):
+        if tk in ("[CLS]", "[SEP]", "[UNK]") or tk.startswith("##"):
+            continue
+        nxt = items[i + 1][0] if i + 1 < len(items) else ""
+        if nxt.startswith("##"):
+            continue  # subword split: offsets legitimately differ
+        src = cond if ty == 0 else text
+        piece = src[a:b]
+        whole_alnum = _re.fullmatch(r"[A-Za-z0-9]+", piece)
+        single_sym = len(piece) == 1 and not piece.isspace() and not whole_alnum
+        if whole_alnum or single_sym:
+            assert (ty, a, b) in our_spans, (tk, ty, a, b, piece)
