@@ -131,12 +131,20 @@ def _egreedy(
     seed: int,
     url: str,
     step: int,
+    policy: str | None = None,
 ) -> str:
-    """ε-greedy action over the linear Q — ``dqn.py:43-48`` with the random
-    draws made reproducible (hash of the full state identity + seed)."""
+    """ε-greedy action over the Q function — ``dqn.py:43-48`` with the
+    random draws made reproducible (hash of the full state identity + seed).
+    Exploitation uses the linear Q over ``weights`` by default; passing a
+    ``policy`` string instead routes through ``scorers.choose_slot`` so
+    rollouts can run under ANY deployable policy (``learned:``/``mlp:`` —
+    the non-linear swap seam trains on-policy through the same door it
+    deploys through)."""
     if epsilon > 0.0 and _hash_u("explore", seed, url, rel, step, *sorted(assigned.items())) < epsilon:
         pick = _hash_u("pick", seed, url, rel, step, *sorted(assigned.items()))
         return remaining[int(pick * len(remaining)) % len(remaining)]
+    if policy is not None:
+        return scorers.choose_slot(text, rel, lang, assigned, remaining, policy)
     best_i, best_q = 0, float("-inf")
     for i, slot in enumerate(remaining):
         q = scorers.linear_q(weights, text, rel, lang, assigned, slot)
@@ -156,6 +164,7 @@ def _episode_transitions(
     gold: list[dict[str, str]] | None,
     reward_mode: str,
     max_steps: int,
+    policy: str | None = None,
 ) -> list[tuple]:
     """Run ONE ε-greedy episode (all forks) and return its transition rows.
 
@@ -170,7 +179,8 @@ def _episode_transitions(
             if not remaining or step >= max_steps:
                 continue
             action = _egreedy(
-                text, rel, lang, assigned, remaining, weights, epsilon, seed, url, step
+                text, rel, lang, assigned, remaining, weights, epsilon, seed,
+                url, step, policy,
             )
             cands = scorers.extract_candidates(text, rel, lang, assigned, action)
             if reward_mode == "lookahead" and gold is not None:
@@ -214,6 +224,7 @@ def generate_transitions(
     gold: DataFrame | None = None,
     reward_mode: str = "step",
     max_steps: int = 20,
+    policy: str | None = None,
 ) -> DataFrame:
     """E13: one Arrow pass (detection gate → transitions table).
 
@@ -221,6 +232,8 @@ def generate_transitions(
     ``gold``: optional (url, rel, slots map<string,string>) tuples for the
     two-step-lookahead shaped reward (``reward_mode='lookahead'``, E7);
     joined once before the pass — gold rows are tiny next to text.
+    ``policy``: optional deployable policy string for the exploitation
+    branch (``learned:``/``mlp:``) — overrides the linear ``weights``.
     """
     w = list(weights) if weights is not None else [0.0] * scorers.FEATURE_DIM
     cols = ["url", "rel", "text", "lang"]
@@ -244,7 +257,7 @@ def generate_transitions(
                 rows.extend(
                     _episode_transitions(
                         tup.url, tup.rel, tup.text, tup.lang, w, epsilon,
-                        seed, g, reward_mode, max_steps
+                        seed, g, reward_mode, max_steps, policy
                     )
                 )
             yield pd.DataFrame(

@@ -247,9 +247,22 @@ def choose_slot(
     ``learned:<json weights>`` — argmax of the TRAINED linear Q
                    (rl_train.learned_policy): deployment of an E14-trained
                    policy through the same fused inference pass.
+    ``mlp:<json model>`` — argmax of a trained NON-LINEAR Q head
+                   (neural.MLPQ over featurize): the neural swap seam,
+                   deployed through the identical inference pass.
     """
     if policy == "sequence":
         return remaining[0]
+    if policy.startswith("mlp:"):
+        import numpy as np  # noqa: PLC0415
+
+        from . import neural  # noqa: PLC0415
+
+        model = neural.parse_mlp(policy[4:])
+        phi = np.asarray(
+            [featurize(text, rel, lang, assigned, s) for s in remaining]
+        )
+        return remaining[int(np.argmax(model.forward(phi)))]  # first-max
     if policy.startswith("learned:"):
         w = _parse_learned(policy[len("learned:"):])
         best_i, best_q = 0, float("-inf")
@@ -359,10 +372,36 @@ def batch_step(
     together, so a real model implementation can pad/stack them into one
     tensor batch and run a single GPU forward per wave (Q-net over the
     remaining slots + GlobalPointer over the chosen slot), instead of one
-    forward per (row, step). This deterministic stand-in just loops — the
-    semantics contract is only that output[i] corresponds to states[i] and
-    equals ``step_state(*states[i], policy)``.
+    forward per (row, step). For ``mlp:`` policies that is EXACTLY what
+    happens: every (state, candidate-slot) feature vector in the wave
+    stacks into one matrix and the model runs ONE batched forward (swap
+    ``neural.MLPQ`` for a torch module and the call site is unchanged).
+    For the deterministic built-in policies this just loops — the semantics
+    contract is only that output[i] corresponds to states[i] and equals
+    ``step_state(*states[i], policy)``.
     """
+    if policy.startswith("mlp:"):
+        import numpy as np  # noqa: PLC0415
+
+        from . import neural  # noqa: PLC0415
+
+        model = neural.parse_mlp(policy[4:])
+        flat = [
+            featurize(text, rel, lang, assigned, slot)
+            for text, rel, lang, assigned, remaining in states
+            for slot in remaining
+        ]
+        q = model.forward(np.asarray(flat)) if flat else np.empty(0)
+        out: list[tuple[str, list[tuple[str, float, float]], float]] = []
+        idx = 0
+        for text, rel, lang, assigned, remaining in states:
+            qs = q[idx : idx + len(remaining)]
+            idx += len(remaining)
+            chosen = remaining[int(np.argmax(qs))]  # first-max tie-break
+            cands = extract_candidates(text, rel, lang, assigned, chosen)
+            reward = sum(c[2] for c in cands) / len(cands)
+            out.append((chosen, cands, reward))
+        return out
     return [
         step_state(text, rel, lang, assigned, remaining, policy)
         for text, rel, lang, assigned, remaining in states

@@ -11,6 +11,9 @@ query's inherent number of source tables is a recompute bug.
 
 ``explain('formatted')`` prints every node twice (tree + detail section);
 counts below are already halved.
+
+``tests/test_properties.py`` pins these counts per query so the recompute
+class of bug cannot silently return (VERDICT r3 item 10).
 """
 
 from __future__ import annotations
@@ -22,35 +25,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# iterative training queries execute eagerly at plan construction — skip
-SKIP = {"dqn_train", "rl_learned_policy"}
+
+def audit(spark, sf_dir: str) -> dict[str, tuple[int, int, int]]:
+    """{query: (parquet_scans, checkpoint_rdd_scans, python_stages)} for
+    every entry in __spark_entry__.queries() whose plan builds lazily."""
+    import __spark_entry__ as entrymod
+
+    out: dict[str, tuple[int, int, int]] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        out[name] = (
+            p.count("Scan parquet") // 2,
+            p.count("Scan ExistingRDD") // 2,
+            p.count("MapInPandas") // 2,
+        )
+    return out
 
 
 def main() -> int:
-    import __spark_entry__ as entrymod
     from autoextraction_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     spark = get_spark(app_name="scan-audit", cpus=8, shuffle_partitions=8)
-    rows = []
-    for name, fn in entrymod.queries().items():
-        if name in SKIP:
-            continue
-        try:
-            df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            p = buf.getvalue()
-            rows.append(
-                (name, p.count("Scan parquet") // 2,
-                 p.count("Scan ExistingRDD") // 2, p.count("MapInPandas") // 2)
-            )
-        except Exception as ex:  # noqa: BLE001 — audit must cover the rest
-            print(f"{name}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
-    rows.sort(key=lambda r: -r[1])
+    rows = sorted(audit(spark, sf_dir).items(), key=lambda kv: -kv[1][0])
     print(f"{'query':24} {'parquet':>8} {'ckpt_rdd':>9} {'python':>7}")
-    for name, scans, rdd, mip in rows:
+    for name, (scans, rdd, mip) in rows:
         print(f"{name:24} {scans:>8} {rdd:>9} {mip:>7}")
     spark.stop()
     return 0

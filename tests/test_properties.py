@@ -112,3 +112,89 @@ def test_episode_transitions_invariants(data):
         assert r[7] is True  # done
         assert len(r[9]) == scorers.FEATURE_DIM
         assert all(len(v) == scorers.FEATURE_DIM for ns in r[10] for v in ns)
+
+
+# ------------------------------------------------------- plan-hygiene audit
+
+# Committed per-query plan-shape expectations: (parquet scans, checkpoint-RDD
+# scans, python stages) at sf0.001. Spark re-executes repeated subplans, so a
+# parquet count above a query's inherent source-table count is a recompute
+# bug (the round-3 class: corpus scanned 6x per dedup query). The audit
+# asserts counts never EXCEED these; drops are improvements - update the
+# table when a query legitimately changes shape.
+EXPECTED_PLAN_COUNTS = {
+    "kg_triples": (1, 1, 2),
+    "kg_detect": (1, 1, 1),
+    "kg_metric_f1": (2, 1, 3),
+    "kg_slot_f1": (2, 1, 3),
+    "kg_events": (1, 1, 2),
+    "kg_triples_canonical": (0, 4, 0),
+    "kg_linking": (0, 2, 0),
+    "minhash_dedup": (0, 6, 0),
+    "simhash": (1, 0, 0),
+    "connected_components": (0, 1, 0),
+    "ngram_jaccard": (0, 10, 0),
+    "doc_dedup": (1, 1, 0),
+    "order_split": (0, 2, 2),
+    "char_f1": (1, 0, 1),
+    "cond_roundtrip": (1, 0, 1),
+    "embed_neardup": (2, 2, 0),
+    "semantic_dedup": (1, 1, 0),
+    "token_stats": (1, 0, 0),
+    "quality": (1, 0, 0),
+    "lang_id": (1, 0, 0),
+    "fingerprint": (1, 0, 0),
+    "containment_audit": (2, 0, 2),
+    "cosine_topk": (2, 0, 0),
+    "ann_topk": (3, 0, 0),
+    "ivf_topk": (2, 0, 0),
+    "host_counts": (1, 0, 1),
+    "image_features": (1, 0, 2),
+    "image_features_real": (1, 0, 3),
+    "tpch_q1": (1, 0, 0),
+    "tpch_q3ish": (3, 0, 0),
+    "sessionize": (1, 0, 0),
+    "cube_agg": (1, 0, 0),
+    "asof_join": (1, 0, 0),
+    "json_flatten": (1, 0, 0),
+    "spo_flatten": (1, 0, 0),
+    "budget_truncate": (1, 0, 0),
+    "perm_examples": (1, 1, 1),
+    "tokenize_offsets": (1, 0, 1),
+    "span_labels_search": (1, 0, 2),
+    "span_labels_char": (1, 0, 2),
+    "vocab_topk": (1, 0, 0),
+    "rel2id": (1, 0, 0),
+    "cooccur_pairs": (2, 0, 0),
+    "exact_dedup": (1, 0, 0),
+    "score2prob": (2, 0, 0),
+    "argmax_order": (1, 0, 0),
+    "metric_f1_sets": (2, 0, 0),
+    "rl_transitions": (1, 1, 2),
+    "rl_event_transitions": (1, 1, 2),
+    "dqn_train": (1, 1, 2),
+    "rl_learned_policy": (1, 1, 2),
+}
+
+
+def test_plan_scan_counts_do_not_regress(spark, sf_dir):
+    """CI form of scripts/audit_scans.py (VERDICT r3 item 10): every
+    queries() entry must exist in the committed table and must not scan
+    more than its pinned counts."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from audit_scans import audit
+
+    got = audit(spark, sf_dir)
+    assert set(got) == set(EXPECTED_PLAN_COUNTS), (
+        "queries() and EXPECTED_PLAN_COUNTS diverge: "
+        f"{set(got) ^ set(EXPECTED_PLAN_COUNTS)}"
+    )
+    bad = {
+        name: {"got": counts, "max": EXPECTED_PLAN_COUNTS[name]}
+        for name, counts in got.items()
+        if any(g > m for g, m in zip(counts, EXPECTED_PLAN_COUNTS[name]))
+    }
+    assert not bad, f"plan-shape regressions (recompute bug?): {bad}"

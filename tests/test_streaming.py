@@ -216,3 +216,44 @@ def test_online_training_stream(spark, sf_dir, tmp_path):
         "Alice Stone works for Acme Corp.", "works_for", "en", {},
         ["subject", "object"], pol,
     ) in ("subject", "object")
+
+
+def test_online_training_buffer_retention(spark, sf_dir, tmp_path):
+    """The trainer owns replay-buffer storage retention: _epoch partitions
+    aged past window_epochs + retention_margin_epochs are dropped after
+    each epoch, training still works, and resume from the newest artifact
+    is unaffected (VERDICT r3 item 7 / ADVICE window upper bound)."""
+    import json
+    import os
+
+    from autoextraction_spark.streaming import online_train
+
+    in_dir = str(tmp_path / "landing")
+    wd = str(tmp_path / "rl")
+    ckpt = str(tmp_path / "ckpt")
+    pages = corpus.web_pages(spark, sf_dir).cache()
+
+    # five micro-batches -> five epochs, window 1 + margin 1
+    for k in range(5):
+        pages.filter(F.col("doc_id") % 5 == k).write.mode("append").parquet(in_dir)
+        q = online_train.stream_online_training(
+            spark, in_dir, wd, ckpt, iters_per_batch=2, seed=4,
+            window_epochs=1, retention_margin_epochs=1,
+        )
+        q.awaitTermination(300)
+
+    parts = sorted(
+        int(p.rsplit("=", 1)[-1])
+        for p in glob.glob(wd + "/replay_buffer/_epoch=*")
+    )
+    arts = sorted(
+        json.load(open(p))["epoch"]
+        for p in glob.glob(wd + "/weights_epoch_*.json")
+    )
+    last = arts[-1]
+    # storage keeps only epochs > last - window - margin
+    assert parts, "buffer empty"
+    assert min(parts) > last - 2, (parts, last)
+    assert max(parts) == last
+    # the deployable policy still resolves from the newest artifact
+    assert online_train.current_policy(wd).startswith("learned:")
