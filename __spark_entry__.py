@@ -498,6 +498,45 @@ def q_perm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perm_examples_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5's SAMPLED-permutation branch (dataset/duee_fin.py:86-100): at
+    arity 5 the k! enumeration explodes, so perm_dimension emits 10
+    deterministic md5-shuffle orders instead. Arity-5 DuEE-fin-style tuples
+    are synthesized from doc_id arithmetic (every 10th doc; every 3rd of
+    those misses its 5th role → the '[None]' fill path); the oracle
+    regenerates the same 10 orders and the full prefix-grammar expansion +
+    sort-merge dedup in SQL."""
+    roles = KS.SAMPLED_EVENT_ROLES
+    docs = _read(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 10 == 2
+    )
+    vals = [
+        F.concat(
+            F.lit("v"), ((F.col("doc_id") * (2 * k + 1) + k) % 7).cast("string")
+        )
+        for k in range(len(roles))
+    ]
+    def mk_map(n: int):
+        pairs = []
+        for r, v in zip(roles[:n], vals[:n]):
+            pairs += [F.lit(r), v]
+        return F.create_map(*pairs)
+    assigned = F.when(F.col("doc_id") % 3 == 0, mk_map(4)).otherwise(
+        mk_map(5)
+    )
+    inp = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("text"),
+        F.lit(KS.SAMPLED_EVENT_TYPE).alias("rel"),
+        F.array(*[F.lit(r) for r in roles]).alias("slots"),
+        assigned.alias("assigned"),
+    )
+    out = nested.permutation_examples(inp)
+    return out.select(
+        "cond", F.col("text").alias("doc_key"),
+        F.array_join("labels", "|").alias("labels"),
+    )
+
+
 def q_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 prompt-budget truncation (duee_fin.py:92-94): drop trailing cond
     segments until token(cond)+token(text)+3 fits the budget."""
@@ -758,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spo_flatten": q_spo_flatten,
         "budget_truncate": q_budget_truncate,
         "perm_examples": q_perm_examples,
+        "perm_examples_sampled": q_perm_examples_sampled,
         "tokenize_offsets": q_tokenize_offsets,
         "span_labels_search": q_span_labels_search,
         "span_labels_char": q_span_labels_char,
@@ -884,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spo_flatten": oracle.spo_flatten_sql(),
         "perm_examples": oracle.perm_examples_sql(),
+        "perm_examples_sampled": oracle.perm_examples_sampled_sql(),
         "budget_truncate": oracle.budget_truncate_sql(budget=50),
         "tokenize_offsets": oracle.tokenize_offsets_sql(),
         "span_labels_search": oracle.span_labels_search_sql(),

@@ -632,6 +632,57 @@ SELECT cond, url,
 FROM ex GROUP BY cond, url"""
 
 
+def _sampled_orders(k: int, n: int, seed: str = "perm") -> list[list[int]]:
+    """The P5 deterministic md5 shuffles (nested._sampled_order semantics,
+    recomputed here so the oracle does not import the operator)."""
+    import hashlib
+
+    seen: list[list[int]] = []
+    for si in range(n):
+        order = sorted(
+            range(k),
+            key=lambda j: hashlib.md5(
+                f"{seed}#{k}#{si}#{j}".encode()
+            ).hexdigest(),
+        )
+        if order not in seen:
+            seen.append(order)
+    return seen
+
+
+def perm_examples_sampled_sql() -> str:
+    """Expected P5 sampled-branch output: for each of the 10 md5-shuffle
+    arity-5 orders, the prefix-grammar examples over the synthesized
+    DuEE-fin-style tuples (5th role missing on doc_id % 3 = 0 → '[None]'),
+    deduped by (cond, doc_key)."""
+    roles = S.SAMPLED_EVENT_ROLES
+    etype = S.SAMPLED_EVENT_TYPE
+
+    def val(k: int) -> str:
+        v = f"'v' || CAST((doc_id * {2 * k + 1} + {k}) % 7 AS VARCHAR)"
+        if k == len(roles) - 1:
+            return f"CASE WHEN doc_id % 3 = 0 THEN '{S.NONE_SENTINEL}' ELSE {v} END"
+        return v
+
+    selects = []
+    for order in _sampled_orders(len(roles), 10):
+        for pos in range(len(roles)):
+            cond = f"'{etype}；'"
+            for j in order[:pos]:
+                cond += f" || ' {roles[j]}：' || ({val(j)}) || '；'"
+            cond += f" || ' {roles[order[pos]]}：'"
+            selects.append(
+                f"SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_key, "
+                f"{cond} AS cond, ({val(order[pos])}) AS label "
+                f"FROM documents WHERE doc_id % 10 = 2"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""WITH ex AS ({body})
+SELECT cond, doc_key,
+       array_to_string(list_sort(list_distinct(list(label))), '|') AS labels
+FROM ex GROUP BY cond, doc_key"""
+
+
 def order_split_sql() -> str:
     """Expected O8 split: rendered gold triples the SEQUENCE (subject-first,
     primary-connector-only subject extraction) policy cannot recover.

@@ -130,6 +130,15 @@ EVENT_NAMES_BY_LANG = {
     lg: [e for e, ev in EVENTS.items() if ev["lang"] == lg] for lg in ("en", "zh")
 }
 
+# DuEE-fin-style ≥5-role event schema for the SAMPLED-permutation path
+# (P5, dataset/duee_fin.py:86-100: k! explodes at arity 5, so 10 random
+# shuffles replace the full enumeration). Deliberately NOT in EVENTS: the
+# corpus event rotation (event_params) must stay unchanged — these tuples
+# are synthesized from doc_id arithmetic by q_perm_examples_sampled and the
+# matching oracle, never rendered into page text.
+SAMPLED_EVENT_TYPE = "股权转让"
+SAMPLED_EVENT_ROLES = ["受让方", "转让方", "标的公司", "交易金额", "披露日期"]
+
 
 def has_event(doc_id: int, lang: str) -> bool:
     return doc_id % 4 == 1

@@ -160,6 +160,7 @@ EXPECTED_PLAN_COUNTS = {
     "spo_flatten": (1, 0, 0),
     "budget_truncate": (1, 0, 0),
     "perm_examples": (1, 1, 1),
+    "perm_examples_sampled": (1, 1, 0),
     "tokenize_offsets": (1, 0, 1),
     "span_labels_search": (1, 0, 2),
     "span_labels_char": (1, 0, 2),
