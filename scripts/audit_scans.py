@@ -31,6 +31,13 @@ def audit(spark, sf_dir: str) -> dict[str, tuple[int, int, int]]:
     every entry in __spark_entry__.queries() whose plan builds lazily."""
     import __spark_entry__ as entrymod
 
+    # Audit on a clean cache: a session-wide .cache() left by an earlier
+    # caller substitutes InMemoryTableScan nodes (whose stored plan is
+    # printed once, not twice, by explain("formatted")) and shifts the
+    # counts depending on what ran before — the audit must measure the
+    # query's own plan, not incidental session cache state.
+    spark.catalog.clearCache()
+
     out: dict[str, tuple[int, int, int]] = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
