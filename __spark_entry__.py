@@ -254,6 +254,19 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (dup-word / top-bigram /
+    dup-trigram fractions) — zero-shuffle higher-order-function plan."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.repetition_stats(docs).select(
+        "doc_id",
+        "dup_word_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetitive",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (CJK + marker-stopword argmax)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -779,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "containment_audit": q_containment_audit,
@@ -840,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": oracle.token_stats_sql(),
         "quality": oracle.quality_sql(),
+        "repetition": oracle.repetition_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprint": oracle.fingerprint_sql(),
         "containment_audit": oracle.containment_audit_sql(),

@@ -338,6 +338,39 @@ SELECT doc_id,
 FROM q"""
 
 
+def repetition_sql() -> str:
+    """Oracle for textstats.repetition_stats (Gopher-style word-level
+    repetition fractions; thresholds 0.5 / 0.18 / 0.30)."""
+    return r"""WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs,
+         list_transform(range(1, len(ws)-1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgs
+  FROM w
+),
+m AS (
+  SELECT doc_id,
+         round(CASE WHEN len(ws) > 0
+               THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+               ELSE 0.0 END, 6) AS dup_word_frac,
+         round(CASE WHEN len(ws) > 1
+               THEN list_max(list_transform(list_distinct(bgs),
+                     b -> len(list_filter(bgs, x -> x = b)))) * 1.0 / len(bgs)
+               ELSE 0.0 END, 6) AS top_bigram_frac,
+         round(CASE WHEN len(ws) > 2
+               THEN 1.0 - len(list_distinct(tgs)) * 1.0 / len(tgs)
+               ELSE 0.0 END, 6) AS dup_trigram_frac
+  FROM g
+)
+SELECT doc_id, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+       CAST(dup_word_frac > 0.5 OR top_bigram_frac > 0.18
+            OR dup_trigram_frac > 0.30 AS INT) AS repetitive
+FROM m"""
+
+
 def lang_id_sql() -> str:
     from .operators.textstats import CJK_RE, LANG_MARKERS
 

@@ -87,3 +87,54 @@ def test_fingerprint(spark):
     for ch in "hello world":
         h = (h * 31 + ord(ch)) % 2147483647
     assert rows[1].fp_rolling == h
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),          # bigrams: [a b, b a, a b, b c] -> top 2/4
+            (2, "x"),                  # degenerate: no bigrams/trigrams
+            (3, "spam spam spam spam"),  # fully repetitive
+            (4, "p q r s t u v w"),    # no repetition at all
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert rows[1].dup_word_frac == round(1 - 3 / 5, 6)
+    assert rows[1].top_bigram_frac == 0.5
+    assert rows[1].dup_trigram_frac == 0.0  # [a b a, b a b, a b c] all distinct
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].top_bigram_frac == 0.0
+    assert rows[2].repetitive == 0
+    assert rows[3].dup_word_frac == 0.75
+    assert rows[3].top_bigram_frac == 1.0
+    assert rows[3].dup_trigram_frac == 0.5
+    assert rows[3].repetitive == 1
+    assert rows[4].repetitive == 0
+
+
+def test_repetition_methods_agree(spark, sf_dir):
+    """The zero-shuffle HOF plan and the linear explode+groupBy plan are the
+    same operator: identical output on the real corpus sample."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    cols = [
+        "doc_id", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac",
+        "repetitive",
+    ]
+    local = {
+        r.doc_id: r
+        for r in textstats.repetition_stats(docs, method="local")
+        .select(*cols).collect()
+    }
+    shuf = {
+        r.doc_id: r
+        for r in textstats.repetition_stats(docs, method="shuffle")
+        .select(*cols).collect()
+    }
+    assert set(local) == set(shuf)
+    for doc_id, lr in local.items():
+        assert lr == shuf[doc_id], doc_id
