@@ -13,12 +13,28 @@ hours-long degraded windows (kernel sys-time storms on shuffle/python-heavy
 work, documented in BENCH/BASELINE.md). Every pass is bracketed by a FIXED
 calibration micro-query (one shuffle leg + one pandas-UDF leg — the two
 pathology surfaces); a pass counts as QUIET only when both brackets land
-inside the band ``max(2.5 × floor, floor + 1 s)`` of the session's measured
-calibration floor. Per-query headline numbers are the min over quiet passes;
-capture keeps adding passes (up to a cap) until the target number of quiet
-passes has landed, so the recorded artifact defends itself: the calibration
-walls in ``calibration.per_pass`` show exactly which passes hit a degraded
-machine window.
+inside the band ``max(2.5 × floor, floor + 1 s)`` of the calibration floor.
+Per-query headline numbers are the min over quiet passes; capture keeps
+adding passes (up to a cap) until the target number of quiet passes has
+landed, so the recorded artifact defends itself: the calibration walls in
+``calibration.per_pass`` show exactly which passes hit a degraded machine
+window.
+
+Two lessons from a sustained-degraded capture are folded in via the
+committed reference floors in ``BENCH/calibration_floor.json``:
+ 1. the session's own measured floor self-references — a session measured
+    INSIDE an hours-long degraded window certifies itself quiet against its
+    own inflated floor. The effective floor is therefore
+    ``min(session floor, committed quiet-window floor)``.
+ 2. bracketing probes can straddle a stall that lands mid-pass on a heavy
+    query. Each query wall is therefore also checked against its committed
+    quiet-window floor with the same band rule; a pass is quiet only if the
+    brackets AND every query wall are in band.
+If no quiet pass lands within the cap, the artifact reports the min over
+all passes with ``quiet_passes: 0`` and ``degraded: true`` — the number is
+recorded, and flagged as a machine-window ceiling rather than a code cost.
+(A deliberate code change that slows a headline query should re-record the
+reference floors — see the json's provenance note.)
 """
 
 from __future__ import annotations
@@ -80,9 +96,31 @@ def main() -> int:
         warm(F.col("id").cast("double"))
     ).count()
 
-    # session calibration floor: min of 3 back-to-back probes
-    cal_floor = min(_calibration(spark, cpus) for _ in range(3))
+    # session calibration floor: min of 3 back-to-back probes, clamped by
+    # the committed quiet-window floor (a degraded session must not
+    # self-certify against its own inflated floor)
+    session_floor = min(_calibration(spark, cpus) for _ in range(3))
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "calibration_floor.json",
+    )
+    query_floor: dict[str, float] = {}
+    cal_floor = session_floor
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        cal_floor = min(session_floor, float(ref["floor_sec"]))
+        query_floor = {
+            k: float(v) for k, v in ref.get("query_floor_sec", {}).items()
+        }
     cal_band = round(max(2.5 * cal_floor, cal_floor + 1.0), 3)
+
+    def _query_quiet(name: str, wall: float) -> bool:
+        ref_f = query_floor.get(name)
+        if ref_f is None:
+            return True
+        return wall <= max(2.5 * ref_f, ref_f + 1.0)
 
     target_quiet = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     max_passes = int(
@@ -95,13 +133,19 @@ def main() -> int:
     n_quiet = 0
     for _ in range(max_passes):
         cal_pre = _calibration(spark, cpus)
+        pass_walls: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.time()
             rows[name] = qs[name](spark, sf_dir).count()
-            raw[name].append(round(time.time() - t0, 3))
+            pass_walls[name] = round(time.time() - t0, 3)
+            raw[name].append(pass_walls[name])
         cal_post = _calibration(spark, cpus)
         cal_per_pass.append([cal_pre, cal_post])
-        quiet = cal_pre <= cal_band and cal_post <= cal_band
+        quiet = (
+            cal_pre <= cal_band
+            and cal_post <= cal_band
+            and all(_query_quiet(n, w) for n, w in pass_walls.items())
+        )
         quiet_flags.append(quiet)
         n_quiet += quiet
         if n_quiet >= target_quiet:
@@ -136,8 +180,10 @@ def main() -> int:
                 "cpus": cpus,
                 "passes": len(quiet_flags),
                 "quiet_passes": sum(quiet_flags),
+                "degraded": not any(quiet_flags),
                 "calibration": {
                     "floor_sec": cal_floor,
+                    "session_floor_sec": session_floor,
                     "band_sec": cal_band,
                     "per_pass": cal_per_pass,
                     "quiet": quiet_flags,
