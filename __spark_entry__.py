@@ -267,6 +267,16 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style document filter signals (sentence/terminal-punct/banned
+    markers + keep flag) — pure codegen per-document map."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.c4_filters(docs).select(
+        "doc_id", "n_sentences", "ends_terminal", "n_words", "has_banned",
+        "c4_keep",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (CJK + marker-stopword argmax)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -793,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "repetition": q_repetition,
+        "c4_filters": q_c4_filters,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "containment_audit": q_containment_audit,
@@ -855,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracle.token_stats_sql(),
         "quality": oracle.quality_sql(),
         "repetition": oracle.repetition_sql(),
+        "c4_filters": oracle.c4_filters_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprint": oracle.fingerprint_sql(),
         "containment_audit": oracle.containment_audit_sql(),

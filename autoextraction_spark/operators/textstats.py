@@ -206,6 +206,47 @@ def repetition_stats(
     )
 
 
+C4_BANNED = ["lorem ipsum", "javascript", "{"]
+
+
+def c4_filters(df: DataFrame, text_col: str = "text", min_words: int = 5) -> DataFrame:
+    """C4-style document filter signals (Raffel et al. 2020, §2.2), the
+    other canonical web-corpus cleaning pass next to Gopher repetition.
+
+    Adds
+      - ``n_sentences``: count of sentence-terminal punctuation runs
+        (``[.!?]+``),
+      - ``ends_terminal``: 1 if the trimmed text ends in sentence-terminal
+        punctuation (C4 keeps only lines that do),
+      - ``n_words``: whitespace word count,
+      - ``has_banned``: 1 if the lowercased text contains any boilerplate
+        marker (lorem ipsum / javascript / curly brace — C4's policy and
+        code-fragment tells),
+      - ``c4_keep``: 1 iff n_words >= min_words, >= 1 sentence terminal,
+        and no banned marker.
+
+    Pure codegen (regexp_count / endswith / contains) — per-document map
+    work that stays inside the scan's WholeStageCodegen at 100 TB.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_sent = F.regexp_count(t, F.lit("[.!?]+"))
+    ends = F.rtrim(t).rlike("[.!?][\"')\\]]*$")
+    banned = None
+    for m in C4_BANNED:
+        c = F.contains(low, F.lit(m))
+        banned = c if banned is None else banned | c
+    n_words = F.size(F.split(F.trim(t), "\\s+"))
+    keep = (n_words >= min_words) & (n_sent >= 1) & ~banned
+    return (
+        df.withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("ends_terminal", ends.cast("int"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("has_banned", banned.cast("int"))
+        .withColumn("c4_keep", keep.cast("int"))
+    )
+
+
 def _repetition_stats_shuffle(df: DataFrame, text_col: str) -> DataFrame:
     """Linear-in-length plan for unbounded docs: one posexplode, window
     leads to form grams, groupBy(doc_id, gram) then per-doc re-agg. All

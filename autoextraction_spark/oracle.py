@@ -371,6 +371,30 @@ SELECT doc_id, dup_word_frac, top_bigram_frac, dup_trigram_frac,
 FROM m"""
 
 
+def c4_filters_sql(min_words: int = 5) -> str:
+    """Oracle for textstats.c4_filters."""
+    from .operators.textstats import C4_BANNED
+
+    banned = " OR ".join(
+        f"contains(lower(text), '{m.replace(chr(39), chr(39) * 2)}')"
+        for m in C4_BANNED
+    )
+    return f"""WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         CASE WHEN regexp_matches(rtrim(text), '[.!?]["'')\\]]*$')
+              THEN 1 ELSE 0 END AS ends_terminal,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         CASE WHEN {banned} THEN 1 ELSE 0 END AS has_banned
+  FROM documents
+)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, ends_terminal,
+       CAST(n_words AS BIGINT) AS n_words, has_banned,
+       CAST(n_words >= {min_words} AND n_sentences >= 1
+            AND has_banned = 0 AS INT) AS c4_keep
+FROM s"""
+
+
 def lang_id_sql() -> str:
     from .operators.textstats import CJK_RE, LANG_MARKERS
 

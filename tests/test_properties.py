@@ -143,6 +143,7 @@ EXPECTED_PLAN_COUNTS = {
     "token_stats": (1, 0, 0),
     "quality": (1, 0, 0),
     "repetition": (1, 0, 0),
+    "c4_filters": (1, 0, 0),
     "lang_id": (1, 0, 0),
     "fingerprint": (1, 0, 0),
     "containment_audit": (2, 0, 2),

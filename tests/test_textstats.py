@@ -138,3 +138,28 @@ def test_repetition_methods_agree(spark, sf_dir):
     assert set(local) == set(shuf)
     for doc_id, lr in local.items():
         assert lr == shuf[doc_id], doc_id
+
+
+def test_c4_filters_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This is prose. It has sentences! Three of them?"),
+            (2, "function() { return 42; }"),
+            (3, "lorem ipsum dolor sit amet."),
+            (4, "short."),
+            (5, "no terminal punctuation here at all"),
+            (6, 'He said "stop." '),  # terminal inside trailing quote + space
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.c4_filters(df).collect()}
+    assert rows[1].n_sentences == 3
+    assert rows[1].ends_terminal == 1
+    assert rows[1].c4_keep == 1
+    assert rows[2].has_banned == 1 and rows[2].c4_keep == 0
+    assert rows[3].has_banned == 1 and rows[3].c4_keep == 0
+    assert rows[4].n_words == 1 and rows[4].c4_keep == 0  # below min_words
+    assert rows[5].n_sentences == 0
+    assert rows[5].ends_terminal == 0
+    assert rows[5].c4_keep == 0
+    assert rows[6].ends_terminal == 1
