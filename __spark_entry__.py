@@ -40,8 +40,12 @@ def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> D
     # UDF pass; html never crosses Arrow twice)
     txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
     det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det, policy=policy, carry_text=False)
-    return output.to_triples(output.completed_filter(completed))
+    # dedup inside the episode pass + assume_unique: the O4 set semantics
+    # without the full-output distinct() shuffle (see to_triples docstring)
+    completed = slot_fill.ordered_slot_fill(
+        det, policy=policy, carry_text=False, dedup_assignments=True
+    )
+    return output.to_triples(output.completed_filter(completed), assume_unique=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -33,24 +33,29 @@ def _slot(lang_col: Column, idx: int) -> Column:
     ).otherwise(F.col("assigned").getItem(S.EN_SLOTS[idx]))
 
 
-def to_triples(completed: DataFrame) -> DataFrame:
+def to_triples(completed: DataFrame, assume_unique: bool = False) -> DataFrame:
     """Typed states → distinct (url, pred, subj, obj) (O3+O4).
 
     The reference parses slot values back out of serialized cond strings
     (predict.py:109-126 ``seq2dict``); our state is a typed map, so this is
     a projection — the string grammar survives only in render_cond/parse_cond
     for fixture byte-compat.
+
+    ``assume_unique=True`` skips the ``distinct()`` shuffle. Valid iff the
+    upstream ran with ``dedup_assignments=True`` (fused slot fill): the
+    distinct key (url, pred, subj, obj) is a function of (url, rel,
+    assigned), duplicates of which can only arise inside one episode tree —
+    already dropped in-pass. At corpus scale this removes the only
+    full-output shuffle of the extraction pipeline (tested equal to the
+    shuffling plan).
     """
-    return (
-        completed.select(
-            "url",
-            F.col("rel").alias("pred"),
-            _slot(F.col("lang"), 0).alias("subj"),
-            _slot(F.col("lang"), 1).alias("obj"),
-        )
-        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
-        .distinct()
-    )
+    proj = completed.select(
+        "url",
+        F.col("rel").alias("pred"),
+        _slot(F.col("lang"), 0).alias("subj"),
+        _slot(F.col("lang"), 1).alias("obj"),
+    ).filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    return proj if assume_unique else proj.distinct()
 
 
 def to_event_rows(completed: DataFrame) -> DataFrame:

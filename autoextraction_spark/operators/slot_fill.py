@@ -114,13 +114,27 @@ def _episode_schema(carry_text: bool) -> str:
     return ", ".join(cols)
 
 
-def _episode_batches(policy: str, max_steps: int, carry_text: bool):
+def _episode_batches(
+    policy: str, max_steps: int, carry_text: bool, dedup_assignments: bool = False
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in STATE_COLS}
             rows = list(zip(pdf["url"], pdf["rel"], pdf["text"], pdf["lang"]))
+            # per-row sets of already-emitted assignments (dedup_assignments):
+            # different fork paths of ONE episode tree can complete with the
+            # same assignment map, and downstream set-semantics consumers
+            # (O4 distinct) only look at (url, rel, assigned) — all constant
+            # or keyed within this row. Dropping the duplicates HERE, where
+            # the whole tree is in hand, replaces a full-output shuffle.
+            seen: list[set] = [set() for _ in rows] if dedup_assignments else []
 
             def emit(ri: int, assigned: dict, remaining: list, score: float, step: int):
+                if dedup_assignments:
+                    key = (frozenset(assigned.items()), tuple(remaining))
+                    if key in seen[ri]:
+                        return
+                    seen[ri].add(key)
                 url, rel, text, lang = rows[ri]
                 out["url"].append(url)
                 out["rel"].append(rel)
@@ -179,6 +193,7 @@ def fused_slot_fill(
     policy: str = "rl",
     max_steps: int = MAX_STEPS,
     carry_text: bool = True,
+    dedup_assignments: bool = False,
 ) -> DataFrame:
     """Run every episode to completion in a single ``mapInPandas`` pass.
 
@@ -186,9 +201,19 @@ def fused_slot_fill(
     truncated the episode). ``carry_text=False`` drops the text column from
     the output — downstream triple/event materialization never reads it, and
     not re-serializing the corpus text through Arrow is a material win.
+
+    ``dedup_assignments=True`` drops states that repeat an earlier state's
+    (assigned, remaining) within the same episode tree, keeping the first
+    (highest-wave-priority) representative. Because ``detect_relations``
+    emits at most one row per (url, rel) and an episode tree never leaves
+    its row, this makes (url, rel, assigned) globally unique — consumers
+    with SET semantics over those columns (``to_triples``) can then skip
+    their shuffle-based ``distinct()`` entirely (pass
+    ``assume_unique=True``). Leave False for consumers that weight states
+    by multiplicity or score (RL transition collection keeps every path).
     """
     return detected.mapInPandas(
-        _episode_batches(policy, max_steps, carry_text),
+        _episode_batches(policy, max_steps, carry_text, dedup_assignments),
         schema=_episode_schema(carry_text),
     )
 
@@ -355,6 +380,7 @@ def ordered_slot_fill(
     n_slots: int | None = None,
     mode: str = "fused",
     carry_text: bool = True,
+    dedup_assignments: bool = False,
 ) -> DataFrame:
     """Run episodes to completion; returns completed states (remaining = []).
 
@@ -362,7 +388,12 @@ def ordered_slot_fill(
     Arrow pass (see module docstring); ``mode='rounds'`` is the per-round
     DataFrame loop. Identical output by construction — cross-checked in
     tests — because both call the same pure ``scorers.step_state``.
+    ``dedup_assignments`` (fused only): see ``fused_slot_fill``.
     """
     if mode == "fused" and n_slots is None:
-        return fused_slot_fill(detected, policy, max_steps, carry_text)
+        return fused_slot_fill(
+            detected, policy, max_steps, carry_text, dedup_assignments
+        )
+    if dedup_assignments:
+        raise ValueError("dedup_assignments requires mode='fused'")
     return rounds_slot_fill(detected, policy, max_steps, checkpoint, n_slots)

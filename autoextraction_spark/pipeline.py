@@ -194,8 +194,10 @@ class KgPipeline:
                         det.drop("_stage", "_part_id"),
                         policy=self.policy,
                         carry_text=False,
+                        dedup_assignments=True,
                     )
-                )
+                ),
+                assume_unique=True,
             ),
             resume,
             fp,

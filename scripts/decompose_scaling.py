@@ -55,6 +55,16 @@ def main() -> int:
                 )
             )
         ).count(),
+        "plus_triples_nodistinct": lambda: output.to_triples(
+            output.completed_filter(
+                slot_fill.ordered_slot_fill(
+                    detect.detect_relations(gen()),
+                    carry_text=False,
+                    dedup_assignments=True,
+                )
+            ),
+            assume_unique=True,
+        ).count(),
     }
 
     results: dict[str, dict] = {}

@@ -66,8 +66,12 @@ def main() -> int:
     pages = corpus.web_pages(spark, args.sf_dir)
     txt = with_extracted_text(pages)
     det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det, policy=args.policy)
-    triples = output.to_triples(output.completed_filter(completed))
+    completed = slot_fill.ordered_slot_fill(
+        det, policy=args.policy, dedup_assignments=True
+    )
+    triples = output.to_triples(
+        output.completed_filter(completed), assume_unique=True
+    )
     if args.out:
         triples.write.mode("overwrite").parquet(args.out)
         triples = spark.read.parquet(args.out)

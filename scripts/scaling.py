@@ -33,8 +33,10 @@ spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
 def job():
     txt = corpus.web_pages(spark, sf_dir, replicate=replicate, with_text=True).drop("html")
     det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det, carry_text=False)
-    return output.to_triples(output.completed_filter(completed)).count()
+    completed = slot_fill.ordered_slot_fill(det, carry_text=False,
+                                            dedup_assignments=True)
+    return output.to_triples(output.completed_filter(completed),
+                             assume_unique=True).count()
 
 # Untimed warm-up run: spawning the python-worker pool at high parallelism is
 # kernel-bound (fork + import storm, ~15s for 32 workers) and on a real
@@ -46,7 +48,8 @@ def job():
 warm_replicate = min(replicate, 64)
 txt = corpus.web_pages(spark, sf_dir, replicate=warm_replicate, with_text=True).drop("html")
 output.to_triples(output.completed_filter(
-    slot_fill.ordered_slot_fill(detect.detect_relations(txt), carry_text=False))).count()
+    slot_fill.ordered_slot_fill(detect.detect_relations(txt), carry_text=False,
+                                dedup_assignments=True)), assume_unique=True).count()
 walls, n = [], 0
 passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
 for _ in range(passes):

@@ -123,3 +123,43 @@ def test_episode_cap_terminates(spark):
     )
     completed = slot_fill.ordered_slot_fill(det, max_steps=20)
     assert completed.count() == 1  # both slots filled with [None] forks
+
+
+def test_dedup_assignments_equals_distinct_plan(spark, sf_dir):
+    """The in-pass assignment dedup + assume_unique projection is the SAME
+    set of triples as the shuffle-based distinct() plan — the algebraic
+    shuffle elimination the 100 TB pipeline runs with."""
+    from autoextraction_spark import corpus
+
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    det = detect.detect_relations(pages)
+    slow = output.to_triples(
+        output.completed_filter(slot_fill.ordered_slot_fill(det, carry_text=False))
+    )
+    fast = output.to_triples(
+        output.completed_filter(
+            slot_fill.ordered_slot_fill(
+                det, carry_text=False, dedup_assignments=True
+            )
+        ),
+        assume_unique=True,
+    )
+    key = lambda r: (r.url, r.pred, r.subj, r.obj)
+    fast_rows = fast.collect()
+    assert sorted(map(key, fast_rows)) == sorted(map(key, slow.collect()))
+    # assume_unique really is unique (no silent reliance on a downstream set)
+    assert len(set(map(key, fast_rows))) == len(fast_rows)
+    # and the fast plan has NO data shuffle: the distinct's hash exchange is
+    # gone (the one remaining Exchange is the deliberate round-robin spread
+    # of the tiny corpus skeleton before generation — constant-size, not
+    # output-size)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan[:2000]
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in slow_plan.lower()  # the shuffle we removed
+
+
+def test_dedup_assignments_rejects_rounds_mode(tiny_pages):
+    det = detect.detect_relations(tiny_pages)
+    with pytest.raises(ValueError):
+        slot_fill.ordered_slot_fill(det, mode="rounds", dedup_assignments=True)
