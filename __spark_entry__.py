@@ -38,7 +38,7 @@ def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> D
     # with_text=True: generation + the frozen extract_text run in ONE python
     # stage (production depth — a real job scans pages and extracts in one
     # UDF pass; html never crosses Arrow twice)
-    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = detect.detect_relations(txt)
     # dedup inside the episode pass + assume_unique: the O4 set semantics
     # without the full-output distinct() shuffle (see to_triples docstring)
@@ -64,7 +64,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage B relation-detection gate (E1): broadcast anchor join + sigmoid
     threshold 0.6 (predict.py:145-146)."""
-    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     return detect.detect_relations(pages).select(
         "url", "rel", F.round("rc_score", 6).alias("rc_score")
     )
@@ -102,7 +102,7 @@ def q_kg_slot_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-slot (3-role) event extraction — DuEE-style ordered filling
     (P3 semantics), reified as (url, etype, role, value) rows."""
-    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = detect.detect_relations(pages)
     completed = slot_fill.ordered_slot_fill(det, carry_text=False)
     return output.to_event_rows(output.completed_filter(completed))
@@ -169,7 +169,7 @@ def q_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two policy runs ARE the semantics (O8) — but they share the
     # generation → extraction → detection upstream, which is materialized
     # once instead of running the corpus pass twice
-    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = detect.detect_relations(txt).localCheckpoint(eager=True)
     runs = {}
     for policy in ("rl", "sequence"):
@@ -718,7 +718,7 @@ def q_metric_f1_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _detected_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     return detect.detect_relations(txt).filter(F.col("rel").isin(KS.REL_NAMES))
 
 
@@ -738,7 +738,7 @@ def q_rl_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rl_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 over the 3-role EVENT episodes (en + zh): the arity-3 fork path
     of experience collection, sequence-ordered under ε = 0 / zero weights."""
-    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = detect.detect_relations(txt).filter(F.col("rel").isin(KS.EVENT_NAMES))
     tr = rl_train.generate_transitions(det)
     return tr.select(

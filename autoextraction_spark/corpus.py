@@ -27,6 +27,10 @@ WEB_PAGES_SCHEMA = (
     "text string, lang string"
 )
 
+WEB_PAGES_SCHEMA_NO_HTML = (
+    "doc_id long, url string, warc_ts timestamp, text string, lang string"
+)
+
 _EPOCH = _dt.datetime(2024, 1, 1)
 
 
@@ -50,7 +54,7 @@ def warc_ts(doc_id: int) -> _dt.datetime:
     return _EPOCH + _dt.timedelta(days=doc_id % 365, seconds=(doc_id * 7) % 86400)
 
 
-def _gen(with_text: bool):
+def _gen(with_text: bool, emit_html: bool = True):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .operators.text_extract import extract_text
 
@@ -61,22 +65,27 @@ def _gen(with_text: bool):
                 build_html(d, lg).encode("utf-8")
                 for d, lg in zip(doc_ids, langs)
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "url": [S.page_url(d) for d in doc_ids],
-                    "warc_ts": [warc_ts(d) for d in doc_ids],
-                    "html": html,
-                    "text": [extract_text(h) for h in html] if with_text else None,
-                    "lang": langs,
-                }
-            )
+            out = {
+                "doc_id": doc_ids,
+                "url": [S.page_url(d) for d in doc_ids],
+                "warc_ts": [warc_ts(d) for d in doc_ids],
+                "html": html,
+                "text": [extract_text(h) for h in html] if with_text else None,
+                "lang": langs,
+            }
+            if not emit_html:
+                del out["html"]
+            yield pd.DataFrame(out)
 
     return run
 
 
 def web_pages(
-    spark: SparkSession, sf_dir: str, replicate: int = 1, with_text: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    with_text: bool = False,
+    emit_html: bool = True,
 ) -> DataFrame:
     """Synthesize the input table from the documents skeleton at ``sf_dir``.
 
@@ -90,6 +99,28 @@ def web_pages(
     corpus k× for load/scaling runs: replica r shifts ids by r·(max_id+1),
     producing distinct urls AND distinct facts (all content is doc_id
     arithmetic).
+
+    ``emit_html=False`` omits the ``html`` column from the OUTPUT (the bytes
+    are still built internally when extraction needs them). ``mapInPandas``
+    output cannot be column-pruned into the python side — a downstream
+    ``.drop("html")`` still pays full Arrow serialization of the largest
+    column — so every consumer that only wants extracted text should ask for
+    the html-free schema here instead of dropping the column after.
+    """
+    skel = doc_skeleton(spark, sf_dir, replicate)
+    return pages_from_skeleton(skel, with_text=with_text, emit_html=emit_html)
+
+
+def doc_skeleton(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """The (doc_id, lang) id-space the corpus is generated from.
+
+    Split out of ``web_pages`` so load/scaling harnesses can materialize it
+    ONCE (localCheckpoint) and time only the pipeline over it — the skeleton
+    bootstrap (tiny parquet read, repartition shuffle, max-id agg, replica
+    explode) is sandbox scaffolding standing in for "the crawl is already in
+    storage", not pipeline work.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
     # Repartition the tiny skeleton BEFORE generation (and before the k×
@@ -112,7 +143,17 @@ def web_pages(
             "doc_id",
             "lang",
         ).select((F.col("doc_id") + F.col("r") * shift).alias("doc_id"), "lang")
-    return docs.mapInPandas(_gen(with_text), schema=WEB_PAGES_SCHEMA)
+    return docs
+
+
+def pages_from_skeleton(
+    skel: DataFrame, with_text: bool = False, emit_html: bool = True
+) -> DataFrame:
+    """Generate pages from an existing (doc_id, lang) skeleton DataFrame."""
+    return skel.mapInPandas(
+        _gen(with_text, emit_html),
+        schema=WEB_PAGES_SCHEMA if emit_html else WEB_PAGES_SCHEMA_NO_HTML,
+    )
 
 
 def gold_triples(spark: SparkSession, sf_dir: str, canonical: bool = False) -> DataFrame:

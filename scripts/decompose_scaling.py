@@ -39,8 +39,9 @@ def main() -> int:
 
     def gen():
         return corpus.web_pages(
-            spark, args.sf_dir, replicate=args.replicate, with_text=True
-        ).drop("html")
+            spark, args.sf_dir, replicate=args.replicate, with_text=True,
+            emit_html=False,
+        )
 
     prefixes = {
         "gen_extract": lambda: gen().count(),

@@ -35,7 +35,7 @@ def main() -> None:
 
     sections = []
 
-    txt = corpus.web_pages(spark, SF, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, SF, with_text=True, emit_html=False)
     det = detect.detect_relations(txt)
     sections.append(
         ("Stage B output (detection gate over extracted text)",

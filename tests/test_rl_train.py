@@ -199,7 +199,7 @@ def test_trained_policy_full_corpus_parity(spark, sf_dir):
     from autoextraction_spark import schema as KS
     from autoextraction_spark.operators import detect, output, slot_fill
 
-    txt = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = (
         detect.detect_relations(txt)
         .filter(F.col("rel").isin(KS.REL_NAMES))

@@ -131,7 +131,7 @@ def test_dedup_assignments_equals_distinct_plan(spark, sf_dir):
     shuffle elimination the 100 TB pipeline runs with."""
     from autoextraction_spark import corpus
 
-    pages = corpus.web_pages(spark, sf_dir, with_text=True).drop("html")
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
     det = detect.detect_relations(pages)
     slow = output.to_triples(
         output.completed_filter(slot_fill.ordered_slot_fill(det, carry_text=False))
