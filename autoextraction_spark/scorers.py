@@ -251,6 +251,12 @@ def choose_slot(
                    (neural.MLPQ over featurize): the neural swap seam,
                    deployed through the identical inference pass.
     """
+    if len(remaining) == 1:
+        # argmax over one candidate is that candidate under EVERY policy
+        # (sequence [0], reverse [-1], crc32 % 1 == 0, argmax of a single Q)
+        # — skip the Q scoring entirely; on 2-slot relations this halves the
+        # number of scored waves.
+        return remaining[0]
     if policy == "sequence":
         return remaining[0]
     if policy.startswith("mlp:"):
@@ -300,9 +306,30 @@ def step_state(
 
     Returns (chosen_slot, candidates, reward) where reward is the mean of
     per-mention max logits (Environment.py:197).
+
+    The default ``rl`` ensemble scores slots by candidate COUNT
+    (``q_value = len(raw_candidates)``), so the chosen slot's raw candidate
+    list is already in hand when extraction needs it — computing it once and
+    reusing it removes one full regex pass per step (the dominant per-row
+    cost). Output is identical by construction: ``extract_candidates`` is
+    ``score2prob(raw_candidates(...)) or [NONE_CAND]``.
     """
-    chosen = choose_slot(text, rel, lang, assigned, remaining, policy)
-    cands = extract_candidates(text, rel, lang, assigned, chosen)
+    if policy == "rl" and len(remaining) > 1:
+        raws = {
+            s: raw_candidates(text, rel, lang, assigned, s) for s in remaining
+        }
+        best_i, best_q = 0, float("-inf")
+        for i, slot in enumerate(remaining):
+            q1 = float(len(raws[slot]))
+            q2 = 0.5 * q1 + (0.25 if q1 > 0 else 0.0)
+            q = q1 + q2
+            if q > best_q:  # strict: first-max tie-break like torch.argmax
+                best_i, best_q = i, q
+        chosen = remaining[best_i]
+        cands = score2prob(raws[chosen]) or [NONE_CAND]
+    else:
+        chosen = choose_slot(text, rel, lang, assigned, remaining, policy)
+        cands = extract_candidates(text, rel, lang, assigned, chosen)
     reward = sum(c[2] for c in cands) / len(cands)
     return chosen, cands, reward
 
