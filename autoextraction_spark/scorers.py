@@ -54,6 +54,47 @@ def _pattern(rel: str, lang: str, conn: str, fixed_subj: str | None, fixed_obj: 
     return re.compile(f"{subj}{re.escape(conn)}{obj}{tail}")
 
 
+@lru_cache(maxsize=8)
+def _ent_suffix(lang: str):
+    """``({ENT}){tail}`` — the part of a fixed-subject pattern AFTER the
+    literal prefix. Keyed on lang only, so it compiles twice per process."""
+    ent = ZH_ENT if lang == "zh" else EN_ENT
+    tail = "。" if lang == "zh" else r"(?![A-Za-z])"
+    return re.compile(f"({ent}){tail}")
+
+
+def _objs_after_literal(text: str, prefix: str, lang: str) -> list[str]:
+    """Exactly ``[m.group(1) for m in re.finditer(re.escape(prefix) +
+    ({ENT}){tail}, text)]`` — without compiling a per-mention pattern.
+
+    Valid ONLY because the variable part is a literal PREFIX: a full-pattern
+    match can start nowhere but at a literal occurrence, so scanning literal
+    occurrences left-to-right with ``str.find`` and anchoring the cached
+    suffix regex at each (resuming at ``m.end()`` on success, ``i + 1`` on
+    failure) visits exactly the positions ``finditer`` would try, in the
+    same order, with the same non-overlap rule. Extracted mentions are
+    unique per document, so the per-mention compiled patterns this replaces
+    missed every lru cache at corpus scale — measured ~18% of single-core
+    episode time (scripts/profile_episode.py). The mirrored fixed-OBJECT
+    case keeps the compiled pattern: its literal is a suffix, and emulating
+    leftmost-start/greedy semantics for a variable-length entity prefix is
+    not provably equivalent.
+    """
+    pat = _ent_suffix(lang)
+    out: list[str] = []
+    pos, n = 0, len(prefix)
+    while True:
+        i = text.find(prefix, pos)
+        if i < 0:
+            return out
+        m = pat.match(text, i + n)
+        if m:
+            out.append(m.group(1))
+            pos = m.end()
+        else:
+            pos = i + 1
+
+
 def _matches(
     text: str, rel: str, lang: str, want_slot_idx: int, fixed: str | None, primary_only: bool
 ) -> list[tuple[str, float]]:
@@ -63,13 +104,18 @@ def _matches(
         if primary_only and not is_primary:
             continue
         logit = PRIMARY_LOGIT if is_primary else ALT_LOGIT
+        if want_slot_idx == 1 and fixed is not None:
+            # fixed subject: literal-prefix fast path, no per-mention compile
+            for obj in _objs_after_literal(text, fixed + conn, lang):
+                out.append((obj, logit))
+            continue
         if want_slot_idx == 0:
             pat = _pattern(rel, lang, conn, None, fixed)
             group_idx = 1
         else:
             pat = _pattern(rel, lang, conn, fixed, None)
             # subject unfixed -> it is group 1, the object we want is group 2
-            group_idx = 2 if fixed is None else 1
+            group_idx = 2
         for m in pat.finditer(text):
             out.append((m.group(group_idx), logit))
     return out

@@ -144,3 +144,61 @@ def test_choice_reward_depth1_matches_reference_math():
         [{"subject": "Bob Rivera", "object": "Acme Corp"}], depth=1,
     )
     assert r2 == 0.0
+
+
+def test_literal_prefix_fast_path_equals_compiled_pattern():
+    """The fixed-subject fast path (_objs_after_literal) must reproduce
+    re.finditer over the compiled per-mention pattern EXACTLY — including
+    non-overlap resume, repeated occurrences, and near-miss prefixes."""
+    import re
+
+    def reference(text, prefix, lang):
+        ent = scorers.ZH_ENT if lang == "zh" else scorers.EN_ENT
+        tail = "。" if lang == "zh" else r"(?![A-Za-z])"
+        pat = re.compile(f"{re.escape(prefix)}({ent}){tail}")
+        return [m.group(1) for m in pat.finditer(text)]
+
+    cases = [
+        # plain hit
+        ("Alice Stone works for Acme Corp.", "Alice Stone works for ", "en"),
+        # two occurrences of the same literal
+        ("X works for Acme Corp. X works for Beta Inc.", "X works for ", "en"),
+        # literal occurs but suffix fails (lowercase continuation)
+        ("X works for acme corp.", "X works for ", "en"),
+        # tail lookahead rejects a letter continuation, then a later hit lands
+        ("X works for AcmeCorpx X works for Acme Corp.", "X works for ", "en"),
+        # literal inside an earlier match's object (overlap/resume rule)
+        ("A works for B works for Cc D.", " works for ", "en"),
+        # prefix at position 0 and at end-of-text with no room for the entity
+        ("Acme Corp. tail X works for ", "X works for ", "en"),
+        # zh: CJK entity + 。 tail
+        ("张三就职于北京大学。", "张三就职于", "zh"),
+        ("张三就职于北京大学", "张三就职于", "zh"),  # missing 。 -> no match
+    ]
+    for text, prefix, lang in cases:
+        assert scorers._objs_after_literal(text, prefix, lang) == reference(
+            text, prefix, lang
+        ), (text, prefix, lang)
+
+    # whole-corpus differential: every (rel, lang, conn) over real corpus
+    # text, fixed-subject direction, fast path vs compiled pattern
+    from autoextraction_spark.corpus import build_html
+    from autoextraction_spark.operators.text_extract import extract_text
+
+    for d in range(0, 400):
+        lang = "zh" if d % 3 == 2 else "en"
+        text = extract_text(build_html(d, lang).encode("utf-8"))
+        for rel, _, _ in S.RELATIONS:
+            templates = (S.ZH_TEMPLATES if lang == "zh" else S.EN_TEMPLATES)
+            if rel not in templates:
+                continue
+            # every subject mention the unconstrained pass can produce
+            subs = {
+                m
+                for m, _ in scorers._matches(text, rel, lang, 0, None, True)
+            }
+            for fixed in subs:
+                for conn, _p in templates[rel]:
+                    assert scorers._objs_after_literal(
+                        text, fixed + conn, lang
+                    ) == reference(text, fixed + conn, lang)
