@@ -281,6 +281,72 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: the driver corpus is
+    single-line, so 8-word chunks stand in for paragraphs (both sides
+    derive them with the same arithmetic); the operator itself is the real
+    thing — first-occurrence winner per distinct paragraph via a
+    map-side-combinable min(struct) agg, skew-safe join-back, reassembly."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk = 8
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(chunk)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * chunk + 1, chunk)),
+    )
+    multiline = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    return dedup.paragraph_dedup(multiline).select(
+        "doc_id", "text_dedup", "n_lines", "n_dropped"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 10 == 7 act as the
+    eval set; every other doc is scored by the fraction of its distinct
+    word 5-grams that appear in the (broadcast) benchmark gram set."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup.decontaminate(train, bench, n=5, threshold=0.05)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministic injected PII
+    (emails / phones / IPv4s as doc_id arithmetic, so the oracle plants
+    byte-identical inputs): sequential count-then-replace, pure codegen."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+
+    def s(c):  # noqa: ANN001 - tiny cast helper
+        return c.cast("string")
+
+    email = F.concat(
+        F.lit(" contact user"), s(d % 1000), F.lit("@mail"), s(d % 7),
+        F.lit(".example.com"),
+    )
+    phone = F.concat(
+        F.lit(" call +1 555-01"), F.lpad(s(d % 100), 2, "0"), F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from host "), s(d % 256), F.lit(".0."), s(d % 100),
+        F.lit(".1 port 80"),
+    )
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, email).otherwise(F.lit("")),
+            F.when(d % 4 == 1, phone).otherwise(F.lit("")),
+            F.when(d % 5 == 2, ip).otherwise(F.lit("")),
+        ),
+    )
+    return textstats.pii_scrub(injected).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (CJK + marker-stopword argmax)."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -808,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
+        "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "containment_audit": q_containment_audit,
@@ -871,6 +940,9 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.quality_sql(),
         "repetition": oracle.repetition_sql(),
         "c4_filters": oracle.c4_filters_sql(),
+        "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
+        "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
+        "pii_scrub": oracle.pii_scrub_sql(),
         "lang_id": oracle.lang_id_sql(),
         "fingerprint": oracle.fingerprint_sql(),
         "containment_audit": oracle.containment_audit_sql(),

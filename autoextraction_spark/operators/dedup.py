@@ -451,3 +451,127 @@ def simhash_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    materialize: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication (Wenzek et al. 2020
+    §3.1): split every document into ``sep``-delimited paragraphs, keep only
+    the FIRST corpus-order occurrence (min (doc_id, pos)) of each distinct
+    paragraph, and reassemble documents from their surviving paragraphs.
+    Web boilerplate (nav bars, cookie banners, footers) repeats across
+    millions of pages; dropping repeated paragraphs is the standard first
+    cleaning pass of CCNet/RefinedWeb-class pipelines.
+
+    Returns (id_col, text_dedup, n_lines, n_dropped) — one row per input
+    document (a fully-boilerplate document survives with text_dedup = '').
+
+    Scale shape (100 TB): one explode (no shuffle); winner-per-paragraph is
+    a groupBy(md5 key) with a map-side-combinable min(struct) — partial
+    aggregation absorbs the hot boilerplate keys BEFORE the shuffle, which
+    is why this is an agg + join-back rather than a row_number() window
+    (a window would sort every occurrence of a viral paragraph inside one
+    partition: unboundedly skewed); the join-back probes on the same key
+    (AQE skew-join splits any residual hot partition); reassembly is one
+    groupBy(doc) of (pos, line) structs. Keys are full 128-bit md5 so the
+    SQL oracle groups on the identical value — no truncation collisions.
+    The exploded paragraph table feeds both the winner agg and the probe
+    side, so it is checkpointed once (the round-3 materialize-once rule).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        )
+        .withColumn("key", F.md5(F.col("line")))
+    )
+    lines = _maybe_ckpt(lines, materialize)
+    winners = lines.groupBy("key").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    kept = lines.join(winners, "key").withColumn(
+        "keep",
+        (F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")),
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+                )
+            ).alias("surv"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(sep, F.transform(F.col("surv"), lambda s: s.line)).alias(
+                "text_dedup"
+            ),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Training-set decontamination against an evaluation benchmark
+    (GPT-3 appendix C / Llama-2 style): flag any training document whose
+    word ``n``-grams overlap the benchmark's n-gram set above ``threshold``
+    (fraction of the document's distinct n-grams that appear in ANY
+    benchmark document).
+
+    Returns (id_col, n_grams, n_matched, contam_frac, contaminated) — one
+    row per training document.
+
+    Scale shape (100 TB): eval benchmarks are tiny (MBs) next to the
+    training corpus, so the benchmark n-gram set is BROADCAST — the whole
+    operator is then a single map-side pass over the corpus: per-doc
+    n-grams are deduped locally (array_distinct before explode — no
+    per-doc distinct shuffle), the broadcast hash join tags matches, and
+    one groupBy(doc) shuffles only (id, counts). No all-pairs, nothing
+    keyed on gram strings ever shuffles.
+    """
+    bench_grams = (
+        bench_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("g"),
+    )
+    tagged = grams.join(F.broadcast(bench_grams), "g", "left")
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round(F.col("n_matched") / F.col("n_grams"), 6).alias("contam_frac"),
+            (F.col("n_matched") / F.col("n_grams") >= threshold)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -1244,3 +1244,89 @@ def rl_event_transitions_sql() -> str:
         )
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {_DOCS_CTE}\n{body}"
+
+
+def paragraph_dedup_sql(chunk: int = 8) -> str:
+    """Replicates operators.dedup.paragraph_dedup over the documents table
+    with ``chunk``-word synthetic paragraphs (the driver corpus is
+    single-line, so the query wrapper derives the paragraph structure from
+    the SAME arithmetic on both sides): keep the first corpus-order
+    (doc_id, pos) occurrence of each distinct paragraph, reassemble."""
+    return f"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+ln AS (SELECT doc_id, i,
+              array_to_string(w[i*{chunk}+1:i*{chunk}+{chunk}], ' ') AS line
+       FROM (SELECT doc_id, w,
+                    unnest(range(CAST(ceil(len(w)/{chunk}.0) AS INT))) AS i
+             FROM w)),
+r AS (SELECT doc_id, i, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+      FROM ln)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY i),
+                '') AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id"""
+
+
+def decontaminate_sql(n: int = 5, threshold: float = 0.05, bench_mod: int = 10,
+                      bench_rem: int = 7) -> str:
+    """Replicates operators.dedup.decontaminate: training docs
+    (doc_id % bench_mod != bench_rem) scored by the fraction of their
+    distinct word n-grams that appear in the benchmark split's n-gram set.
+    Mirrors word_shingles' shorter-than-n behavior (one whole-string gram
+    via greatest(len-n+1, 1))."""
+    grams = f"""SELECT doc_id,
+       array_to_string(w[i+1:i+{n}], ' ') AS g
+FROM (SELECT doc_id, w, unnest(range(greatest(len(w) - {n - 1}, 1))) AS i
+      FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))"""
+    return f"""WITH grams AS ({grams}),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = {bench_rem}),
+tg AS (SELECT DISTINCT doc_id, g FROM grams
+       WHERE doc_id % {bench_mod} <> {bench_rem}),
+agg AS (SELECT tg.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+        FROM tg LEFT JOIN bg USING (g) GROUP BY tg.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched * 1.0 / n_grams, 6) AS contam_frac,
+       CAST(n_matched * 1.0 / n_grams >= {threshold} AS INT) AS contaminated
+FROM agg"""
+
+
+def pii_scrub_sql() -> str:
+    """Replicates operators.textstats.pii_scrub over documents with the
+    query wrapper's deterministic PII injection: sequential
+    count-then-replace per pattern, so each rule sees the previous rule's
+    redacted text — byte-identical to the Spark pass."""
+    from .operators.textstats import PII_PATTERNS
+
+    inject = """text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+                   || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 1
+              THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 2
+              THEN ' from host ' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST(doc_id % 100 AS VARCHAR) || '.1 port 80'
+              ELSE '' END"""
+    sql = f"WITH s0 AS (SELECT doc_id, {inject} AS t FROM documents)"
+    prev = "s0"
+    for k, (kind, pat, rep) in enumerate(PII_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        sql += (
+            f",\ns{k} AS (SELECT doc_id, "
+            + ", ".join(f"n_{pk}" for pk, _, _ in PII_PATTERNS[: k - 1])
+            + (", " if k > 1 else "")
+            + f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{kind}, "
+            f"regexp_replace(t, '{p}', '{rep}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{k}"
+    cols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
+    sql += f"\nSELECT doc_id, {cols}, t AS text_redacted FROM {prev}"
+    return sql

@@ -156,3 +156,48 @@ def test_exact_jaccard_length_filter_keeps_boundary(spark):
     got = {(r.id_a, r.id_b): r.jaccard
            for r in dedup.exact_jaccard(pairs, sh, threshold=0.5).collect()}
     assert got == {(1, 2): 0.5}  # (1,3) killed by the length filter
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "boiler\nunique one\nboiler"),   # in-doc repeat: pos 0 wins
+        (2, "boiler\nunique two"),           # cross-doc repeat: doc 1 won
+        (3, "boiler"),                       # fully-boilerplate doc survives empty
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].text_dedup == "boiler\nunique one"
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 1)
+    assert out[2].text_dedup == "unique two"
+    assert (out[2].n_lines, out[2].n_dropped) == (2, 1)
+    assert out[3].text_dedup == ""
+    assert (out[3].n_lines, out[3].n_dropped) == (1, 1)
+    assert len(out) == 3  # every input doc present
+
+
+def test_decontaminate_counts_and_flag(spark):
+    train = spark.createDataFrame(
+        [
+            # 6 words -> 2 distinct 5-grams; first one matches the benchmark
+            (1, "a b c d e f"),
+            # no overlap at all
+            (2, "x y z w v u"),
+            # shorter than n: ONE whole-string gram, exact benchmark doc
+            (3, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e"), (10, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.decontaminate(train, bench, n=5, threshold=0.5).collect()
+    }
+    assert (out[1].n_grams, out[1].n_matched, out[1].contaminated) == (2, 1, 1)
+    assert (out[2].n_grams, out[2].n_matched, out[2].contaminated) == (2, 0, 0)
+    assert (out[3].n_grams, out[3].n_matched, out[3].contaminated) == (1, 1, 1)

@@ -144,6 +144,13 @@ EXPECTED_PLAN_COUNTS = {
     "quality": (1, 0, 0),
     "repetition": (1, 0, 0),
     "c4_filters": (1, 0, 0),
+    # paragraph dedup checkpoints its exploded-lines plan once; the winner
+    # agg and the probe side each read the checkpoint (2 ckpt, 0 parquet)
+    "paragraph_dedup": (0, 2, 0),
+    # two parquet branches are inherent: the benchmark filter and the
+    # training filter are different subsets of the same source
+    "decontaminate": (2, 0, 0),
+    "pii_scrub": (1, 0, 0),
     "lang_id": (1, 0, 0),
     "fingerprint": (1, 0, 0),
     "containment_audit": (2, 0, 2),

@@ -163,3 +163,31 @@ def test_c4_filters_known_values(spark):
     assert rows[5].ends_terminal == 0
     assert rows[5].c4_keep == 0
     assert rows[6].ends_terminal == 1
+
+
+def test_pii_scrub_sequential_redaction(spark):
+    from autoextraction_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+        (2, "call +1 (555) 123-4567 or +44 20 7946 0958 now"),
+        (3, "server 10.0.0.1 and 192.168.255.3 up"),
+        (4, "alice@example.com then +1 555-111-2222 then 8.8.8.8"),
+        (5, "no pii here at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].n_email == 1
+    assert out[1].text_redacted == "mail me at <EMAIL> thanks"
+    assert out[2].n_phone == 2
+    assert out[2].text_redacted == "call <PHONE> or <PHONE> now"
+    assert out[3].n_ipv4 == 2
+    assert out[3].text_redacted == "server <IP> and <IP> up"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (1, 1, 1)
+    assert out[4].text_redacted == "<EMAIL> then <PHONE> then <IP>"
+    assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (0, 0, 0)
+    assert out[5].text_redacted == out[5].text
