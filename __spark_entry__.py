@@ -23,8 +23,8 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    dedup, detect, linking, multimodal, nested, output, rl_train, similarity,
-    slot_fill, textstats, tokenize,
+    dedup, detect, graph, linking, multimodal, nested, output, rl_train,
+    similarity, slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
@@ -279,6 +279,17 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_sentences", "ends_terminal", "n_words", "has_banned",
         "c4_keep",
     )
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the PIPELINE's own output: run stages A-D, take
+    the emitted (subj, obj) entity edges, and compute degree stats + 3
+    iterations of damped PageRank (GraphFrames-style iterate-over-
+    DataFrames, no driver-side loop state). The oracle recomputes the same
+    unrolled iterations over the gold triple graph — so this row also
+    re-verifies the extraction output it consumes."""
+    triples = _pipeline_triples(spark, sf_dir)
+    return graph.entity_pagerank(graph.triple_edges(triples))
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -874,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
+        "kg_pagerank": q_kg_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -940,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.quality_sql(),
         "repetition": oracle.repetition_sql(),
         "c4_filters": oracle.c4_filters_sql(),
+        "kg_pagerank": oracle.pagerank_sql(damping=0.85, iters=3),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

@@ -1330,3 +1330,45 @@ def pii_scrub_sql() -> str:
     cols = ", ".join(f"n_{kind}" for kind, _, _ in PII_PATTERNS)
     sql += f"\nSELECT doc_id, {cols}, t AS text_redacted FROM {prev}"
     return sql
+
+
+def pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates operators.graph.entity_pagerank over the gold triple
+    graph: fixed-depth damped PageRank with uniform dangling redistribution,
+    unrolled one CTE per iteration. Float literals are embedded via repr()
+    of the SAME python values the Spark plan uses, and the expression tree
+    mirrors the Spark column expression term-for-term, so the only drift
+    source is float-sum ordering — absorbed by round(…, 6) on both sides."""
+    d = float(damping)
+    omd = 1.0 - d
+    prev = "r0"
+    iter_ctes = ""
+    for k in range(1, iters + 1):
+        iter_ctes += f""",
+r{k} AS (
+  SELECT b.node, b.out_deg,
+         {omd!r} / (SELECT n FROM nn)
+         + {d!r} * (coalesce(c.m, 0.0)
+                    + (SELECT coalesce(sum(rank), 0.0) FROM {prev} WHERE out_deg = 0)
+                      / (SELECT n FROM nn)) AS rank
+  FROM base b
+  LEFT JOIN (SELECT e.dst, sum(r.rank / r.out_deg) AS m
+             FROM {prev} r JOIN e ON r.node = e.src
+             WHERE r.out_deg > 0 GROUP BY e.dst) c ON b.node = c.dst
+)"""
+        prev = f"r{k}"
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+g AS (SELECT DISTINCT {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst),
+base AS (SELECT node, coalesce(od.out_deg, 0) AS out_deg,
+                coalesce(idg.in_deg, 0) AS in_deg
+         FROM nodes LEFT JOIN od ON node = od.src
+                    LEFT JOIN idg ON node = idg.dst),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ctes}
+SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
+       CAST(b.in_deg AS BIGINT) AS in_deg, round(r.rank, 6) AS pagerank
+FROM base b JOIN {prev} r ON b.node = r.node"""

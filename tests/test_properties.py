@@ -180,6 +180,9 @@ EXPECTED_PLAN_COUNTS = {
     "score2prob": (2, 0, 0),
     "argmax_order": (1, 0, 0),
     "metric_f1_sets": (2, 0, 0),
+    # fixed-depth PageRank: final plan reads only checkpoints (edges, base,
+    # last-iteration ranks x2 for the contrib + dangling branches)
+    "kg_pagerank": (0, 4, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
