@@ -23,8 +23,8 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    dedup, detect, graph, linking, multimodal, nested, output, rl_train,
-    similarity, slot_fill, textstats, tokenize,
+    classifier, dedup, detect, graph, linking, multimodal, nested, output,
+    rl_train, similarity, slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
@@ -290,6 +290,36 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-verifies the extraction output it consumes."""
     triples = _pipeline_triples(spark, sf_dir)
     return graph.entity_pagerank(graph.triple_edges(triples))
+
+
+#: fixed model artifact for q_classifier_score — iteration-3 weights from a
+#: quality_classifier training run (plan literals, like the IVF centroids)
+CLASSIFIER_WEIGHTS = [-0.179704, -0.053356, 0.0, -0.005809, -0.101684]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/LLaMA-style quality-classifier TRAINING as a distributed job:
+    logistic regression (reference-corpus label y = lang='en') by full-batch
+    GD where each iteration is ONE map-side-combinable avg aggregation over
+    a checkpointed pure-codegen feature table; weights live in 1-row
+    broadcast DataFrames (no collect in the loop). Emits the weight
+    snapshot after every iteration; the oracle unrolls the identical GD
+    in SQL CTEs — a closed-form check of the full training trajectory."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    feats = classifier.quality_features(docs).withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    return classifier.logreg_train(feats, label_col="y", lr=2.0, iters=3)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy the trained quality classifier: weights are plan literals
+    (model artifact), scoring is sigmoid(w·x) at scan speed — zero UDFs,
+    zero shuffles, the 100 TB filter shape."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier.classify(docs, CLASSIFIER_WEIGHTS).select(
+        "doc_id", "score", "keep"
+    )
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
         "kg_pagerank": q_kg_pagerank,
+        "quality_classifier": q_quality_classifier,
+        "classifier_score": q_classifier_score,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -953,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition": oracle.repetition_sql(),
         "c4_filters": oracle.c4_filters_sql(),
         "kg_pagerank": oracle.pagerank_sql(damping=0.85, iters=3),
+        "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
+        "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

@@ -1372,3 +1372,78 @@ r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ct
 SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
        CAST(b.in_deg AS BIGINT) AS in_deg, round(r.rank, 6) AS pagerank
 FROM base b JOIN {prev} r ON b.node = r.node"""
+
+
+def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
+    """Replicates operators.classifier.logreg_train over quality_features
+    with y = (lang = 'en'): full-batch logistic GD from w = 0, one CTE pair
+    (gradient, weights) per unrolled iteration. Each feature formula and the
+    sigmoid/error/average expressions mirror the Spark column tree
+    term-for-term; lr is embedded via repr() of the same python float. The
+    only drift source is float-sum ordering in the avg — absorbed by
+    round(…, 6) on the emitted weight snapshots."""
+    from .operators.classifier import N_FEATURES
+    from .operators.textstats import STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    lrr = repr(float(lr))
+    js = range(N_FEATURES)
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in js)
+    grads = ",\n         ".join(
+        f"avg((1.0 / (1.0 + exp(-({dot}))) - f.y) * f.x{j}) AS g{j}"
+        for j in js
+    )
+    steps = ", ".join(f"w.w{j} - {lrr} * g.g{j} AS w{j}" for j in js)
+    zeros = ", ".join(f"0.0 AS w{j}" for j in js)
+    iter_ctes = ""
+    prev = "w0s"
+    for k in range(1, iters + 1):
+        iter_ctes += f""",
+g{k} AS (SELECT {grads}
+         FROM f, {prev} w),
+w{k}s AS (SELECT {steps} FROM {prev} w, g{k} g)"""
+        prev = f"w{k}s"
+    snap = " UNION ALL ".join(
+        f"SELECT {k} AS iter, "
+        + ", ".join(f"round(w{j}, 6) AS w{j}" for j in js)
+        + f" FROM w{k}s"
+        for k in range(iters + 1)
+    ).replace("FROM w0s", "FROM w0s", 1)
+    return f"""WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         least(len(string_split(text, ' ')), 200) / 200.0 AS x1,
+         len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+           / greatest(length(text), 1) AS x2,
+         len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) AS x3,
+         least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),
+               10.0) / 10.0 AS x4
+  FROM documents
+),
+w0s AS (SELECT {zeros}){iter_ctes}
+SELECT CAST(iter AS BIGINT) AS iter, w0, w1, w2, w3, w4 FROM ({snap})"""
+
+
+def classifier_score_sql(weights: list[float], threshold: float = 0.5) -> str:
+    """Replicates operators.classifier.classify with a fixed weight literal
+    (the trained model artifact): score = sigmoid(w·x), keep = score >= t."""
+    from .operators.textstats import STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    xs = [
+        "1.0",
+        "least(len(string_split(text, ' ')), 200) / 200.0",
+        "len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)",
+        f"len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0"
+        " / greatest(len(string_split(text, ' ')), 1)",
+        "least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),"
+        " 10.0) / 10.0",
+    ]
+    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, xs))
+    return f"""WITH s AS (
+  SELECT doc_id, 1.0 / (1.0 + exp(-({dot}))) AS score FROM documents
+)
+SELECT doc_id, round(score, 6) AS score,
+       CAST(CASE WHEN score >= {threshold!r} THEN 1 ELSE 0 END AS INT) AS keep
+FROM s"""

@@ -183,6 +183,9 @@ EXPECTED_PLAN_COUNTS = {
     # fixed-depth PageRank: final plan reads only checkpoints (edges, base,
     # last-iteration ranks x2 for the contrib + dangling branches)
     "kg_pagerank": (0, 4, 0),
+    # GD training: final union reads the 3 checkpointed weight snapshots
+    "quality_classifier": (0, 3, 0),
+    "classifier_score": (1, 0, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
