@@ -23,8 +23,8 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    classifier, dedup, detect, graph, linking, multimodal, nested, output,
-    rl_train, similarity, slot_fill, textstats, tokenize,
+    classifier, compose, dedup, detect, graph, linking, lm, multimodal,
+    nested, output, rl_train, similarity, slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
@@ -320,6 +320,42 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.classify(docs, CLASSIFIER_WEIGHTS).select(
         "doc_id", "score", "keep"
     )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's reference-LM quality signal: train an add-k bigram LM on the
+    lang='en' subset (counts from ONE checkpointed token explode), score
+    every document's perplexity via two equi-joins + one groupBy(doc) — the
+    LM table is never broadcast (web-scale LMs outgrow broadcast) and never
+    recomputed per consumer."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    big, uni, voc = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm.perplexity_score(
+        docs.select("doc_id", "text"), big, uni, voc, k=0.5
+    )
+
+
+#: training-mixture rates (compiled to integer thresholds at plan build)
+MIXTURE_RATES = {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.75, "zh": 0.125}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture downsampling (GPT-3/LLaMA-style
+    language reweighting): keep each doc iff hash60(id) < rate(lang)*2^60,
+    an integer comparison (threshold fixed at plan build) — bit-identical
+    across engines and retries.
+    Pure map-side filter, zero shuffles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return compose.mixture_sample(docs, MIXTURE_RATES)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: hash-sharded, id-ordered
+    per-shard token cumsum (one window, no global sort), sequences cut
+    every 512 tokens; emits each doc's (shard, token offset, sequence
+    span)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return compose.pack_sequences(docs, budget=512, n_shards=8)
 
 
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
+        "lm_perplexity": q_lm_perplexity,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -987,6 +1026,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracle.pagerank_sql(damping=0.85, iters=3),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
+        "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),
+        "mixture_sample": oracle.mixture_sample_sql(MIXTURE_RATES),
+        "pack_sequences": oracle.pack_sequences_sql(budget=512, n_shards=8),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

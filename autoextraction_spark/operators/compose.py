@@ -1,0 +1,107 @@
+"""Dataset composition (engine-new): the two operations that turn a cleaned
+corpus into a training mixture — deterministic stratified downsampling to
+target per-stratum rates (language/domain reweighting, e.g. the mixture
+tables in GPT-3 / LLaMA data recipes) and GPT-style concat-and-chunk
+sequence packing (documents concatenated in a stable order and cut into
+fixed token-budget sequences for the trainer).
+
+Both are pure-codegen, shuffle-minimal, and exactly reproducible:
+
+- ``mixture_sample`` keeps a document iff its portable 60-bit hash falls
+  below ``rate × 2^60`` — the threshold integer is computed once at
+  plan-build time, so the runtime decision is a BIGINT comparison with
+  zero float involvement and is bit-identical across engines, runs, and
+  retries (the resumability story: a re-run keeps the
+  same documents). One map-side filter over the scan; no shuffle at all.
+
+- ``pack_sequences`` assigns each document to a hash shard, orders within
+  the shard by id, and computes the running token total with ONE window
+  cumsum per shard partition — no global sort, no driver state. Sequence
+  ids are ``running_total // budget``, so a document's placement depends
+  only on its shard's content: shards repack independently and in parallel
+  (the 100 TB shape — a real run uses thousands of shards, one trainer
+  file per shard).
+
+Scale notes: sampling is embarrassingly parallel; packing's only shuffle is
+the hash repartition by shard, and the window is evaluated per-shard with
+no skew risk beyond shard-count choice (shards are uniform by hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64
+
+#: denominator of the exact-rate comparison: hash < rate * 2^60
+HASH_SPACE = 1 << 60
+
+
+def exact_threshold(rate: float) -> int:
+    """``rate × 2^60`` as an integer, computed ONCE here at plan-build time
+    and embedded as a literal in both the Spark plan and the SQL oracle —
+    so the runtime sampling decision is a pure BIGINT comparison with no
+    float arithmetic in either engine, for ANY rate value. (Every IEEE
+    double is a dyadic rational, so the product is exactly integral
+    whenever rate ≥ 2^-60; the kept fraction equals the double's exact
+    value, within 2^-53 of the decimal the caller wrote.)"""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate!r} outside [0, 1]")
+    return int(rate * HASH_SPACE)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = "|mix",
+) -> DataFrame:
+    """Keep each row of stratum s with probability ``rates[s]`` —
+    deterministically, via hash(id) < rate·2^60. Strata absent from
+    ``rates`` use ``default_rate`` (0 = drop)."""
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    thr = F.lit(exact_threshold(default_rate))
+    for s, r in rates.items():
+        thr = F.when(F.col(stratum_col) == s, F.lit(exact_threshold(r))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "|shard",
+) -> DataFrame:
+    """(id, shard, n_tokens, tok_start, seq_first, seq_last): concat-and-
+    chunk packing — within each hash shard, documents are concatenated in
+    ``id`` order and cut every ``budget`` tokens; a document occupies
+    sequences ``seq_first..seq_last`` of its shard (straddling is the
+    GPT-style norm). Token count = whitespace tokens."""
+    t = docs.select(
+        F.col(id_col),
+        (portable_hash64(F.col(id_col).cast("string"), seed) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("tok_start"),
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget))
+        .cast("long")
+        .alias("seq_first"),
+        F.floor((F.col("cum") - 1) / F.lit(budget)).cast("long").alias("seq_last"),
+    )

@@ -1447,3 +1447,84 @@ def classifier_score_sql(weights: list[float], threshold: float = 0.5) -> str:
 SELECT doc_id, round(score, 6) AS score,
        CAST(CASE WHEN score >= {threshold!r} THEN 1 ELSE 0 END AS INT) AS keep
 FROM s"""
+
+
+def lm_perplexity_sql(k: float = 0.5, ref_lang: str = "en") -> str:
+    """Replicates operators.lm: add-k bigram LM trained on the ref_lang
+    subset, perplexity for every document with ≥1 bigram. Bigrams are built
+    with the same list_transform(range(1, len(ws))) pattern as
+    repetition_sql (1-based, end-exclusive — pairs (ws[i], ws[i+1])); the
+    smoothing constant is an exact binary fraction embedded via repr() so
+    the literal is bit-identical; round(…, 6) absorbs float-sum ordering."""
+    kr = repr(float(k))
+    return f"""WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+rp AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+  FROM w WHERE lang = '{ref_lang}'
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+uni AS (SELECT w1, count(*) AS c1 FROM rp GROUP BY w1),
+voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(ws) AS tok FROM w WHERE lang = '{ref_lang}')),
+dp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+  FROM w
+),
+sc AS (
+  SELECT dp.doc_id,
+         log2((coalesce(big.c12, 0) + {kr})
+              / (coalesce(uni.c1, 0) + {kr} * (SELECT v FROM voc))) AS logp
+  FROM dp LEFT JOIN big ON dp.w1 = big.w1 AND dp.w2 = big.w2
+          LEFT JOIN uni ON dp.w1 = uni.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(logp), 6) AS avg_logp,
+       round(pow(2.0, -avg(logp)), 6) AS ppl
+FROM sc GROUP BY doc_id"""
+
+
+_H60 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{seed}'), 1, 15))::BIGINT"
+
+
+def mixture_sample_sql(rates: dict[str, float], default_rate: float = 0.0,
+                       seed: str = "|mix") -> str:
+    """Replicates operators.compose.mixture_sample: keep iff the portable
+    60-bit hash < rate·2^60, thresholds as integer literals computed once
+    at plan build — zero float involvement on either side at runtime."""
+    from .operators.compose import exact_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {exact_threshold(r)}" for s, r in rates.items()
+    )
+    h = _H60.format(seed=seed)
+    return f"""SELECT doc_id, lang FROM documents
+WHERE {h} < (CASE lang {cases} ELSE {exact_threshold(default_rate)} END)"""
+
+
+def pack_sequences_sql(budget: int = 512, n_shards: int = 8,
+                       seed: str = "|shard") -> str:
+    """Replicates operators.compose.pack_sequences: hash shard, per-shard
+    id-ordered token cumsum, sequence span by integer-exact floor division
+    (all values ≪ 2^53, so the double path is exact on both engines)."""
+    h = _H60.format(seed=seed)
+    return f"""WITH t AS (
+  SELECT doc_id,
+         CAST(({h} % {n_shards}) AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
+       CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
+FROM c"""

@@ -1,0 +1,82 @@
+"""Dataset composition (operators/compose.py): float-free mixture sampling
+(determinism, nesting, rate accuracy) and concat-and-chunk packing math."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextraction_spark.operators import compose
+
+
+def test_exact_threshold_guards():
+    assert compose.exact_threshold(0.5) == 1 << 59
+    assert compose.exact_threshold(1.0) == 1 << 60
+    assert compose.exact_threshold(0.0) == 0
+    # any rate is fine — the integer is fixed at plan-build time
+    assert 0 < compose.exact_threshold(0.3) < 1 << 60
+    with pytest.raises(ValueError):
+        compose.exact_threshold(1.5)
+    with pytest.raises(ValueError):
+        compose.exact_threshold(-0.1)
+
+
+@pytest.fixture(scope="module")
+def strata(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mixture_sample_rates_and_nesting(strata):
+    half = compose.mixture_sample(strata, {"a": 0.5, "b": 0.5})
+    quarter = compose.mixture_sample(strata, {"a": 0.25, "b": 0.25})
+    n_half, n_quarter = half.count(), quarter.count()
+    assert abs(n_half / 2000 - 0.5) < 0.05
+    assert abs(n_quarter / 2000 - 0.25) < 0.05
+    # threshold sampling nests: the 25% sample is a subset of the 50% one
+    q_ids = {r["doc_id"] for r in quarter.collect()}
+    h_ids = {r["doc_id"] for r in half.collect()}
+    assert q_ids <= h_ids
+    # deterministic across runs
+    assert {r["doc_id"] for r in
+            compose.mixture_sample(strata, {"a": 0.5, "b": 0.5}).collect()} == h_ids
+
+
+def test_mixture_default_rate_drops_unlisted(strata):
+    only_a = compose.mixture_sample(strata, {"a": 1.0})
+    assert only_a.filter(F.col("lang") == "b").count() == 0
+    assert only_a.count() == 1000
+
+
+def test_pack_sequences_math(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = compose.pack_sequences(docs, budget=25, n_shards=2).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(len(v) for v in by_shard.values()) and len(out) == 40
+    for rows in by_shard.values():
+        cum = 0
+        for r in rows:
+            assert r["n_tokens"] == 10
+            assert r["tok_start"] == cum
+            assert r["seq_first"] == cum // 25
+            assert r["seq_last"] == (cum + 10 - 1) // 25
+            cum += 10
+        # 10-token docs in 25-token sequences MUST straddle somewhere
+        if len(rows) >= 3:
+            assert any(r["seq_first"] != r["seq_last"] for r in rows)
+
+
+def test_plans_are_jvm_only(strata):
+    for df in (
+        compose.mixture_sample(strata, {"a": 0.5}),
+        compose.pack_sequences(
+            strata.withColumn("text", F.lit("x y z")), budget=2, n_shards=2
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -186,6 +186,12 @@ EXPECTED_PLAN_COUNTS = {
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
+    # ref-subset scan (inside the lazy ckpt lineage) + scoring scan are
+    # different subsets of the source, as in decontaminate; counts/vocab
+    # read the two checkpoints
+    "lm_perplexity": (2, 3, 0),
+    "mixture_sample": (1, 0, 0),
+    "pack_sequences": (1, 0, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
