@@ -358,6 +358,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compose.pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline, end-to-end in ONE lazy plan:
+    exact dedup (digest groupBy, bodies never shuffle) → quality-classifier
+    filter (fixed weight literals, codegen sigmoid) → deterministic mixture
+    downsampling (integer-threshold hash) → concat-and-chunk sequence
+    packing (per-shard window cumsum). Four stages, two shuffles total
+    (the dedup digest agg + the shard window) — the oracle recomputes the
+    whole composition in SQL, so stage interfaces are verified jointly,
+    not just in isolation."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    winners = dedup.exact_dup_groups(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surv = docs.join(winners, "doc_id")
+    scored = classifier.classify(surv, CLASSIFIER_WEIGHTS, threshold=0.4377)
+    kept = scored.filter(F.col("keep") == 1).select("doc_id", "text", "lang")
+    mixed = compose.mixture_sample(kept, MIXTURE_RATES)
+    return compose.pack_sequences(mixed, budget=256, n_shards=4)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-wide paragraph dedup: the driver corpus is
     single-line, so 8-word chunks stand in for paragraphs (both sides
@@ -957,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
+        "training_pipeline": q_training_pipeline,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1029,6 +1050,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),
         "mixture_sample": oracle.mixture_sample_sql(MIXTURE_RATES),
         "pack_sequences": oracle.pack_sequences_sql(budget=512, n_shards=8),
+        "training_pipeline": oracle.training_pipeline_sql(
+            CLASSIFIER_WEIGHTS, MIXTURE_RATES, threshold=0.4377,
+            budget=256, n_shards=4),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

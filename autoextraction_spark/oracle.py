@@ -1528,3 +1528,64 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
        CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
 FROM c"""
+
+
+def training_pipeline_sql(
+    weights: list[float],
+    rates: dict[str, float],
+    threshold: float = 0.4377,
+    budget: int = 256,
+    n_shards: int = 4,
+) -> str:
+    """Replicates the composed training-data pipeline query: exact dedup
+    (min-doc_id winner per md5(text)) → quality-classifier filter at a
+    fixed weight literal → mixture downsampling → concat-and-chunk packing.
+    Each stage mirrors its operator's oracle expression exactly; the
+    pipeline is their composition over a shrinking document set."""
+    from .operators.compose import exact_threshold
+    from .operators.textstats import STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    xs = [
+        "1.0",
+        "least(len(string_split(text, ' ')), 200) / 200.0",
+        "len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)",
+        f"len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0"
+        " / greatest(len(string_split(text, ' ')), 1)",
+        "least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),"
+        " 10.0) / 10.0",
+    ]
+    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, xs))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {exact_threshold(r)}" for s, r in rates.items()
+    )
+    h = _H60.format(seed="|mix")
+    hs = _H60.format(seed="|shard")
+    return f"""WITH winners AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (SELECT d.* FROM documents d JOIN winners USING (doc_id)),
+kept AS (
+  SELECT doc_id, text, lang FROM surv
+  WHERE 1.0 / (1.0 + exp(-({dot}))) >= {threshold!r}
+),
+mixed AS (
+  SELECT doc_id, text FROM kept
+  WHERE {h} < (CASE lang {cases} ELSE 0 END)
+),
+t AS (
+  SELECT doc_id,
+         CAST(({hs} % {n_shards}) AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM mixed
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
+       CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
+FROM c"""

@@ -192,6 +192,9 @@ EXPECTED_PLAN_COUNTS = {
     "lm_perplexity": (2, 3, 0),
     "mixture_sample": (1, 0, 0),
     "pack_sequences": (1, 0, 0),
+    # dedup winner semi-join: digest-agg branch + surviving-doc branch are
+    # two inherent reads of the source (no recompute beyond that)
+    "training_pipeline": (2, 0, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
