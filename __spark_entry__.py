@@ -358,6 +358,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compose.pack_sequences(docs, budget=512, n_shards=8)
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-domain cap: keep the first 10 docs (by doc_id)
+    of each source — one bounded window per group, output size bounded
+    regardless of host skew."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return compose.cap_per_group(docs, group_col="source", n=10)
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM training-data pipeline, end-to-end in ONE lazy plan:
     exact dedup (digest groupBy, bodies never shuffle) → quality-classifier
@@ -978,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "training_pipeline": q_training_pipeline,
+        "domain_cap": q_domain_cap,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1053,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "training_pipeline": oracle.training_pipeline_sql(
             CLASSIFIER_WEIGHTS, MIXTURE_RATES, threshold=0.4377,
             budget=256, n_shards=4),
+        "domain_cap": oracle.cap_per_group_sql(group_col="source", n=10),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

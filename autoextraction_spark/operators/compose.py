@@ -105,3 +105,27 @@ def pack_sequences(
         .alias("seq_first"),
         F.floor((F.col("cum") - 1) / F.lit(budget)).cast("long").alias("seq_last"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, deterministically (the first ``n``
+    by ``order_col``) — the Gopher/C4-style per-domain cap that stops a few
+    giant hosts from dominating the mixture.
+
+    Scale shape: one hash shuffle keyed by the group + a bounded per-group
+    sort; the cap means at most ``n`` rows per group survive the window, so
+    the output of any group is bounded regardless of host skew. (For
+    pathological single-host skew the window sort itself is the bottleneck;
+    a real deployment caps after a cheap pre-filter like
+    ``mixture_sample`` to shrink viral hosts first.)"""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

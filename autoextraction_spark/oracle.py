@@ -1589,3 +1589,13 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
        CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
 FROM c"""
+
+
+def cap_per_group_sql(group_col: str = "source", n: int = 100,
+                      order_col: str = "doc_id") -> str:
+    """Replicates operators.compose.cap_per_group over documents."""
+    return f"""SELECT doc_id, {group_col} FROM (
+  SELECT doc_id, {group_col},
+         row_number() OVER (PARTITION BY {group_col} ORDER BY {order_col}) AS rn
+  FROM documents
+) WHERE rn <= {n}"""

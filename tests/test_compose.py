@@ -80,3 +80,20 @@ def test_plans_are_jvm_only(strata):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_group(spark):
+    rows = [(i, f"h{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = compose.cap_per_group(df, group_col="source", n=4).collect()
+    assert len(out) == 12
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    # deterministic: the FIRST 4 ids of each host survive
+    for h, ids in by.items():
+        assert sorted(ids) == sorted(
+            i for i in range(30) if f"h{i % 3}" == h
+        )[:4]
+    # cap larger than any group is the identity
+    assert compose.cap_per_group(df, group_col="source", n=99).count() == 30

@@ -195,6 +195,7 @@ EXPECTED_PLAN_COUNTS = {
     # dedup winner semi-join: digest-agg branch + surviving-doc branch are
     # two inherent reads of the source (no recompute beyond that)
     "training_pipeline": (2, 0, 0),
+    "domain_cap": (1, 0, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
