@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .textstats import STOPWORDS
+from .textstats import STOPWORDS, _word_count
 
 #: feature names in weight order; w0 pairs with the bias feature x0 = 1
 N_FEATURES = 5
@@ -55,7 +55,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.regexp_count(t, F.lit("[.,;:!?]"))
     n_stop: Column | None = None
     for w in STOPWORDS:
-        c = F.regexp_count(t, F.lit(f"\\b{w}\\b"))
+        c = _word_count(t, w)
         n_stop = c if n_stop is None else n_stop + c
     return (
         df.withColumn("x0", F.lit(1.0))
@@ -121,16 +121,19 @@ def classify(
     df: DataFrame, weights: list[float], text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Apply trained weights: adds ``score`` = sigmoid(w·x) and ``keep``.
-    Weights are plan literals (a model artifact, like IVF centroids) — the
-    scoring pass is pure codegen at scan speed."""
+    """Apply trained weights: adds ``score`` = round(sigmoid(w·x), 6) and
+    ``keep`` = score >= threshold. Weights are plan literals (a model
+    artifact, like IVF centroids) — the scoring pass is pure codegen at
+    scan speed. ``keep`` compares the ROUNDED score (repo oracle
+    invariant): a last-ulp exp() difference between engines cannot flip it
+    unless the 6-decimal roundings themselves differ."""
     if len(weights) != N_FEATURES:
         raise ValueError(f"expected {N_FEATURES} weights, got {len(weights)}")
     feats = quality_features(df, text_col)
     z: Column = F.lit(0.0)
     for j, wv in enumerate(weights):
         z = z + F.lit(float(wv)) * F.col(f"x{j}")
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return feats.withColumn("score", F.round(score, 6)).withColumn(
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.withColumn("score", score).withColumn(
         "keep", (score >= threshold).cast("int")
     )

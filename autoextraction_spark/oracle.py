@@ -1374,6 +1374,50 @@ SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
 FROM base b JOIN {prev} r ON b.node = r.node"""
 
 
+def _quality_xs() -> list[str]:
+    """The five quality-classifier feature expressions over a ``text``
+    column — the single SQL counterpart of classifier.quality_features
+    (every oracle that scores features builds from THIS list, so the
+    formulas cannot drift between the train/score/composed oracles)."""
+    from .operators.textstats import STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    return [
+        "1.0",
+        "least(len(string_split(text, ' ')), 200) / 200.0",
+        "len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)",
+        f"len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0"
+        " / greatest(len(string_split(text, ' ')), 1)",
+        "least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),"
+        " 10.0) / 10.0",
+    ]
+
+
+def _pack_sql(source: str, budget: int, n_shards: int,
+              seed: str = "|shard") -> str:
+    """The concat-and-chunk packing tail (shard hash, per-shard cumsum,
+    sequence spans) over a CTE named ``source`` — shared by the standalone
+    pack_sequences oracle and the composed-pipeline oracle so the span
+    arithmetic exists exactly once."""
+    h = _H60.format(seed=seed)
+    return f"""t AS (
+  SELECT doc_id,
+         CAST(({h} % {n_shards}) AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM {source}
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_start,
+       CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
+       CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
+FROM c"""
+
+
 def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
     """Replicates operators.classifier.logreg_train over quality_features
     with y = (lang = 'en'): full-batch logistic GD from w = 0, one CTE pair
@@ -1383,9 +1427,7 @@ def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
     only drift source is float-sum ordering in the avg — absorbed by
     round(…, 6) on the emitted weight snapshots."""
     from .operators.classifier import N_FEATURES
-    from .operators.textstats import STOPWORDS
 
-    stop_alt = "|".join(STOPWORDS)
     lrr = repr(float(lr))
     js = range(N_FEATURES)
     dot = " + ".join(f"w.w{j} * f.x{j}" for j in js)
@@ -1408,17 +1450,13 @@ w{k}s AS (SELECT {steps} FROM {prev} w, g{k} g)"""
         + ", ".join(f"round(w{j}, 6) AS w{j}" for j in js)
         + f" FROM w{k}s"
         for k in range(iters + 1)
-    ).replace("FROM w0s", "FROM w0s", 1)
+    )
+    feat_cols = ",\n         ".join(
+        f"{x} AS x{j}" for j, x in enumerate(_quality_xs())
+    )
     return f"""WITH f AS (
   SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-         1.0 AS x0,
-         least(len(string_split(text, ' ')), 200) / 200.0 AS x1,
-         len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
-           / greatest(length(text), 1) AS x2,
-         len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0
-           / greatest(len(string_split(text, ' ')), 1) AS x3,
-         least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),
-               10.0) / 10.0 AS x4
+         {feat_cols}
   FROM documents
 ),
 w0s AS (SELECT {zeros}){iter_ctes}
@@ -1427,24 +1465,15 @@ SELECT CAST(iter AS BIGINT) AS iter, w0, w1, w2, w3, w4 FROM ({snap})"""
 
 def classifier_score_sql(weights: list[float], threshold: float = 0.5) -> str:
     """Replicates operators.classifier.classify with a fixed weight literal
-    (the trained model artifact): score = sigmoid(w·x), keep = score >= t."""
-    from .operators.textstats import STOPWORDS
-
-    stop_alt = "|".join(STOPWORDS)
-    xs = [
-        "1.0",
-        "least(len(string_split(text, ' ')), 200) / 200.0",
-        "len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)",
-        f"len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0"
-        " / greatest(len(string_split(text, ' ')), 1)",
-        "least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),"
-        " 10.0) / 10.0",
-    ]
-    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, xs))
+    (the trained model artifact): score = sigmoid(w·x), keep = round(score,
+    6) >= t — the threshold compares the ROUNDED score on both sides (repo
+    invariant), so a last-ulp exp() difference between engines cannot flip
+    keep unless the rounded values themselves differ."""
+    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, _quality_xs()))
     return f"""WITH s AS (
-  SELECT doc_id, 1.0 / (1.0 + exp(-({dot}))) AS score FROM documents
+  SELECT doc_id, round(1.0 / (1.0 + exp(-({dot}))), 6) AS score FROM documents
 )
-SELECT doc_id, round(score, 6) AS score,
+SELECT doc_id, score,
        CAST(CASE WHEN score >= {threshold!r} THEN 1 ELSE 0 END AS INT) AS keep
 FROM s"""
 
@@ -1510,24 +1539,9 @@ def pack_sequences_sql(budget: int = 512, n_shards: int = 8,
                        seed: str = "|shard") -> str:
     """Replicates operators.compose.pack_sequences: hash shard, per-shard
     id-ordered token cumsum, sequence span by integer-exact floor division
-    (all values ≪ 2^53, so the double path is exact on both engines)."""
-    h = _H60.format(seed=seed)
-    return f"""WITH t AS (
-  SELECT doc_id,
-         CAST(({h} % {n_shards}) AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM documents
-),
-c AS (
-  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM t
-)
-SELECT doc_id, shard, n_tokens,
-       CAST(cum - n_tokens AS BIGINT) AS tok_start,
-       CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
-       CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
-FROM c"""
+    (all values ≪ 2^53, so the double path is exact on both engines).
+    The packing tail is the shared _pack_sql fragment."""
+    return "WITH " + _pack_sql("documents", budget, n_shards, seed)
 
 
 def training_pipeline_sql(
@@ -1543,52 +1557,25 @@ def training_pipeline_sql(
     Each stage mirrors its operator's oracle expression exactly; the
     pipeline is their composition over a shrinking document set."""
     from .operators.compose import exact_threshold
-    from .operators.textstats import STOPWORDS
 
-    stop_alt = "|".join(STOPWORDS)
-    xs = [
-        "1.0",
-        "least(len(string_split(text, ' ')), 200) / 200.0",
-        "len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / greatest(length(text), 1)",
-        f"len(regexp_extract_all(text, '\\b({stop_alt})\\b')) * 1.0"
-        " / greatest(len(string_split(text, ' ')), 1)",
-        "least(length(text) * 1.0 / greatest(len(string_split(text, ' ')), 1),"
-        " 10.0) / 10.0",
-    ]
-    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, xs))
+    dot = " + ".join(f"{w!r} * ({x})" for w, x in zip(weights, _quality_xs()))
     cases = " ".join(
         f"WHEN '{s}' THEN {exact_threshold(r)}" for s, r in rates.items()
     )
     h = _H60.format(seed="|mix")
-    hs = _H60.format(seed="|shard")
     return f"""WITH winners AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
 surv AS (SELECT d.* FROM documents d JOIN winners USING (doc_id)),
 kept AS (
   SELECT doc_id, text, lang FROM surv
-  WHERE 1.0 / (1.0 + exp(-({dot}))) >= {threshold!r}
+  WHERE round(1.0 / (1.0 + exp(-({dot}))), 6) >= {threshold!r}
 ),
 mixed AS (
   SELECT doc_id, text FROM kept
   WHERE {h} < (CASE lang {cases} ELSE 0 END)
 ),
-t AS (
-  SELECT doc_id,
-         CAST(({hs} % {n_shards}) AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-  FROM mixed
-),
-c AS (
-  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM t
-)
-SELECT doc_id, shard, n_tokens,
-       CAST(cum - n_tokens AS BIGINT) AS tok_start,
-       CAST(floor((cum - n_tokens) * 1.0 / {budget}) AS BIGINT) AS seq_first,
-       CAST(floor((cum - 1) * 1.0 / {budget}) AS BIGINT) AS seq_last
-FROM c"""
+{_pack_sql("mixed", budget, n_shards)}"""
 
 
 def cap_per_group_sql(group_col: str = "source", n: int = 100,

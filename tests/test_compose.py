@@ -57,7 +57,8 @@ def test_pack_sequences_math(spark):
     by_shard: dict[int, list] = {}
     for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
         by_shard.setdefault(r["shard"], []).append(r)
-    assert set(len(v) for v in by_shard.values()) and len(out) == 40
+    assert len(out) == 40
+    assert len(by_shard) >= 2  # the hash actually distributes across shards
     for rows in by_shard.values():
         cum = 0
         for r in rows:
