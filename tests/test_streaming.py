@@ -257,3 +257,43 @@ def test_online_training_buffer_retention(spark, sf_dir, tmp_path):
     assert max(parts) == last
     # the deployable policy still resolves from the newest artifact
     assert online_train.current_policy(wd).startswith("learned:")
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """streaming/score.py: the SAME classify+mixture operator code gates a
+    stream; the streamed corpus equals the batch result exactly, and a
+    resumed run re-emits nothing (exactly-once sink)."""
+    from autoextraction_spark.streaming import score
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt_gate")
+    weights = [0.1, 0.2, 0.0, 0.3, -0.1]
+    rates = {"en": 1.0, "fr": 0.5, "de": 0.0, "es": 0.25, "zh": 0.5}
+
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).cache()
+    pages.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    score.run_scored_ingest(
+        spark, in_dir, out_dir, ckpt, weights, rates, threshold=0.4
+    ).awaitTermination(300)
+    pages.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    score.run_scored_ingest(
+        spark, in_dir, out_dir, ckpt, weights, rates, threshold=0.4
+    ).awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).select("doc_id", "lang", "score")
+    # bit-identical to the batch path over the same pages (unified API)
+    want = score.score_stream(pages, weights, rates, threshold=0.4).select(
+        "doc_id", "lang", "score"
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the gate actually gates: de docs are all dropped, en all kept (rate 1.0
+    # cannot drop a doc the classifier admitted)
+    assert got.filter(F.col("lang") == "de").count() == 0
+    # resume with no new files: nothing new lands, nothing duplicates
+    n_before = got.count()
+    score.run_scored_ingest(
+        spark, in_dir, out_dir, ckpt, weights, rates, threshold=0.4
+    ).awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == n_before
