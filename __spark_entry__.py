@@ -366,6 +366,16 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compose.cap_per_group(docs, group_col="source", n=10)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment (90/5/5): hash-range
+    partition — every doc in exactly one split, membership stable under
+    corpus growth, integer cut points fixed at plan build."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return compose.hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM training-data pipeline, end-to-end in ONE lazy plan:
     exact dedup (digest groupBy, bodies never shuffle) → quality-classifier
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_pipeline": q_training_pipeline,
         "domain_cap": q_domain_cap,
+        "hash_split": q_hash_split,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1063,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
             CLASSIFIER_WEIGHTS, MIXTURE_RATES, threshold=0.4377,
             budget=256, n_shards=4),
         "domain_cap": oracle.cap_per_group_sql(group_col="source", n=10),
+        "hash_split": oracle.hash_split_sql(
+            {"train": 0.9, "val": 0.05, "test": 0.05}),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

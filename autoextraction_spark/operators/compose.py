@@ -129,3 +129,43 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "|split",
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to exactly one named
+    fraction — the deterministic train/val/test partition. Unlike
+    ``mixture_sample`` (independent keep-decisions), this is a DISJOINT
+    EXHAUSTIVE partition of the hash space into consecutive ranges:
+    fractions {train: .9, val: .05, test: .05} map hash60(id) into
+    [0, .9·2^60) → train, [.9·2^60, .95·2^60) → val, the rest → test.
+
+    Properties a training pipeline needs, all by construction: every row
+    lands in exactly one split; membership is a pure function of the id
+    (stable across reruns, engines, and corpus growth — a doc never
+    migrates between splits when other docs are added); the cut points are
+    integers fixed at plan build, so the runtime decision is a BIGINT
+    range check. Fractions must sum to 1 (±1e-9); the LAST named split
+    absorbs the hash-space remainder so coverage is exhaustive."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total!r}, expected 1.0")
+    if not fractions:
+        raise ValueError("need at least one split")
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    names = list(fractions)
+    bounds: list[int] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append(exact_threshold(min(acc, 1.0)))
+    # nested CASE, innermost = last split: WHEN h < b1 THEN n1 ELSE
+    # (WHEN h < b2 THEN n2 ELSE ... last) — first matching range wins
+    expr = F.lit(names[-1])
+    for name, b in list(zip(names[:-1], bounds))[::-1]:
+        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1586,3 +1586,19 @@ def cap_per_group_sql(group_col: str = "source", n: int = 100,
          row_number() OVER (PARTITION BY {group_col} ORDER BY {order_col}) AS rn
   FROM documents
 ) WHERE rn <= {n}"""
+
+
+def hash_split_sql(fractions: dict[str, float], seed: str = "|split") -> str:
+    """Replicates operators.compose.hash_split over documents: consecutive
+    integer hash ranges, first matching range wins, last split absorbs the
+    remainder."""
+    from .operators.compose import exact_threshold
+
+    h = _H60.format(seed=seed)
+    names = list(fractions)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += fractions[name]
+        whens.append(f"WHEN {h} < {exact_threshold(min(acc, 1.0))} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"

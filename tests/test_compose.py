@@ -98,3 +98,23 @@ def test_cap_per_group(spark):
         )[:4]
     # cap larger than any group is the identity
     assert compose.cap_per_group(df, group_col="source", n=99).count() == 30
+
+
+def test_hash_split_partition_properties(strata):
+    fr = {"train": 0.75, "val": 0.125, "test": 0.125}
+    out = compose.hash_split(strata, fr).collect()
+    assert len(out) == 2000  # exhaustive: every row assigned
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}  # all splits populated
+    # disjoint by construction (one column), fractions roughly honored
+    assert abs(len(by["train"]) / 2000 - 0.75) < 0.05
+    # stability under corpus growth: membership is a pure function of id
+    half = strata.filter(F.col("doc_id") < 1000)
+    half_out = {r["doc_id"]: r["split"]
+                for r in compose.hash_split(half, fr).collect()}
+    full_out = {r["doc_id"]: r["split"] for r in out}
+    assert all(full_out[i] == s for i, s in half_out.items())
+    with pytest.raises(ValueError):
+        compose.hash_split(strata, {"a": 0.5, "b": 0.4})
