@@ -366,6 +366,21 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compose.cap_per_group(docs, group_col="source", n=10)
 
 
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 compaction (newest snapshot per key) as a map-side-combinable
+    struct-max aggregation — one candidate per key per partition shuffles,
+    vs the window form shuffling every row. Oracle is the equivalent
+    row_number window (same winner: (ts, event_id) totally ordered)."""
+    ev = _read(spark, sf_dir, "events")
+    out = dedup.latest_by_key(
+        ev, ["user_id", "event_type"], "ts", "event_id", ["value"]
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"), "event_id", "value",
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic disjoint train/val/test assignment (90/5/5): hash-range
     partition — every doc in exactly one split, membership stable under
@@ -998,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "domain_cap": q_domain_cap,
         "hash_split": q_hash_split,
+        "latest_event": q_latest_event,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1076,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": oracle.cap_per_group_sql(group_col="source", n=10),
         "hash_split": oracle.hash_split_sql(
             {"train": 0.9, "val": 0.05, "test": 0.05}),
+        "latest_event": oracle.latest_event_sql(),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

@@ -575,3 +575,29 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """SCD-1 compaction: one row per key — the LATEST by ``ts_col`` (ties
+    broken by ``tiebreak_col``, so the winner is total-ordered and
+    deterministic). The crawl-maintenance op: keep the newest snapshot per
+    url, the newest event per (user, type).
+
+    Implemented as a struct-MAX aggregation, not a window: ``max(struct(ts,
+    tiebreak, payload...))`` is map-side combinable (partial aggregation
+    per input partition, tiny shuffle of one candidate per key per
+    partition), where the row_number-window form must shuffle EVERY row to
+    its key's partition and sort it. Same winner, a fraction of the
+    shuffle — the difference between compacting 100 TB and not."""
+    w = F.max(
+        F.struct(ts_col, tiebreak_col, *payload_cols)
+    ).alias("_w")
+    out = df.groupBy(*key_cols).agg(w)
+    cols = [F.col(f"_w.{c}").alias(c) for c in (ts_col, tiebreak_col, *payload_cols)]
+    return out.select(*key_cols, *cols)

@@ -1602,3 +1602,18 @@ def hash_split_sql(fractions: dict[str, float], seed: str = "|split") -> str:
         whens.append(f"WHEN {h} < {exact_threshold(min(acc, 1.0))} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
     return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
+def latest_event_sql() -> str:
+    """Replicates dedup.latest_by_key over events (keys user_id +
+    event_type, latest ts, event_id tiebreak): the window form — same
+    winner as the Spark struct-max aggregation, since (ts, event_id) is a
+    total order."""
+    return """SELECT user_id, event_type,
+       epoch_us(ts) AS ts_us, event_id, value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1"""

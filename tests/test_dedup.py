@@ -201,3 +201,25 @@ def test_decontaminate_counts_and_flag(spark):
     assert (out[1].n_grams, out[1].n_matched, out[1].contaminated) == (2, 1, 1)
     assert (out[2].n_grams, out[2].n_matched, out[2].contaminated) == (2, 0, 0)
     assert (out[3].n_grams, out[3].n_matched, out[3].contaminated) == (1, 1, 1)
+
+
+def test_latest_by_key_struct_max(spark):
+    from autoextraction_spark.operators.dedup import latest_by_key
+
+    rows = [
+        (1, "a", 10, 100, 1.0), (1, "a", 30, 101, 2.0), (1, "a", 20, 102, 3.0),
+        (1, "b", 5, 103, 4.0),
+        (2, "a", 30, 104, 5.0), (2, "a", 30, 105, 6.0),  # ts tie -> id 105
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, t string, ts long, eid long, v double"
+    )
+    out = {(r["k"], r["t"]): (r["ts"], r["eid"], r["v"])
+           for r in latest_by_key(df, ["k", "t"], "ts", "eid", ["v"]).collect()}
+    assert out == {(1, "a"): (30, 101, 2.0), (1, "b"): (5, 103, 4.0),
+                   (2, "a"): (30, 105, 6.0)}
+    # map-side combinable: partial_max runs BEFORE the exchange (struct max
+    # plans as SortAggregate, still partially aggregated), and no window
+    plan = latest_by_key(df, ["k"], "ts", "eid", ["v"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan and "partial_max(struct" in plan

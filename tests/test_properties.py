@@ -197,6 +197,7 @@ EXPECTED_PLAN_COUNTS = {
     "training_pipeline": (2, 0, 0),
     "domain_cap": (1, 0, 0),
     "hash_split": (1, 0, 0),
+    "latest_event": (1, 0, 0),
     "rl_transitions": (1, 1, 2),
     "rl_event_transitions": (1, 1, 2),
     "dqn_train": (1, 1, 2),
