@@ -292,6 +292,50 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.entity_pagerank(graph.triple_edges(triples))
 
 
+#: property-chain rules for q_kg_infer (works_for ∘ based_in ⇒ employed_in …)
+INFERENCE_RULES = [
+    ("works_for", "based_in", "employed_in"),
+    ("founded", "based_in", "founded_in"),
+]
+
+#: literal seed entities for q_kg_reach (one en org, one zh org)
+REACH_SEEDS = ["Acme Corp", "华信集团"]
+
+
+def q_kg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-chain rule inference over the pipeline's own triples: each
+    rule is ONE entity-keyed equi-join (works_for ∘ based_in ⇒ employed_in,
+    founded ∘ based_in ⇒ founded_in); per-predicate filters push into the
+    shared, once-materialized triple plan."""
+    return graph.rule_inference(_pipeline_triples(spark, sf_dir), INFERENCE_RULES)
+
+
+def q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive transitive closure of the ``acquired`` org→org edges: who
+    transitively controls whom, with BFS-minimal depth. The oracle's
+    WITH RECURSIVE enumeration min-collapses to the same pair set."""
+    t = _pipeline_triples(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return graph.transitive_closure(edges, max_depth=8)
+
+
+def q_kg_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from a 2-entity seed set over the full directed
+    entity graph (all predicates) — the n-hop evidence-subgraph primitive."""
+    t = _pipeline_triples(spark, sf_dir)
+    seeds = spark.createDataFrame([(s,) for s in REACH_SEEDS], "node string")
+    return graph.bfs_distances(graph.triple_edges(t), seeds, max_depth=6)
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle counts over the undirected entity graph with
+    degree-ordered orientation; the oracle orients lexicographically, so a
+    match also proves orientation-invariance of the enumeration."""
+    return graph.triangle_counts(graph.triple_edges(_pipeline_triples(spark, sf_dir)))
+
+
 #: fixed model artifact for q_classifier_score — iteration-3 weights from a
 #: quality_classifier training run (plan literals, like the IVF centroids)
 CLASSIFIER_WEIGHTS = [-0.179704, -0.053356, 0.0, -0.005809, -0.101684]
@@ -1005,6 +1049,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "c4_filters": q_c4_filters,
         "kg_pagerank": q_kg_pagerank,
+        "kg_infer": q_kg_infer,
+        "kg_closure": q_kg_closure,
+        "kg_reach": q_kg_reach,
+        "kg_triangles": q_kg_triangles,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1081,6 +1129,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition": oracle.repetition_sql(),
         "c4_filters": oracle.c4_filters_sql(),
         "kg_pagerank": oracle.pagerank_sql(damping=0.85, iters=3),
+        "kg_infer": oracle.rule_inference_sql(INFERENCE_RULES),
+        "kg_closure": oracle.transitive_closure_sql(pred="acquired", max_depth=8),
+        "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
+        "kg_triangles": oracle.triangles_sql(),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

@@ -38,6 +38,13 @@ def _ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
 
 
+def _eager(df: DataFrame) -> DataFrame:
+    """Eager DISK_ONLY checkpoint — the iterative-loop barrier: cuts lineage
+    AND materializes now, so the per-round convergence probe (isEmpty) reads
+    the checkpoint instead of re-running the round's joins."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def triple_edges(
     triples: DataFrame, src_col: str = "subj", dst_col: str = "obj"
 ) -> DataFrame:
@@ -45,6 +52,183 @@ def triple_edges(
     return triples.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+
+
+def rule_inference(
+    triples: DataFrame, rules: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Single-hop rule-join inference over a (subj, pred, obj) triple table:
+    for every rule ``(pa, pb, out)`` emit ``(s, out, o)`` whenever
+    ``(s, pa, x)`` and ``(x, pb, o)`` both hold — e.g.
+    ``works_for ∘ based_in ⇒ employed_in``. The standard OWL-property-chain /
+    Datalog-body-of-2 materialization step every KG consumer derives first.
+
+    Scale shape: each rule is ONE equi-join keyed on the shared entity ``x``
+    (shuffle on entity id, AQE-splittable under hub skew); the per-predicate
+    filters sit directly above the scan so Catalyst pushes them into the
+    triple source, and the rule outputs are unioned lazily (one stage each).
+    The input plan is materialized once and shared by every rule.
+
+    Reference tie-in: the reference stops at triple emission
+    (predict.py:144-154); downstream inference is engine-new.
+    """
+    t = _ckpt(triples.select("subj", "pred", "obj"))
+    out = None
+    for pa, pb, new_pred in rules:
+        a = t.filter(F.col("pred") == pa).select(
+            F.col("subj").alias("s"), F.col("obj").alias("x")
+        )
+        b = t.filter(F.col("pred") == pb).select(
+            F.col("subj").alias("x"), F.col("obj").alias("o")
+        )
+        inferred = (
+            a.join(b, "x")
+            .select(
+                F.col("s").alias("subj"),
+                F.lit(new_pred).alias("pred"),
+                F.col("o").alias("obj"),
+            )
+            .distinct()
+        )
+        out = inferred if out is None else out.union(inferred)
+    return out
+
+
+def transitive_closure(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Semi-naive transitive closure of a (src, dst) edge list:
+    ``(src, dst, depth)`` for every pair reachable in ≤ ``max_depth`` hops,
+    ``depth`` = the BFS-minimal hop count. The KG ownership/part-of/subclass
+    materialization (here: ``acquired`` chains — who transitively controls
+    whom).
+
+    Semi-naive Datalog evaluation (the textbook fixpoint): only the LAST
+    round's newly-discovered pairs join against the base edges, and an
+    anti-join against the accumulated closure keeps rediscovered pairs from
+    re-entering the frontier — so on a cyclic graph the frontier still
+    drains and every pair is emitted exactly once, at its minimal depth.
+
+    Scale shape (billions of edges): the base edge set is materialized ONCE
+    (eager DISK_ONLY checkpoint) and every round re-reads it; each round is
+    one equi-join (frontier.dst = edges.src) + one left_anti join, both
+    shuffles keyed by entity id; per-round eager checkpoints cut lineage AND
+    provide the frontier-empty convergence probe (one count job per round —
+    the same cadence as connected_components). Depth is capped by
+    ``max_depth`` so the plan and its SQL oracle enumerate the identical
+    pair universe; production closures over deep hierarchies raise the cap
+    or switch to the O(log d) doubling variant at the cost of join width.
+    """
+    e = _eager(edges.select("src", "dst").distinct())
+    paths = e.withColumn("depth", F.lit(1))
+    known = e
+    frontier = paths
+    for d in range(2, max_depth + 1):
+        nxt = _eager(
+            frontier.alias("p")
+            .join(e.alias("q"), F.col("p.dst") == F.col("q.src"))
+            .select(F.col("p.src").alias("src"), F.col("q.dst").alias("dst"))
+            .distinct()
+            .join(known, ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        paths = paths.union(nxt)
+        known = _ckpt(known.union(nxt.select("src", "dst")))
+        frontier = nxt
+    return paths
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 6
+) -> DataFrame:
+    """Minimal hop distance ``(node, dist)`` from a seed set over directed
+    (src, dst) edges — dist 0 for the seeds themselves, capped at
+    ``max_depth``. The neighborhood-expansion primitive under KG-based
+    retrieval (seed entities → n-hop evidence subgraph).
+
+    Same semi-naive shape as :func:`transitive_closure` but the state is a
+    node set, not a pair set: each round joins ONLY the last frontier
+    against the checkpointed edge base and anti-joins the visited set, so a
+    node is emitted once, at its BFS-minimal depth. Seeds are a DataFrame —
+    at production scale the seed list is itself query output (millions of
+    nodes), never a driver-side literal list.
+    """
+    e = _eager(edges.select("src", "dst").distinct())
+    visited = _eager(seeds.select("node").distinct().withColumn("dist", F.lit(0)))
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = _eager(
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), ["node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        visited = _eager(visited.union(nxt))
+        frontier = nxt
+    return visited
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation counts ``(entity, triangles)`` over
+    the UNDIRECTED entity graph (predicates collapsed; only entities in ≥1
+    triangle are emitted). The clustering/community-density signal for KG
+    quality audits — extraction noise shows up as triangle-free stars.
+
+    Degree-ordered orientation (the MapReduce-standard trick): every
+    undirected edge is oriented from the (degree, id)-smaller endpoint to
+    the larger, making the join DAG acyclic so each triangle is enumerated
+    EXACTLY once, and bounding the wedge fan-out by O(m^1.5) total — the
+    high-degree hub never fans out its full neighborhood, because almost
+    all of its edges point INTO it. Two equi-joins keyed by entity id; the
+    oriented edge set is materialized once and drives all three legs.
+
+    The SQL oracle orients lexicographically instead — any acyclic
+    orientation enumerates the same triangle SET, so the per-node counts
+    must match even though the physical join tree differs; the comparison
+    therefore also guards the orientation logic itself.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    oriented = _eager(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("u")
+            ).otherwise(F.col("v")).alias("a"),
+            F.when(
+                F.struct("du", "u") < F.struct("dv", "v"), F.col("v")
+            ).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    # checkpoint the enumerated triangles: the 3-branch membership union
+    # below would otherwise re-run the two-join enumeration once per branch
+    tri = _ckpt(e1.join(e2, "y").join(e3, ["x", "z"]))
+    members = (
+        tri.select(F.col("x").alias("entity"))
+        .union(tri.select(F.col("y").alias("entity")))
+        .union(tri.select(F.col("z").alias("entity")))
+    )
+    return members.groupBy("entity").agg(F.count(F.lit(1)).alias("triangles"))
 
 
 def entity_pagerank(

@@ -12,8 +12,12 @@ from __future__ import annotations
 from . import schema as S
 
 
+def sql_str(x: str) -> str:
+    return "'" + x.replace("'", "''") + "'"
+
+
 def sql_str_list(xs: list[str]) -> str:
-    items = ", ".join("'" + x.replace("'", "''") + "'" for x in xs)
+    items = ", ".join(sql_str(x) for x in xs)
     return f"[{items}]"
 
 
@@ -1372,6 +1376,80 @@ r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ct
 SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
        CAST(b.in_deg AS BIGINT) AS in_deg, round(r.rank, 6) AS pagerank
 FROM base b JOIN {prev} r ON b.node = r.node"""
+
+
+def _gold_graph_ctes() -> str:
+    """Shared (pred, subj, obj) gold-triple CTE ``g`` — the single source the
+    graph-reasoning oracles (rule inference / closure / BFS / triangles)
+    build on, so the triple semantics cannot drift between them."""
+    return (
+        f"{_DOCS_CTE}, {_FACTS_CTE},\n"
+        f"g AS (SELECT DISTINCT {_RELS}[rel_idx + 1] AS pred,\n"
+        f"      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts)"
+    )
+
+
+def rule_inference_sql(rules: list[tuple[str, str, str]]) -> str:
+    """Replicates operators.graph.rule_inference: one equi-join per
+    property-chain rule over the gold triple graph, unioned."""
+    parts = [
+        f"""SELECT DISTINCT a.subj AS subj, '{out}' AS pred, b.obj AS obj
+FROM g a JOIN g b ON a.obj = b.subj
+WHERE a.pred = '{pa}' AND b.pred = '{pb}'"""
+        for pa, pb, out in rules
+    ]
+    return f"WITH {_gold_graph_ctes()}\n" + "\nUNION ALL\n".join(parts)
+
+
+def transitive_closure_sql(pred: str = "acquired", max_depth: int = 8) -> str:
+    """Replicates operators.graph.transitive_closure via WITH RECURSIVE with
+    UNION (distinct-row) semantics: enumerates every (src, dst, depth ≤ cap)
+    triple — min(depth) per pair IS the BFS-minimal hop count, exactly what
+    the Spark semi-naive frontier emits."""
+    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = '{pred}'),
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT p.src, q.dst, p.depth + 1
+  FROM paths p JOIN e q ON p.dst = q.src
+  WHERE p.depth < {max_depth}
+)
+SELECT src, dst, CAST(min(depth) AS INT) AS depth FROM paths GROUP BY src, dst"""
+
+
+def bfs_sql(seeds: list[str], max_depth: int = 6) -> str:
+    """Replicates operators.graph.bfs_distances over the full (all
+    predicates) gold entity graph from a literal seed set."""
+    seed_rows = ", ".join(f"({sql_str(s)})" for s in seeds)
+    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+reach(node, dist) AS (
+  SELECT node, 0 FROM (VALUES {seed_rows}) s(node)
+  UNION
+  SELECT q.dst, p.dist + 1
+  FROM reach p JOIN e q ON p.node = q.src
+  WHERE p.dist < {max_depth}
+)
+SELECT node, CAST(min(dist) AS INT) AS dist FROM reach GROUP BY node"""
+
+
+def triangles_sql() -> str:
+    """Replicates operators.graph.triangle_counts with LEXICOGRAPHIC edge
+    orientation — any acyclic orientation enumerates the identical triangle
+    set, so matching counts also verify the Spark side's degree-ordered
+    orientation logic."""
+    return f"""WITH {_gold_graph_ctes()},
+und AS (SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+        FROM g WHERE subj <> obj),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+m AS (SELECT a AS entity FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+SELECT entity, count(*) AS triangles FROM m GROUP BY entity"""
 
 
 def _quality_xs() -> list[str]:

@@ -62,3 +62,113 @@ def test_triple_edges_distinct(spark):
         (r.src, r.dst) for r in graph.triple_edges(triples).collect()
     }
     assert got == {("s", "o"), ("s", "o2")}
+
+
+# ------------------------------------------------------- reasoning operators
+
+def test_rule_inference_chains_predicates(spark):
+    triples = spark.createDataFrame(
+        [
+            ("u", "works_for", "alice", "acme"),
+            ("u", "works_for", "bob", "nimbus"),
+            ("u", "based_in", "acme", "oslo"),
+            ("v", "based_in", "acme", "oslo"),  # duplicate fact, 2nd url
+            ("u", "founded", "carol", "acme"),
+        ],
+        "url string, pred string, subj string, obj string",
+    )
+    rules = [
+        ("works_for", "based_in", "employed_in"),
+        ("founded", "based_in", "founded_in"),
+    ]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in graph.rule_inference(triples, rules).collect()
+    }
+    # bob's org has no based_in fact -> no inference; duplicates collapse
+    assert got == {
+        ("alice", "employed_in", "oslo"),
+        ("carol", "founded_in", "oslo"),
+    }
+
+
+def test_transitive_closure_min_depth_on_chain(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src string, dst string",
+    )
+    got = {
+        (r.src, r.dst): r.depth
+        for r in graph.transitive_closure(df, max_depth=8).collect()
+    }
+    # a->c is reachable at depth 2 via b but the DIRECT edge wins (min depth)
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("a", "c"): 1,
+        ("b", "d"): 2, ("a", "d"): 2,
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {
+        (r.src, r.dst): r.depth
+        for r in graph.transitive_closure(df, max_depth=10).collect()
+    }
+    # every ordered pair reachable, incl. each node back to itself at depth 3
+    assert got[("a", "a")] == got[("b", "b")] == got[("c", "c")] == 3
+    assert len(got) == 9
+    assert got[("a", "c")] == 2
+
+
+def test_transitive_closure_depth_cap(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        (r.src, r.dst)
+        for r in graph.transitive_closure(df, max_depth=2).collect()
+    }
+    assert ("a", "d") not in got  # needs depth 3
+    assert ("a", "c") in got
+
+
+def test_bfs_distances_min_hop_and_unreachable(spark):
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("s", "b"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(edges, seeds, max_depth=6).collect()
+    }
+    # b reachable at 1 (direct) even though a 2-hop path exists; x/y absent
+    assert got == {"s": 0, "a": 1, "b": 1}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    # K4 minus one edge: triangles {a,b,c} and {a,b,d}; edge directions mixed
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "a"), ("b", "c"), ("a", "d"), ("d", "b")],
+        "src string, dst string",
+    )
+    got = {
+        r.entity: r.triangles
+        for r in graph.triangle_counts(edges).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_counts_ignores_direction_duplicates(spark):
+    # both directions of the same undirected edge must not double-count
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    got = {
+        r.entity: r.triangles
+        for r in graph.triangle_counts(edges).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}

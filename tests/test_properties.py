@@ -183,6 +183,15 @@ EXPECTED_PLAN_COUNTS = {
     # fixed-depth PageRank: final plan reads only checkpoints (edges, base,
     # last-iteration ranks x2 for the contrib + dangling branches)
     "kg_pagerank": (0, 4, 0),
+    # rule inference: triple checkpoint read once per join side per rule
+    "kg_infer": (0, 4, 0),
+    # semi-naive closure: final plan unions the depth-1 edge checkpoint +
+    # one checkpoint per non-empty round (max_depth=8 bounds it)
+    "kg_closure": (0, 8, 0),
+    # BFS returns the last visited checkpoint — exactly one RDD scan
+    "kg_reach": (0, 1, 0),
+    # oriented-edge checkpoint ×0 in final plan; tri checkpoint ×3 branches
+    "kg_triangles": (0, 3, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
