@@ -34,11 +34,14 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _pipeline_triples(spark: SparkSession, sf_dir: str, policy: str = "rl") -> DataFrame:
+def _pipeline_triples(
+    spark: SparkSession, sf_dir: str, policy: str = "rl", where=None
+) -> DataFrame:
     # with_text=True: generation + the frozen extract_text run in ONE python
     # stage (production depth — a real job scans pages and extracts in one
-    # UDF pass; html never crosses Arrow twice)
-    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    # UDF pass; html never crosses Arrow twice). ``where`` filters the doc
+    # skeleton BELOW the generator so it pushes into the parquet scan.
+    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False, where=where)
     det = detect.detect_relations(txt)
     # dedup inside the episode pass + assume_unique: the O4 set semantics
     # without the full-output distinct() shuffle (see to_triples docstring)
@@ -334,6 +337,20 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation; the oracle orients lexicographically, so a
     match also proves orientation-invariance of the enumeration."""
     return graph.triangle_counts(graph.triple_edges(_pipeline_triples(spark, sf_dir)))
+
+
+def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: docs with doc_id % 10 == 0 play the NEW
+    crawl batch, the rest the existing KG snapshot. Extraction runs over the
+    new batch only (the doc_id predicate pushes into the parquet scan below
+    the generator), then ONE left_anti join on the full fact key emits only
+    triples the graph doesn't already hold."""
+    from autoextraction_spark.pipeline import incremental_delta
+
+    is_new = F.col("doc_id") % 10 == 0
+    new_t = _pipeline_triples(spark, sf_dir, where=is_new)
+    old_t = _pipeline_triples(spark, sf_dir, where=~is_new)
+    return incremental_delta(new_t, old_t)
 
 
 #: fixed model artifact for q_classifier_score — iteration-3 weights from a
@@ -1053,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": q_kg_closure,
         "kg_reach": q_kg_reach,
         "kg_triangles": q_kg_triangles,
+        "kg_delta": q_kg_delta,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1133,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closure": oracle.transitive_closure_sql(pred="acquired", max_depth=8),
         "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
         "kg_triangles": oracle.triangles_sql(),
+        "kg_delta": oracle.incremental_delta_sql(mod=10),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

@@ -86,6 +86,7 @@ def web_pages(
     replicate: int = 1,
     with_text: bool = False,
     emit_html: bool = True,
+    where=None,
 ) -> DataFrame:
     """Synthesize the input table from the documents skeleton at ``sf_dir``.
 
@@ -107,12 +108,12 @@ def web_pages(
     column — so every consumer that only wants extracted text should ask for
     the html-free schema here instead of dropping the column after.
     """
-    skel = doc_skeleton(spark, sf_dir, replicate)
+    skel = doc_skeleton(spark, sf_dir, replicate, where=where)
     return pages_from_skeleton(skel, with_text=with_text, emit_html=emit_html)
 
 
 def doc_skeleton(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, where=None
 ) -> DataFrame:
     """The (doc_id, lang) id-space the corpus is generated from.
 
@@ -123,6 +124,10 @@ def doc_skeleton(
     storage", not pipeline work.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    if where is not None:
+        # applied BELOW the generator mapInPandas: Catalyst pushes a doc_id
+        # predicate into the parquet scan (incremental-crawl partition prune)
+        docs = docs.filter(where)
     # Repartition the tiny skeleton BEFORE generation (and before the k×
     # explode): the skeleton is 1-2 parquet tasks, and everything generated
     # from it would otherwise run at that parallelism — a serial bottleneck

@@ -1452,6 +1452,20 @@ m AS (SELECT a AS entity FROM tri
 SELECT entity, count(*) AS triangles FROM m GROUP BY entity"""
 
 
+def incremental_delta_sql(mod: int = 10) -> str:
+    """Replicates pipeline.incremental_delta over the gold triples: new
+    batch = doc_id % mod = 0, snapshot = the rest; NOT EXISTS on the full
+    fact key mirrors the Spark left_anti join."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+t AS (SELECT doc_id, {URL_EXPR} AS url, {_RELS}[rel_idx + 1] AS pred,
+      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+newt AS (SELECT DISTINCT url, pred, subj, obj FROM t WHERE doc_id % {mod} = 0),
+oldt AS (SELECT DISTINCT pred, subj, obj FROM t WHERE doc_id % {mod} <> 0)
+SELECT n.url, n.pred, n.subj, n.obj FROM newt n
+WHERE NOT EXISTS (SELECT 1 FROM oldt o
+                  WHERE o.pred = n.pred AND o.subj = n.subj AND o.obj = n.obj)"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

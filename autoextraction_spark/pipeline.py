@@ -50,6 +50,23 @@ def salted_host_counts(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
     return partial.groupBy("host").agg(F.sum("c").cast("long").alias("n_pages"))
 
 
+def incremental_delta(new_triples: DataFrame, kg_snapshot: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: triples extracted from a NEW crawl batch
+    that are novel w.r.t. the existing KG snapshot — the per-crawl merge step
+    of a continuously-updated graph (extract from new pages only, emit only
+    facts the graph doesn't already hold; the writer appends them).
+
+    ONE left_anti equi-join keyed on the full fact (pred, subj, obj) — the
+    100 TB shape: the new batch is a day's crawl (small relative to the KG),
+    the snapshot side is a bucketed/partitioned table, and novelty never
+    compares URLs or bodies. The snapshot side is pruned to the join key
+    before the shuffle so historical url/provenance columns stay unread
+    (column pruning reaches the snapshot scan).
+    """
+    key = ["pred", "subj", "obj"]
+    return new_triples.join(kg_snapshot.select(*key).distinct(), key, "left_anti")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -114,3 +114,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt")
         spark.sql("DROP TABLE IF EXISTS d_bkt")
+
+
+def test_incremental_delta_emits_only_novel_facts(spark):
+    from autoextraction_spark.pipeline import incremental_delta
+
+    new = spark.createDataFrame(
+        [
+            ("u9", "works_for", "alice", "acme"),   # already in KG
+            ("u9", "based_in", "acme", "oslo"),     # novel
+            ("u8", "based_in", "acme", "oslo"),     # same novel fact, 2nd url
+        ],
+        "url string, pred string, subj string, obj string",
+    )
+    kg = spark.createDataFrame(
+        [("u1", "works_for", "alice", "acme"), ("u2", "born_in", "bob", "rome")],
+        "url string, pred string, subj string, obj string",
+    )
+    got = {(r.url, r.pred, r.subj, r.obj) for r in incremental_delta(new, kg).collect()}
+    # novelty is at the FACT level; both source urls of the novel fact survive
+    assert got == {
+        ("u9", "based_in", "acme", "oslo"),
+        ("u8", "based_in", "acme", "oslo"),
+    }

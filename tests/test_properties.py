@@ -192,6 +192,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_reach": (0, 1, 0),
     # oriented-edge checkpoint ×0 in final plan; tri checkpoint ×3 branches
     "kg_triangles": (0, 3, 0),
+    # two disjoint pipeline runs (new batch + snapshot), one anti-join
+    "kg_delta": (2, 2, 4),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
