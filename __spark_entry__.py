@@ -23,7 +23,7 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    classifier, compose, dedup, detect, graph, linking, lm, multimodal,
+    classifier, compose, dedup, detect, graph, kge, linking, lm, multimodal,
     nested, output, rl_train, similarity, slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
@@ -337,6 +337,27 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation; the oracle orients lexicographically, so a
     match also proves orientation-invariance of the enumeration."""
     return graph.triangle_counts(graph.triple_edges(_pipeline_triples(spark, sf_dir)))
+
+
+def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE KG-embedding TRAINING as a distributed job (operators/kge.py):
+    the model is a (name, d, val) DataFrame, every full-batch hinge
+    iteration is 4 entity-keyed equi-joins + a posexplode gradient sum +
+    an update join — no collect, no UDF. Deterministic init + rank-shift
+    negative sampling + rounded hinge decisions make the whole 2-iteration
+    trajectory a closed-form SQL expression the oracle replays."""
+    return kge.transe_embeddings(_pipeline_triples(spark, sf_dir))
+
+
+def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion over the trained TransE embeddings: brute-force
+    candidate scoring (the exact baseline; ANN over the embedding table is
+    the documented scale path) for every distinct (subj, 'founded') query,
+    rounded-score argmin with name tie-break."""
+    t = _pipeline_triples(spark, sf_dir)
+    ent, rel, _ = kge.transe_train(t)
+    q = t.filter(F.col("pred") == "founded").select("subj", "pred").distinct()
+    return kge.link_predict(ent, rel, q)
 
 
 def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1071,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach": q_kg_reach,
         "kg_triangles": q_kg_triangles,
         "kg_delta": q_kg_delta,
+        "kg_transe": q_kg_transe,
+        "kg_link_predict": q_kg_link_predict,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1152,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
         "kg_triangles": oracle.triangles_sql(),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
+        "kg_transe": oracle.transe_sql(),
+        "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

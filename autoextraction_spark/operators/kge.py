@@ -1,0 +1,240 @@
+"""Knowledge-graph embedding training (TransE) + link prediction — engine-new
+downstream of the north_rule's triple materialization: the standard next step
+after building a KG is to train an embedding for link prediction / KG
+completion (Bordes et al., *Translating Embeddings for Modeling
+Multi-relational Data*, NeurIPS 2013).
+
+Distributed-training shape (the third trainer in the engine, after the
+logistic-regression quality classifier and the fitted-Q RL trainer — same
+design rules):
+
+- The model IS a DataFrame: one (name, d, val) row per embedding coordinate.
+  At web scale the entity vocabulary is billions of rows — a driver-side
+  weight vector is impossible, so *both* the parameters and the gradients
+  live in entity-keyed tables and every update is an equi-join + groupBy
+  keyed by entity id (AQE-splittable under hub skew).
+- One full-batch iteration = 4 equi-joins (fetch h/r/t/t' vectors) + one
+  per-triple margin evaluation (pure codegen array math, no UDF) + one
+  posexplode to (name, d, grad) + one partial-aggregated sum + one update
+  join. No ``collect`` anywhere; per-iteration eager checkpoints cut lineage.
+- Everything is DETERMINISTIC and integer-seeded, so a DuckDB oracle unrolls
+  the identical trajectory in SQL CTEs (the quality_classifier precedent):
+  init values are pure integer arithmetic on (vocab rank, dim), the
+  corrupted tail is a rank-shift (uniform corruption without RNG), and the
+  discontinuous hinge decision is made on a ``round(margin, 9)`` value in
+  BOTH engines so a last-ulp float-sum difference can never flip a branch.
+
+Reference tie-in: the reference stops at triple emission (predict.py:144-154);
+embedding the resulting graph is engine-new (SURVEY.md engine-new inventory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .fileops import _with_rank
+
+#: init constants — arbitrary coprime multipliers; values in [-0.5, 0.5)
+ENT_INIT = (37, 101, 97)
+REL_INIT = (53, 67, 89)
+
+
+def _eager(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
+def _init_emb(vocab: DataFrame, dim: int, consts: tuple[int, int, int]) -> DataFrame:
+    """(name, d, val) with val = ((rank·a + d·b) mod m)/m − 0.5 — exact
+    integer arithmetic, identical in Spark and DuckDB."""
+    a, b, m = consts
+    return vocab.select(
+        "name",
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d"),
+        "rank",
+    ).select(
+        "name",
+        "d",
+        (((F.col("rank") * a + F.col("d") * b) % m) / float(m) - 0.5).alias("val"),
+    )
+
+
+def _as_vec(emb: DataFrame) -> DataFrame:
+    """(name, vec) — coordinates gathered into a d-sorted array (struct sort
+    on (d, val); d is unique per name so the order is total)."""
+    return emb.groupBy("name").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, val))), x -> x.val)")
+        .alias("vec")
+    )
+
+
+def transe_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train TransE over a (pred, subj, obj) triple table.
+
+    Returns ``(ent_emb, rel_emb, train_set)`` — embeddings as (name, d, val)
+    tables after ``iters`` full-batch hinge iterations, and the checkpointed
+    distinct training triples with their corrupted tails.
+
+    Loss per triple: ``max(0, margin + ‖h+r−t‖² − ‖h+r−t'‖²)`` with the
+    corrupted tail ``t'`` = the entity whose vocab rank is
+    ``(rank(t) + neg_offset) mod n_ent`` — deterministic uniform corruption.
+    The margin test uses ``round(·, 9)`` so both engines take the same
+    branch. Updates are plain (not norm-projected) SGD — the closed-form
+    variant the SQL oracle can replay exactly.
+    """
+    t = _eager(triples.select("pred", "subj", "obj").distinct())
+    ent_names = (
+        t.select(F.col("subj").alias("name"))
+        .union(t.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    # JVM-side two-pass global rank (fileops._with_rank) — no single-task
+    # window, no zipWithIndex python round-trip
+    ents = _eager(
+        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
+    )
+    rels = _eager(
+        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
+        .select("name", F.col("_rn").alias("rank"))
+    )
+    n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
+
+    # corrupted tail by rank shift: two vocabulary joins, plan-built once
+    tr = (
+        t.join(ents.select(F.col("name").alias("obj"), F.col("rank").alias("t_rank")), "obj")
+        .crossJoin(F.broadcast(n_ent))
+        .withColumn("n_rank", (F.col("t_rank") + F.lit(neg_offset)) % F.col("n_ent"))
+        .join(
+            ents.select(F.col("rank").alias("n_rank"), F.col("name").alias("neg")),
+            "n_rank",
+        )
+        .select("pred", "subj", "obj", "neg")
+    )
+    tr = _eager(tr)
+
+    ent_emb = _init_emb(ents, dim, ENT_INIT)
+    rel_emb = _init_emb(rels, dim, REL_INIT)
+
+    for _ in range(iters):
+        ent_emb = _eager(ent_emb)
+        rel_emb = _eager(rel_emb)
+        ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
+        j = (
+            tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
+            .join(rv.select(F.col("name").alias("pred"), F.col("vec").alias("rv")), "pred")
+            .join(ev.select(F.col("name").alias("obj"), F.col("vec").alias("tv")), "obj")
+            .join(ev.select(F.col("name").alias("neg"), F.col("vec").alias("nv")), "neg")
+        )
+        # pure-codegen array math: diffs, squared norms, hinge on a ROUNDED
+        # margin so the branch is engine-portable
+        j = (
+            j.withColumn("dp", F.expr("zip_with(zip_with(hv, rv, (a,b) -> a + b), tv, (s,c) -> s - c)"))
+            .withColumn("dn", F.expr("zip_with(zip_with(hv, rv, (a,b) -> a + b), nv, (s,c) -> s - c)"))
+            .withColumn("sp", F.expr("aggregate(dp, cast(0.0 as double), (acc,x) -> acc + x*x)"))
+            .withColumn("sn", F.expr("aggregate(dn, cast(0.0 as double), (acc,x) -> acc + x*x)"))
+            .filter(F.round(F.lit(float(margin)) + F.col("sp") - F.col("sn"), 9) > 0)
+        )
+        # per-triple gradient arrays: ∂loss/∂h = ∂loss/∂r = 2(t'−t), written
+        # as 2(dp−dn) so the SQL oracle computes the BIT-IDENTICAL formula
+        # from its dp/dn columns (2(t'−t) differs in the last ulp)
+        j = (
+            j.withColumn("g_hr", F.expr("zip_with(dp, dn, (p,q) -> 2.0d * (p - q))"))
+            .withColumn("g_t", F.expr("transform(dp, x -> -2.0d * x)"))
+            .withColumn("g_n", F.expr("transform(dn, x -> 2.0d * x)"))
+        )
+        j = _eager(j.select("pred", "subj", "obj", "neg", "g_hr", "g_t", "g_n"))
+
+        def _contrib(df: DataFrame, key: str, grad: str) -> DataFrame:
+            return df.select(
+                F.col(key).alias("name"), F.posexplode(grad).alias("d", "g")
+            )
+
+        ent_grad = (
+            _contrib(j, "subj", "g_hr")
+            .union(_contrib(j, "obj", "g_t"))
+            .union(_contrib(j, "neg", "g_n"))
+            .groupBy("name", "d")
+            .agg(F.sum("g").alias("g"))
+        )
+        rel_grad = _contrib(j, "pred", "g_hr").groupBy("name", "d").agg(
+            F.sum("g").alias("g")
+        )
+
+        def _update(emb: DataFrame, grad: DataFrame) -> DataFrame:
+            return emb.join(grad, ["name", "d"], "left").select(
+                "name",
+                "d",
+                (
+                    F.col("val")
+                    - F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0))
+                ).alias("val"),
+            )
+
+        ent_emb = _update(ent_emb, ent_grad)
+        rel_emb = _update(rel_emb, rel_grad)
+
+    return ent_emb, rel_emb, tr
+
+
+def transe_embeddings(triples: DataFrame, **kw) -> DataFrame:
+    """Trained embedding table ``(kind, name, d, val)`` — ent + rel rows,
+    values rounded to 6 decimals so the SQL oracle's order-insensitive
+    float sums compare exactly (the pagerank/quality_classifier rule)."""
+    ent, rel, _ = transe_train(triples, **kw)
+    return ent.select(F.lit("ent").alias("kind"), "name", "d", F.round("val", 6).alias("val")).union(
+        rel.select(F.lit("rel").alias("kind"), "name", "d", F.round("val", 6).alias("val"))
+    )
+
+
+def link_predict(
+    ent_emb: DataFrame, rel_emb: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """KG completion: for each query ``(subj, pred)`` rank every entity as a
+    candidate tail by TransE score ‖h + r − c‖² and emit the best
+    ``(subj, pred, predicted, score)``.
+
+    This is the exact brute-force baseline (the cosine_topk of embedding
+    space): queries × entity-vocabulary scoring with a distributed join, no
+    driver-side model. At web scale the candidate side is pruned with the
+    engine's ANN operators (similarity.ann_topk / ivf_topk over the trained
+    vectors with h+r as the query point) — same substitution seam as
+    documented there. Scores are rounded to 9 decimals BEFORE the argmin and
+    ties break on candidate name, so the winner is engine-portable; the
+    two-step min (min score per query, then min name at that score) avoids
+    engine-specific argmin-over-struct semantics.
+    """
+    ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
+    q = queries.join(
+        ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj"
+    ).join(rv.select(F.col("name").alias("pred"), F.col("vec").alias("rv")), "pred")
+    cand = ev.select(F.col("name").alias("predicted"), F.col("vec").alias("cv"))
+    scored = (
+        q.crossJoin(cand)
+        .withColumn(
+            "score",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(zip_with(hv, rv, (a,b) -> a + b), cv,"
+                    " (s,c) -> s - c), cast(0.0 as double), (acc,x) -> acc + x*x)"
+                ),
+                9,
+            ),
+        )
+        .select("subj", "pred", "predicted", "score")
+    )
+    scored = scored.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    best = scored.groupBy("subj", "pred").agg(F.min("score").alias("score"))
+    return (
+        scored.join(best, ["subj", "pred", "score"])
+        .groupBy("subj", "pred", "score")
+        .agg(F.min("predicted").alias("predicted"))
+        .select("subj", "pred", "predicted", "score")
+    )

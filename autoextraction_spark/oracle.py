@@ -1466,6 +1466,101 @@ WHERE NOT EXISTS (SELECT 1 FROM oldt o
                   WHERE o.pred = n.pred AND o.subj = n.subj AND o.obj = n.obj)"""
 
 
+def _transe_ctes(
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> tuple[str, str, str]:
+    """CTE chain replicating operators.kge.transe_train term-for-term:
+    integer-arithmetic init, rank-shift corrupted tails, per-dim dp/dn
+    tables, hinge decisions on round(margin+sp−sn, 9), gradient sums keyed
+    (name, d). Returns (ctes, final_ent_cte, final_rel_cte)."""
+    ea, eb, em = 37, 101, 97
+    ra, rb, rm = 53, 67, 89
+    # MATERIALIZED everywhere a CTE is referenced more than once downstream:
+    # DuckDB inlines plain CTEs, and the 4 per-iteration references to the
+    # previous embedding table would otherwise re-expand the whole upstream
+    # chain — exponential in the iteration count.
+    ctes = f"""{_gold_graph_ctes()},
+enames AS (SELECT DISTINCT subj AS name FROM g UNION SELECT obj FROM g),
+ents AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM enames),
+nent AS (SELECT count(*) AS n FROM ents),
+rnames AS (SELECT DISTINCT pred AS name FROM g),
+rels AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM rnames),
+dims AS (SELECT unnest(range({dim})) AS d),
+e0 AS MATERIALIZED (SELECT name, d, ((rank*{ea} + d*{eb}) % {em})/{float(em)!r} - 0.5 AS val
+       FROM ents CROSS JOIN dims),
+r0 AS MATERIALIZED (SELECT name, d, ((rank*{ra} + d*{rb}) % {rm})/{float(rm)!r} - 0.5 AS val
+       FROM rels CROSS JOIN dims),
+tq AS (SELECT DISTINCT pred, subj, obj FROM g),
+tr AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, e2.name AS neg
+       FROM tq t JOIN ents et ON t.obj = et.name
+       JOIN ents e2 ON e2.rank = (et.rank + {neg_offset}) % (SELECT n FROM nent))"""
+    pe, pr = "e0", "r0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+dp{k} AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, t.neg, h.d,
+                 h.val + r.val - tt.val AS dp, h.val + r.val - nn.val AS dn
+          FROM tr t
+          JOIN {pe} h ON h.name = t.subj
+          JOIN {pr} r ON r.name = t.pred AND r.d = h.d
+          JOIN {pe} tt ON tt.name = t.obj AND tt.d = h.d
+          JOIN {pe} nn ON nn.name = t.neg AND nn.d = h.d),
+sc{k} AS (SELECT pred, subj, obj, neg, sum(dp*dp) AS sp, sum(dn*dn) AS sn
+          FROM dp{k} GROUP BY pred, subj, obj, neg),
+viol{k} AS MATERIALIZED (SELECT d.* FROM dp{k} d
+            JOIN sc{k} s ON d.pred = s.pred AND d.subj = s.subj
+                        AND d.obj = s.obj AND d.neg = s.neg
+            WHERE round({float(margin)!r} + s.sp - s.sn, 9) > 0),
+gent{k} AS (SELECT name, d, sum(gv) AS g FROM (
+              SELECT subj AS name, d, 2.0*(dp - dn) AS gv FROM viol{k}
+              UNION ALL SELECT obj, d, -2.0*dp FROM viol{k}
+              UNION ALL SELECT neg, d, 2.0*dn FROM viol{k}) u
+            GROUP BY name, d),
+grel{k} AS (SELECT pred AS name, d, sum(2.0*(dp - dn)) AS g FROM viol{k}
+            GROUP BY pred, d),
+e{k} AS MATERIALIZED (SELECT e.name, e.d, e.val - {float(lr)!r}*coalesce(gg.g, 0.0) AS val
+         FROM {pe} e LEFT JOIN gent{k} gg ON e.name = gg.name AND e.d = gg.d),
+r{k} AS MATERIALIZED (SELECT e.name, e.d, e.val - {float(lr)!r}*coalesce(gg.g, 0.0) AS val
+         FROM {pr} e LEFT JOIN grel{k} gg ON e.name = gg.name AND e.d = gg.d)"""
+        pe, pr = f"e{k}", f"r{k}"
+    return ctes, pe, pr
+
+
+def transe_sql(**kw) -> str:
+    """Trained (kind, name, d, val) embedding table after the unrolled
+    TransE trajectory — the closed-form check of the whole training run."""
+    ctes, pe, pr = _transe_ctes(**kw)
+    return f"""WITH {ctes}
+SELECT 'ent' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pe}
+UNION ALL
+SELECT 'rel' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pr}"""
+
+
+def link_predict_sql(query_pred: str = "founded", **kw) -> str:
+    """Brute-force TransE link prediction over the trained embeddings:
+    min rounded score per (subj, pred) query, ties broken on candidate
+    name — the same two-step min the Spark side runs."""
+    ctes, pe, pr = _transe_ctes(**kw)
+    return f"""WITH {ctes},
+q AS (SELECT DISTINCT subj, pred FROM g WHERE pred = {sql_str(query_pred)}),
+scored AS (SELECT q.subj, q.pred, c.name AS predicted,
+                  round(sum((h.val + r.val - c.val)*(h.val + r.val - c.val)), 9) AS score
+           FROM q
+           JOIN {pe} h ON h.name = q.subj
+           JOIN {pr} r ON r.name = q.pred AND r.d = h.d
+           JOIN {pe} c ON c.d = h.d
+           GROUP BY q.subj, q.pred, c.name),
+best AS (SELECT subj, pred, min(score) AS score FROM scored
+         GROUP BY subj, pred)
+SELECT s.subj, s.pred, min(s.predicted) AS predicted, s.score
+FROM scored s JOIN best b ON s.subj = b.subj AND s.pred = b.pred
+                         AND s.score = b.score
+GROUP BY s.subj, s.pred, s.score"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

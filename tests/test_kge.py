@@ -1,0 +1,128 @@
+"""TransE KG-embedding training + link prediction (operators/kge.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from autoextraction_spark.operators import kge
+
+
+def _reference_transe(triples, dim=4, iters=2, lr=0.05, margin=1.0, neg_offset=7):
+    """Plain-numpy replay of the SAME deterministic algorithm — independent
+    of both the Spark and the SQL implementations."""
+    ents = sorted({s for _, s, _ in triples} | {o for _, _, o in triples})
+    rels = sorted({p for p, _, _ in triples})
+    erank = {e: i for i, e in enumerate(ents)}
+    rrank = {r: i for i, r in enumerate(rels)}
+    n = len(ents)
+    ea, eb, em = kge.ENT_INIT
+    ra, rb, rm = kge.REL_INIT
+    E = np.array(
+        [[((erank[e] * ea + d * eb) % em) / em - 0.5 for d in range(dim)] for e in ents]
+    )
+    R = np.array(
+        [[((rrank[r] * ra + d * rb) % rm) / rm - 0.5 for d in range(dim)] for r in rels]
+    )
+    trip = sorted({(p, s, o) for p, s, o in triples})
+    negs = {t: ents[(erank[t[2]] + neg_offset) % n] for t in trip}
+    for _ in range(iters):
+        gE = np.zeros_like(E)
+        gR = np.zeros_like(R)
+        for p, s, o in trip:
+            h, r, t = E[erank[s]], R[rrank[p]], E[erank[o]]
+            nv = E[erank[negs[(p, s, o)]]]
+            dp, dn = h + r - t, h + r - nv
+            if round(margin + (dp * dp).sum() - (dn * dn).sum(), 9) > 0:
+                gE[erank[s]] += 2 * (dp - dn)
+                gR[rrank[p]] += 2 * (dp - dn)
+                gE[erank[o]] += -2 * dp
+                gE[erank[negs[(p, s, o)]]] += 2 * dn
+        E, R = E - lr * gE, R - lr * gR
+    return ents, rels, E, R
+
+
+@pytest.fixture(scope="module")
+def tiny_kg(spark):
+    rows = [
+        ("works_for", "alice", "acme"),
+        ("works_for", "bob", "nimbus"),
+        ("based_in", "acme", "oslo"),
+        ("based_in", "nimbus", "oslo"),
+        ("founded", "carol", "acme"),
+        ("acquired", "acme", "nimbus"),
+    ]
+    df = spark.createDataFrame(rows, "pred string, subj string, obj string")
+    return rows, df
+
+
+def test_transe_matches_numpy_reference(tiny_kg):
+    rows, df = tiny_kg
+    ent, rel, _ = kge.transe_train(df, dim=4, iters=2)
+    ents, rels, E, R = _reference_transe(rows, dim=4, iters=2)
+    got_e = {(r.name, r.d): r.val for r in ent.collect()}
+    got_r = {(r.name, r.d): r.val for r in rel.collect()}
+    assert len(got_e) == len(ents) * 4 and len(got_r) == len(rels) * 4
+    for i, e in enumerate(ents):
+        for d in range(4):
+            assert got_e[(e, d)] == pytest.approx(E[i, d], abs=1e-9), (e, d)
+    for i, r in enumerate(rels):
+        for d in range(4):
+            assert got_r[(r, d)] == pytest.approx(R[i, d], abs=1e-9), (r, d)
+
+
+def test_transe_training_reduces_hinge_loss(tiny_kg):
+    rows, df = tiny_kg
+
+    def loss(E, R, ents, rels, margin=1.0, neg_offset=7):
+        erank = {e: i for i, e in enumerate(ents)}
+        rrank = {r: i for i, r in enumerate(rels)}
+        n = len(ents)
+        tot = 0.0
+        for p, s, o in sorted({tuple(t) for t in rows}):
+            dp = E[erank[s]] + R[rrank[p]] - E[erank[o]]
+            dn = E[erank[s]] + R[rrank[p]] - E[(erank[o] + neg_offset) % n]
+            tot += max(0.0, margin + (dp * dp).sum() - (dn * dn).sum())
+        return tot
+
+    ents, rels, E0, R0 = _reference_transe(rows, iters=0)
+    _, _, E2, R2 = _reference_transe(rows, iters=2)
+    assert loss(E2, R2, ents, rels) < loss(E0, R0, ents, rels)
+    # and the Spark-trained table equals the improved state (test above),
+    # so the distributed trainer inherits the same loss reduction
+
+
+def test_link_predict_argmin_and_tiebreak(spark):
+    # hand-set embeddings: h + r = (1, 0); candidates b/c tie at distance 0
+    # from (1,0) is impossible here, so craft an exact tie between b and c
+    ent = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 0.0),
+         ("b", 0, 2.0), ("b", 1, 0.0),
+         ("c", 0, 0.0), ("c", 1, 0.0)],
+        "name string, d int, val double",
+    )
+    rel = spark.createDataFrame(
+        [("r", 0, 0.0), ("r", 1, 0.0)], "name string, d int, val double"
+    )
+    q = spark.createDataFrame([("a", "r")], "subj string, pred string")
+    got = kge.link_predict(ent, rel, q).collect()
+    assert len(got) == 1
+    row = got[0]
+    # candidates: a at 0, b and c both at distance 1 -> a wins (its own
+    # vector); score is the squared L2 distance
+    assert (row.subj, row.pred, row.predicted) == ("a", "r", "a")
+    assert row.score == pytest.approx(0.0, abs=1e-12)
+
+
+def test_link_predict_name_tiebreak(spark):
+    # h + r = 1; candidates h(0), a(2), b(0) ALL at squared distance 1 —
+    # a three-way exact tie must resolve to the minimal name 'a'
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("a", 0, 2.0), ("b", 0, 0.0)],
+        "name string, d int, val double",
+    )
+    rel = spark.createDataFrame([("r", 0, 1.0)], "name string, d int, val double")
+    q = spark.createDataFrame([("h", "r")], "subj string, pred string")
+    got = kge.link_predict(ent, rel, q).collect()
+    assert len(got) == 1
+    assert got[0].predicted == "a"
+    assert got[0].score == pytest.approx(1.0, abs=1e-12)

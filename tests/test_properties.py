@@ -194,6 +194,11 @@ EXPECTED_PLAN_COUNTS = {
     "kg_triangles": (0, 3, 0),
     # two disjoint pipeline runs (new batch + snapshot), one anti-join
     "kg_delta": (2, 2, 4),
+    # final update joins: prev ent/rel checkpoints + the violated-triple
+    # checkpoint once per gradient-union branch (3 ent + 1 rel)
+    "kg_transe": (0, 6, 0),
+    # the scored table is checkpointed and read twice (scores + argmin)
+    "kg_link_predict": (0, 2, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
