@@ -360,6 +360,31 @@ def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kge.link_predict(ent, rel, q)
 
 
+#: BGP for q_kg_conjunctive: people who work for an org based in the city
+#: they were born in (three shared-variable patterns)
+CONJUNCTIVE_PATTERNS = [
+    ("person", "works_for", "org"),
+    ("org", "based_in", "city"),
+    ("person", "born_in", "city"),
+]
+
+
+def q_kg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-id property-graph materialization of the pipeline's triples
+    (dense vocab-rank ids via the JVM-side two-pass rank) — the GNN/graph-
+    engine hand-off format."""
+    return graph.export_int_ids(_pipeline_triples(spark, sf_dir))
+
+
+def q_kg_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern query over the KG: works_for ⋈
+    based_in ⋈ born_in on shared variables — per-predicate filtered scans
+    of the once-materialized triple plan, Catalyst-ordered joins."""
+    return graph.conjunctive_query(
+        _pipeline_triples(spark, sf_dir), CONJUNCTIVE_PATTERNS
+    )
+
+
 def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance: docs with doc_id % 10 == 0 play the NEW
     crawl batch, the rest the existing KG snapshot. Extraction runs over the
@@ -1094,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
         "kg_link_predict": q_kg_link_predict,
+        "kg_export": q_kg_export,
+        "kg_conjunctive": q_kg_conjunctive,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1177,6 +1204,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
         "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
+        "kg_export": oracle.export_ids_sql(),
+        "kg_conjunctive": oracle.conjunctive_sql(CONJUNCTIVE_PATTERNS),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

@@ -54,6 +54,67 @@ def triple_edges(
     ).distinct()
 
 
+def export_int_ids(triples: DataFrame) -> DataFrame:
+    """Property-graph materialization with dense integer ids:
+    ``(src_id, pred_id, dst_id)`` distinct edges, entity/relation ids
+    assigned by vocabulary rank (binary name order). The hand-off format
+    for GNN training / external graph engines, where string keys are
+    wasted shuffle bytes.
+
+    Ids come from fileops._with_rank — the JVM-side two-pass global rank
+    (no single-task window, no zipWithIndex python round-trip); the two
+    entity-vocab joins reuse ONE checkpointed rank table.
+    """
+    from .fileops import _with_rank
+
+    t = _ckpt(triples.select("pred", "subj", "obj").distinct())
+    ent_names = (
+        t.select(F.col("subj").alias("name"))
+        .union(t.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    ents = _with_rank(ent_names, "name").select(
+        "name", F.col("_rn").alias("eid")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    rels = _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name").select(
+        "name", F.col("_rn").alias("pid")
+    )
+    return (
+        t.join(ents.select(F.col("name").alias("subj"), F.col("eid").alias("src_id")), "subj")
+        .join(F.broadcast(rels.select(F.col("name").alias("pred"), F.col("pid").alias("pred_id"))), "pred")
+        .join(ents.select(F.col("name").alias("obj"), F.col("eid").alias("dst_id")), "obj")
+        .select("src_id", "pred_id", "dst_id")
+    )
+
+
+def conjunctive_query(
+    triples: DataFrame, patterns: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Basic-graph-pattern (SPARQL-style) conjunctive query: each pattern is
+    ``(subj_var, pred_literal, obj_var)``; shared variables join. Returns
+    one column per distinct variable.
+
+    Each pattern becomes a per-predicate filtered scan of the triple table
+    (filter pushed into the shared, once-materialized plan) and every shared
+    variable an equi-join key — Catalyst orders the joins; at web scale the
+    triple table is bucketed by subj so var-on-subj joins co-locate.
+    """
+    t = _ckpt(triples.select("pred", "subj", "obj").distinct())
+    out = None
+    seen: list[str] = []
+    for sv, pred, ov in patterns:
+        p = t.filter(F.col("pred") == pred).select(
+            F.col("subj").alias(sv), F.col("obj").alias(ov)
+        )
+        if out is None:
+            out, seen = p, [sv, ov]
+        else:
+            keys = [v for v in (sv, ov) if v in seen]
+            out = out.join(p, keys) if keys else out.crossJoin(p)
+            seen += [v for v in (sv, ov) if v not in seen]
+    return out.distinct()
+
+
 def rule_inference(
     triples: DataFrame, rules: list[tuple[str, str, str]]
 ) -> DataFrame:

@@ -1561,6 +1561,41 @@ FROM scored s JOIN best b ON s.subj = b.subj AND s.pred = b.pred
 GROUP BY s.subj, s.pred, s.score"""
 
 
+def export_ids_sql() -> str:
+    """Replicates operators.graph.export_int_ids: dense ids by binary name
+    rank over the gold triple graph."""
+    return f"""WITH {_gold_graph_ctes()},
+enames AS (SELECT DISTINCT subj AS name FROM g UNION SELECT obj FROM g),
+ents AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS eid FROM enames),
+rels AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS pid
+         FROM (SELECT DISTINCT pred AS name FROM g) r)
+SELECT es.eid AS src_id, rl.pid AS pred_id, eo.eid AS dst_id
+FROM g JOIN ents es ON g.subj = es.name
+       JOIN rels rl ON g.pred = rl.name
+       JOIN ents eo ON g.obj = eo.name"""
+
+
+def conjunctive_sql(patterns: list[tuple[str, str, str]]) -> str:
+    """Replicates operators.graph.conjunctive_query over the gold graph."""
+    sel: dict[str, str] = {}
+    froms: list[str] = []
+    conds: list[str] = []
+    for i, (sv, pred, ov) in enumerate(patterns):
+        alias = f"p{i}"
+        froms.append(f"g {alias}")
+        conds.append(f"{alias}.pred = {sql_str(pred)}")
+        for var, col in ((sv, "subj"), (ov, "obj")):
+            if var in sel:
+                conds.append(f"{alias}.{col} = {sel[var]}")
+            else:
+                sel[var] = f"{alias}.{col}"
+    cols = ", ".join(f"{expr} AS {var}" for var, expr in sel.items())
+    return f"""WITH {_gold_graph_ctes()}
+SELECT DISTINCT {cols}
+FROM {", ".join(froms)}
+WHERE {" AND ".join(conds)}"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

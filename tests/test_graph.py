@@ -172,3 +172,30 @@ def test_triangle_counts_ignores_direction_duplicates(spark):
         for r in graph.triangle_counts(edges).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_export_int_ids_dense_and_consistent(spark):
+    triples = spark.createDataFrame(
+        [("u1", "works_for", "bob", "acme"),
+         ("u2", "works_for", "alice", "acme"),
+         ("u3", "based_in", "acme", "oslo")],
+        "url string, pred string, subj string, obj string",
+    )
+    rows = graph.export_int_ids(triples).collect()
+    # entities sorted: acme=0, alice=1, bob=2, oslo=3; preds: based_in=0, works_for=1
+    got = {(r.src_id, r.pred_id, r.dst_id) for r in rows}
+    assert got == {(2, 1, 0), (1, 1, 0), (0, 0, 3)}
+
+
+def test_conjunctive_query_bgp(spark):
+    triples = spark.createDataFrame(
+        [("u", "works_for", "alice", "acme"),
+         ("u", "based_in", "acme", "oslo"),
+         ("u", "born_in", "alice", "oslo"),     # alice matches all 3
+         ("u", "works_for", "bob", "acme"),
+         ("u", "born_in", "bob", "rome")],      # bob born elsewhere -> no match
+        "url string, pred string, subj string, obj string",
+    )
+    pats = [("p", "works_for", "o"), ("o", "based_in", "c"), ("p", "born_in", "c")]
+    got = [(r.p, r.o, r.c) for r in graph.conjunctive_query(triples, pats).collect()]
+    assert got == [("alice", "acme", "oslo")]

@@ -199,6 +199,10 @@ EXPECTED_PLAN_COUNTS = {
     "kg_transe": (0, 6, 0),
     # the scored table is checkpointed and read twice (scores + argmin)
     "kg_link_predict": (0, 2, 0),
+    # triple ckpt (1, rel-vocab branch) + eid ckpt ×2 + rank part ckpt
+    "kg_export": (0, 4, 0),
+    # one checkpointed triple plan read per BGP pattern
+    "kg_conjunctive": (0, 3, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
