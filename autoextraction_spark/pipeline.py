@@ -64,7 +64,12 @@ def incremental_delta(new_triples: DataFrame, kg_snapshot: DataFrame) -> DataFra
     (column pruning reaches the snapshot scan).
     """
     key = ["pred", "subj", "obj"]
-    return new_triples.join(kg_snapshot.select(*key).distinct(), key, "left_anti")
+    # re-select the input's column order: a list-key join moves the key
+    # columns to the front, and downstream writers (the streaming fact
+    # store) must emit a stable schema across fresh/retry code paths
+    return new_triples.join(
+        kg_snapshot.select(*key).distinct(), key, "left_anti"
+    ).select(*new_triples.columns)
 
 
 def write_bucketed(

@@ -297,3 +297,48 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir, tmp_path):
         spark, in_dir, out_dir, ckpt, weights, rates, threshold=0.4
     ).awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_streaming_kg_maintenance_fact_store(spark, sf_dir, tmp_path):
+    from autoextraction_spark.streaming import kg_update
+
+    in_dir = str(tmp_path / "landing")
+    store = str(tmp_path / "kg_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = corpus.web_pages(spark, sf_dir).cache()
+    pages.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    kg_update.stream_kg_maintenance(spark, in_dir, store, ckpt).awaitTermination(300)
+
+    pages.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    kg_update.stream_kg_maintenance(spark, in_dir, store, ckpt).awaitTermination(300)
+
+    rows = spark.read.parquet(store)
+    facts = rows.select("pred", "subj", "obj")
+    # the store holds each fact EXACTLY once across all epochs
+    assert facts.count() == facts.distinct().count()
+    # and the union of epochs equals the distinct gold fact set
+    gold = corpus.gold_triples(spark, sf_dir).select("pred", "subj", "obj").distinct()
+    assert facts.exceptAll(gold).isEmpty()
+    assert gold.exceptAll(facts).isEmpty()
+    # provenance url is the minimal url among the fact's sightings UP TO its
+    # first epoch (deterministic within-batch pick)
+    assert rows.filter(F.col("url").isNull()).isEmpty()
+    # second run appended only new epochs (streaming checkpoint resume)
+    assert rows.select("_epoch").distinct().count() >= 2
+
+
+def test_streaming_kg_maintenance_retry_idempotent(spark, sf_dir, tmp_path):
+    """Re-running an epoch against a store that already contains its own
+    partition must reproduce the SAME rows (the _epoch < epoch_id bound)."""
+    from autoextraction_spark.streaming import kg_update
+
+    pages = corpus.web_pages(spark, sf_dir).filter(F.col("doc_id") < 40).cache()
+    store = str(tmp_path / "kg_store")
+
+    run = kg_update._maintain_batch(store)
+    run(pages, 0)
+    first = {tuple(r) for r in spark.read.parquet(store).collect()}
+    run(pages, 0)  # simulated foreachBatch retry with the same epoch id
+    second = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert first == second and len(first) > 0
