@@ -385,6 +385,34 @@ def q_kg_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: entity type dictionaries for schema induction — the same model-artifact
+#: vocabularies the detect stage anchors on (surface variants like
+#: 'X Corporation' intentionally fall out as 'other')
+TYPE_DICTS = {
+    "person": KS.PEOPLE + KS.ZH_PEOPLE,
+    "org": KS.ORGS + KS.ZH_ORGS,
+    "city": KS.CITIES + KS.ZH_CITIES,
+}
+
+
+def q_kg_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology audit: predicate type-signature histogram over the emitted
+    KG — one codegen CASE per side (dictionary IN-sets folded as literals),
+    one partial-aggregated count. Off-signature rows = extraction noise.
+    Counts are over DISTINCT facts (the KG), not per-url sightings."""
+    facts = _pipeline_triples(spark, sf_dir).select("pred", "subj", "obj").distinct()
+    return graph.schema_induction(facts, TYPE_DICTS)
+
+
+def q_kg_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related entities by shared out-neighbors (co-citation): wedge
+    self-join keyed by the common neighbor + one pair-count aggregation,
+    Jaccard over out-degrees."""
+    return graph.shared_neighbor_similarity(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), min_shared=2
+    )
+
+
 def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance: docs with doc_id % 10 == 0 play the NEW
     crawl batch, the rest the existing KG snapshot. Extraction runs over the
@@ -1121,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_predict": q_kg_link_predict,
         "kg_export": q_kg_export,
         "kg_conjunctive": q_kg_conjunctive,
+        "kg_schema": q_kg_schema,
+        "kg_similar": q_kg_similar,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1206,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
         "kg_export": oracle.export_ids_sql(),
         "kg_conjunctive": oracle.conjunctive_sql(CONJUNCTIVE_PATTERNS),
+        "kg_schema": oracle.schema_induction_sql(TYPE_DICTS),
+        "kg_similar": oracle.shared_neighbor_sql(min_shared=2),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

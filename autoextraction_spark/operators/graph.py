@@ -115,6 +115,78 @@ def conjunctive_query(
     return out.distinct()
 
 
+def schema_induction(
+    triples: DataFrame, type_dicts: dict[str, list[str]]
+) -> DataFrame:
+    """Type-signature induction over the emitted KG: ``(pred, subj_type,
+    obj_type, n_facts)`` with entity types inferred by dictionary
+    membership (entities outside every dictionary report 'other') — the
+    ontology audit a KG consumer runs first: one row per observed predicate
+    signature, noisy extractions surface as off-signature rows.
+
+    The type dictionaries are model artifacts (like the detect-stage anchor
+    table): literal IN-sets folded into ONE codegen CASE expression — no
+    join, no UDF; the whole operator is a single map + one partial-
+    aggregated count keyed by the 3-column signature.
+    """
+    def type_expr(col: str) -> F.Column:
+        e = F.lit("other")
+        for tname, names in reversed(list(type_dicts.items())):
+            e = F.when(F.col(col).isin(names), F.lit(tname)).otherwise(e)
+        return e
+
+    return (
+        triples.select(
+            "pred",
+            type_expr("subj").alias("subj_type"),
+            type_expr("obj").alias("obj_type"),
+        )
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+    )
+
+
+def shared_neighbor_similarity(
+    edges: DataFrame, min_shared: int = 2
+) -> DataFrame:
+    """Related-entity pairs by out-neighborhood overlap: ``(a, b, shared,
+    jaccard)`` for unordered pairs sharing ≥ ``min_shared`` out-neighbors —
+    the classic co-citation / "entities like this one" KG feature.
+
+    The wedge self-join is keyed by the shared NEIGHBOR (dst): two sources
+    pair once per common neighbor, then one count-aggregation per pair.
+    Hub dst nodes fan out quadratically — the same celebrity-skew surface
+    as the dedup family's band buckets — so at web scale the dst side is
+    capped first (drop objects above an in-degree ceiling, exactly the
+    stop-shingle rule in minhash blocking); here the synthetic graph's max
+    in-degree is vocabulary-bounded and the cap is unnecessary. Jaccard is
+    rounded to 6 decimals for the SQL oracle (float-division parity).
+    """
+    e = _eager(edges.select("src", "dst").distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select(F.col("src").alias("a"), "dst")
+    b = e.select(F.col("src").alias("b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(
+                F.col("shared") / (F.col("da") + F.col("db") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def rule_inference(
     triples: DataFrame, rules: list[tuple[str, str, str]]
 ) -> DataFrame:

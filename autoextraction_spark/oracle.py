@@ -1596,6 +1596,37 @@ FROM {", ".join(froms)}
 WHERE {" AND ".join(conds)}"""
 
 
+def schema_induction_sql(type_dicts: dict[str, list[str]]) -> str:
+    """Replicates operators.graph.schema_induction: dictionary-membership
+    CASE typing + signature counts over the gold graph."""
+    def type_case(col: str) -> str:
+        whens = "\n    ".join(
+            f"WHEN {col} IN ({', '.join(sql_str(n) for n in names)}) THEN {sql_str(t)}"
+            for t, names in type_dicts.items()
+        )
+        return f"CASE {whens} ELSE 'other' END"
+
+    return f"""WITH {_gold_graph_ctes()}
+SELECT pred, {type_case('subj')} AS subj_type, {type_case('obj')} AS obj_type,
+       count(*) AS n_facts
+FROM g GROUP BY pred, subj_type, obj_type"""
+
+
+def shared_neighbor_sql(min_shared: int = 2) -> str:
+    """Replicates operators.graph.shared_neighbor_similarity over the gold
+    entity graph (all predicates collapsed to distinct (src, dst))."""
+    return f"""WITH {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+pairs AS (SELECT x.src AS a, y.src AS b, count(*) AS shared
+          FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+          GROUP BY x.src, y.src
+          HAVING count(*) >= {min_shared})
+SELECT p.a, p.b, p.shared,
+       round(p.shared * 1.0 / (da.deg + db.deg - p.shared), 6) AS jaccard
+FROM pairs p JOIN deg da ON p.a = da.src JOIN deg db ON p.b = db.src"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

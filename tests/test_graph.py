@@ -199,3 +199,38 @@ def test_conjunctive_query_bgp(spark):
     pats = [("p", "works_for", "o"), ("o", "based_in", "c"), ("p", "born_in", "c")]
     got = [(r.p, r.o, r.c) for r in graph.conjunctive_query(triples, pats).collect()]
     assert got == [("alice", "acme", "oslo")]
+
+
+def test_schema_induction_types_and_counts(spark):
+    triples = spark.createDataFrame(
+        [("works_for", "alice", "acme"),
+         ("works_for", "bob", "acme"),
+         ("works_for", "alice", "mystery")],
+        "pred string, subj string, obj string",
+    )
+    dicts = {"person": ["alice", "bob"], "org": ["acme"]}
+    got = {
+        (r.pred, r.subj_type, r.obj_type): r.n_facts
+        for r in graph.schema_induction(triples, dicts).collect()
+    }
+    assert got == {
+        ("works_for", "person", "org"): 2,
+        ("works_for", "person", "other"): 1,
+    }
+
+
+def test_shared_neighbor_similarity_jaccard(spark):
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"),
+         ("b", "x"), ("b", "y"),
+         ("c", "z")],
+        "src string, dst string",
+    )
+    got = {
+        (r.a, r.b): (r.shared, r.jaccard)
+        for r in graph.shared_neighbor_similarity(edges, min_shared=2).collect()
+    }
+    # only (a, b) share >= 2 neighbors: {x, y}; union = {x, y, z} -> 2/3
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "b")][1] == 0.666667

@@ -203,6 +203,10 @@ EXPECTED_PLAN_COUNTS = {
     "kg_export": (0, 4, 0),
     # one checkpointed triple plan read per BGP pattern
     "kg_conjunctive": (0, 3, 0),
+    # one pipeline pass (codegen CASE typing folds into the same stage)
+    "kg_schema": (1, 1, 2),
+    # edge ckpt: wedge legs ×2 + degree joins ×2
+    "kg_similar": (0, 4, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
