@@ -395,6 +395,15 @@ TYPE_DICTS = {
 }
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the REACH_SEEDS entity set: teleport and
+    dangling mass return to the seeds — seeded KG exploration ranking, same
+    checkpoint-per-iteration physical shape as kg_pagerank."""
+    t = _pipeline_triples(spark, sf_dir)
+    seeds = spark.createDataFrame([(s,) for s in REACH_SEEDS], "node string")
+    return graph.personalized_pagerank(graph.triple_edges(t), seeds)
+
+
 def q_kg_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ontology audit: predicate type-signature histogram over the emitted
     KG — one codegen CASE per side (dictionary IN-sets folded as literals),
@@ -1151,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conjunctive": q_kg_conjunctive,
         "kg_schema": q_kg_schema,
         "kg_similar": q_kg_similar,
+        "kg_ppr": q_kg_ppr,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1238,6 +1248,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conjunctive": oracle.conjunctive_sql(CONJUNCTIVE_PATTERNS),
         "kg_schema": oracle.schema_induction_sql(TYPE_DICTS),
         "kg_similar": oracle.shared_neighbor_sql(min_shared=2),
+        "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

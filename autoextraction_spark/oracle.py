@@ -1627,6 +1627,46 @@ SELECT p.a, p.b, p.shared,
 FROM pairs p JOIN deg da ON p.a = da.src JOIN deg db ON p.b = db.src"""
 
 
+def personalized_pagerank_sql(
+    seeds: list[str], damping: float = 0.85, iters: int = 3
+) -> str:
+    """Replicates operators.graph.personalized_pagerank over the full gold
+    entity graph from a literal seed set — unrolled like pagerank_sql, with
+    the seed indicator folded into every update term."""
+    d = float(damping)
+    omd = 1.0 - d
+    seed_list = ", ".join(sql_str(s) for s in seeds)
+    prev = "r0"
+    iter_ctes = ""
+    for k in range(1, iters + 1):
+        iter_ctes += f""",
+r{k} AS (
+  SELECT b.node, b.out_deg, b.is_seed,
+         {omd!r} * b.is_seed / (SELECT ns FROM nsd)
+         + {d!r} * (coalesce(c.m, 0.0)
+                    + b.is_seed
+                      * (SELECT coalesce(sum(rank), 0.0) FROM {prev} WHERE out_deg = 0)
+                      / (SELECT ns FROM nsd)) AS rank
+  FROM base b
+  LEFT JOIN (SELECT e.dst, sum(r.rank / r.out_deg) AS m
+             FROM {prev} r JOIN e ON r.node = e.src
+             WHERE r.out_deg > 0 GROUP BY e.dst) c ON b.node = c.dst
+)"""
+        prev = f"r{k}"
+    return f"""WITH {_gold_graph_ctes()},
+e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+base AS MATERIALIZED (
+  SELECT node, coalesce(od.out_deg, 0) AS out_deg,
+         CASE WHEN node IN ({seed_list}) THEN 1.0 ELSE 0.0 END AS is_seed
+  FROM nodes LEFT JOIN od ON node = od.src),
+nsd AS (SELECT sum(is_seed) AS ns FROM base),
+r0 AS (SELECT node, out_deg, is_seed,
+              is_seed / (SELECT ns FROM nsd) AS rank FROM base){iter_ctes}
+SELECT node AS entity, round(rank, 6) AS ppr FROM {prev}"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

@@ -234,3 +234,31 @@ def test_shared_neighbor_similarity_jaccard(spark):
     assert set(got) == {("a", "b")}
     assert got[("a", "b")][0] == 2
     assert got[("a", "b")][1] == 0.666667
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    # star around s plus a far pair x -> y unreachable from the seed
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "s"), ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.entity: r.ppr for r in graph.personalized_pagerank(edges, seeds).collect()}
+    # mass conserved over reachable set; unreachable x gets none (y only via
+    # dangling? no — dangling mass returns to the SEED, so x = y = 0)
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    # symmetric neighbors stay symmetric; everyone reachable holds mass
+    # (s itself oscillates with iteration parity in this tiny cycle, so no
+    # ordering claim between s and its neighbors)
+    assert got["a"] == got["b"] > 0 and got["s"] > 0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_personalized_pagerank_absent_seed_ignored(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r.entity: r.ppr for r in graph.personalized_pagerank(edges, seeds).collect()}
+    # 'ghost' is not a node: ns must count only present seeds (a), so a's
+    # initial mass is 1.0, not 0.5
+    assert set(got) == {"a", "b"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)

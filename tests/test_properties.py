@@ -207,6 +207,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_schema": (1, 1, 2),
     # edge ckpt: wedge legs ×2 + degree joins ×2
     "kg_similar": (0, 4, 0),
+    # same final-plan shape as kg_pagerank (edges, base, last ranks ×2)
+    "kg_ppr": (0, 4, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
