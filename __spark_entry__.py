@@ -395,6 +395,15 @@ TYPE_DICTS = {
 }
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 fixed rounds) over the
+    undirected entity graph — portable argmax (max count, min label), one
+    neighbor-label join + three keyed aggregations per round."""
+    return graph.label_propagation(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), iters=3
+    )
+
+
 def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the REACH_SEEDS entity set: teleport and
     dangling mass return to the seeds — seeded KG exploration ranking, same
@@ -1161,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema": q_kg_schema,
         "kg_similar": q_kg_similar,
         "kg_ppr": q_kg_ppr,
+        "kg_communities": q_kg_communities,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1249,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema": oracle.schema_induction_sql(TYPE_DICTS),
         "kg_similar": oracle.shared_neighbor_sql(min_shared=2),
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
+        "kg_communities": oracle.label_propagation_sql(iters=3),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

@@ -364,6 +364,46 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("entity").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED entity graph: every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by minimal label. Fixed ``iters`` rounds (the production norm
+    for community features, and what lets the SQL oracle unroll the same
+    trajectory — sync LPA may oscillate on bipartite structures, so a
+    convergence loop would not be deterministic across engines anyway).
+
+    The argmax is engine-portable by construction: max count per node, then
+    min label at that count — two aggregations and one join, no
+    struct-ordering or first()-in-group semantics that differ between
+    engines. Per round: one neighbor-label equi-join keyed by node + three
+    keyed aggregations, all partial-aggregated; the symmetrized edge set is
+    checkpointed once.
+    """
+    sym = _eager(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        labels = _ckpt(labels)
+        nbr = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        maxc = counts.groupBy("node").agg(F.max("cnt").alias("cnt"))
+        labels = (
+            counts.join(maxc, ["node", "cnt"])
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(F.col("node").alias("entity"), F.col("label").alias("community"))
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,

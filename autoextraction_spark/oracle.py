@@ -1667,6 +1667,33 @@ r0 AS (SELECT node, out_deg, is_seed,
 SELECT node AS entity, round(rank, 6) AS ppr FROM {prev}"""
 
 
+def label_propagation_sql(iters: int = 3) -> str:
+    """Replicates operators.graph.label_propagation: unrolled synchronous
+    rounds, argmax as max-count-then-min-label (engine-portable)."""
+    prev = "l0"
+    iter_ctes = ""
+    for k in range(1, iters + 1):
+        iter_ctes += f""",
+cnt{k} AS MATERIALIZED (
+  SELECT s.u AS node, p.label, count(*) AS cnt
+  FROM sym s JOIN {prev} p ON s.v = p.node
+  GROUP BY s.u, p.label),
+mx{k} AS (SELECT node, max(cnt) AS cnt FROM cnt{k} GROUP BY node),
+l{k} AS MATERIALIZED (
+  SELECT c.node, min(c.label) AS label
+  FROM cnt{k} c JOIN mx{k} m ON c.node = m.node AND c.cnt = m.cnt
+  GROUP BY c.node)"""
+        prev = f"l{k}"
+    return f"""WITH {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM e WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM e WHERE src <> dst),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym){iter_ctes}
+SELECT node AS entity, label AS community FROM {prev}"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

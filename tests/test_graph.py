@@ -262,3 +262,24 @@ def test_personalized_pagerank_absent_seed_ignored(spark):
     # initial mass is 1.0, not 0.5
     assert set(got) == {"a", "b"}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by nothing: labels converge to each clique's min
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    got = {r.entity: r.community for r in graph.label_propagation(edges, iters=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # star: center m with leaves p, q. Leaves see only m; m sees {p, q} tied
+    edges = spark.createDataFrame(
+        [("m", "p"), ("m", "q")], "src string, dst string"
+    )
+    got = {r.entity: r.community for r in graph.label_propagation(edges, iters=1).collect()}
+    assert got["p"] == "m" and got["q"] == "m"
+    assert got["m"] == "p"  # tie {p:1, q:1} -> min label

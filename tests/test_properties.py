@@ -209,6 +209,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_similar": (0, 4, 0),
     # same final-plan shape as kg_pagerank (edges, base, last ranks ×2)
     "kg_ppr": (0, 4, 0),
+    # sym-edge ckpt + last-round labels ckpt read by counts/argmax joins
+    "kg_communities": (0, 4, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
