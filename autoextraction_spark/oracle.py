@@ -1694,6 +1694,22 @@ l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym){iter_ctes}
 SELECT node AS entity, label AS community FROM {prev}"""
 
 
+def resolve_recency_sql(pred: str = "born_in") -> str:
+    """Replicates operators.output.resolve_by_recency for one functional
+    predicate: recency key from the SAME doc_id arithmetic that generated
+    warc_ts; two-step portable argmax (max key, then max obj)."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+t AS (SELECT DISTINCT doc_id, {_RELS}[rel_idx + 1] AS pred,
+      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+tt AS (SELECT pred, subj, obj,
+              (doc_id % 365) * 86400 + (doc_id * 7) % 86400 AS rk
+       FROM t WHERE pred = {sql_str(pred)}),
+latest AS (SELECT pred, subj, max(rk) AS rk FROM tt GROUP BY pred, subj)
+SELECT t.subj, t.pred, max(t.obj) AS obj
+FROM tt t JOIN latest l ON t.pred = l.pred AND t.subj = l.subj AND t.rk = l.rk
+GROUP BY t.subj, t.pred"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

@@ -211,6 +211,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_ppr": (0, 4, 0),
     # sym-edge ckpt + last-round labels ckpt read by counts/argmax joins
     "kg_communities": (0, 4, 0),
+    # keyed-triple ckpt read by the max-key agg branch + the winner join
+    "kg_resolve": (0, 2, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
