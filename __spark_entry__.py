@@ -440,6 +440,17 @@ def q_kg_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion evaluation of the trained TransE model: raw-setting
+    tail ranking of every born_in fact against the full entity vocabulary —
+    one row of (n_test, mrr, hits_1, hits_3, hits_10). Rank 1 ⟺
+    link_predict would return the true tail (same rounded total order)."""
+    t = _pipeline_triples(spark, sf_dir)
+    ent, rel, _ = kge.transe_train(t)
+    test = t.filter(F.col("pred") == "born_in").select("subj", "pred", "obj")
+    return kge.rank_eval(ent, rel, test)
+
+
 def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental KG maintenance: docs with doc_id % 10 == 0 play the NEW
     crawl batch, the rest the existing KG snapshot. Extraction runs over the
@@ -1181,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_communities": q_kg_communities,
         "kg_resolve": q_kg_resolve,
+        "kg_rank_eval": q_kg_rank_eval,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1271,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "kg_communities": oracle.label_propagation_sql(iters=3),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
+        "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

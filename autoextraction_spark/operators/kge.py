@@ -194,6 +194,76 @@ def transe_embeddings(triples: DataFrame, **kw) -> DataFrame:
     )
 
 
+def rank_eval(
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    test: DataFrame,
+    ks: tuple[int, ...] = (1, 3, 10),
+) -> DataFrame:
+    """Link-prediction evaluation: filtered-nothing (raw) tail ranking of
+    each test triple against the FULL entity vocabulary — MRR and hits@k,
+    the standard KG-completion metrics (Bordes et al. 2013 protocol, raw
+    setting). One output row: (n_test, mrr, hits_1, hits_3, hits_10).
+
+    rank(h, r, t) = 1 + |{c : (score_c, c) < (score_t, t)}| under the
+    rounded score with name tie-break — the same total order link_predict
+    argmins, so rank 1 ⟺ link_predict returns the true tail. Physical
+    shape: the brute-force query×vocabulary scoring join (ANN-pruned at
+    scale, as in link_predict), one self-equi-join on the test-triple key
+    to fetch the true tail's score, one count-aggregation per triple, one
+    global average. Averages round to 6 decimals (float-sum parity rule).
+    """
+    ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
+    q = (
+        test.select("subj", "pred", "obj")
+        .distinct()
+        .join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
+        .join(rv.select(F.col("name").alias("pred"), F.col("vec").alias("rv")), "pred")
+    )
+    cand = ev.select(F.col("name").alias("cand"), F.col("vec").alias("cv"))
+    scored = q.crossJoin(cand).withColumn(
+        "score",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(zip_with(hv, rv, (a,b) -> a + b), cv,"
+                " (s,c) -> s - c), cast(0.0 as double), (acc,x) -> acc + x*x)"
+            ),
+            9,
+        ),
+    ).select("subj", "pred", "obj", "cand", "score")
+    scored = scored.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    true_s = scored.filter(F.col("cand") == F.col("obj")).select(
+        "subj", "pred", "obj", F.col("score").alias("ts")
+    )
+    ranks = (
+        scored.join(true_s, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("score") < F.col("ts"))
+                        | ((F.col("score") == F.col("ts")) & (F.col("cand") < F.col("obj"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rank")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.avg(1.0 / F.col("rank")), 6).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.avg(F.when(F.col("rank") <= k, 1.0).otherwise(0.0)), 6
+            ).alias(f"hits_{k}")
+        )
+    return ranks.agg(*aggs)
+
+
 def link_predict(
     ent_emb: DataFrame, rel_emb: DataFrame, queries: DataFrame
 ) -> DataFrame:

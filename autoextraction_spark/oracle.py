@@ -1710,6 +1710,39 @@ FROM tt t JOIN latest l ON t.pred = l.pred AND t.subj = l.subj AND t.rk = l.rk
 GROUP BY t.subj, t.pred"""
 
 
+def rank_eval_sql(
+    test_pred: str = "born_in", ks: tuple[int, ...] = (1, 3, 10), **kw
+) -> str:
+    """Replicates operators.kge.rank_eval over the trained TransE embeddings
+    for one predicate's facts as the test set (raw setting)."""
+    ctes, pe, pr = _transe_ctes(**kw)
+    hit_cols = ", ".join(
+        f"round(avg(CASE WHEN rank <= {k} THEN 1.0 ELSE 0.0 END), 6) AS hits_{k}"
+        for k in ks
+    )
+    return f"""WITH {ctes},
+q AS (SELECT DISTINCT subj, pred, obj FROM g WHERE pred = {sql_str(test_pred)}),
+scored AS MATERIALIZED (
+  SELECT q.subj, q.pred, q.obj, c.name AS cand,
+         round(sum((h.val + r.val - c.val)*(h.val + r.val - c.val)), 9) AS score
+  FROM q
+  JOIN {pe} h ON h.name = q.subj
+  JOIN {pr} r ON r.name = q.pred AND r.d = h.d
+  JOIN {pe} c ON c.d = h.d
+  GROUP BY q.subj, q.pred, q.obj, c.name),
+true_s AS (SELECT subj, pred, obj, score AS ts FROM scored WHERE cand = obj),
+ranks AS (
+  SELECT s.subj, s.pred, s.obj,
+         1 + sum(CASE WHEN s.score < t.ts
+                        OR (s.score = t.ts AND s.cand < s.obj)
+                 THEN 1 ELSE 0 END) AS rank
+  FROM scored s JOIN true_s t
+    ON s.subj = t.subj AND s.pred = t.pred AND s.obj = t.obj
+  GROUP BY s.subj, s.pred, s.obj)
+SELECT count(*) AS n_test, round(avg(1.0 / rank), 6) AS mrr, {hit_cols}
+FROM ranks"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

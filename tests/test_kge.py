@@ -126,3 +126,32 @@ def test_link_predict_name_tiebreak(spark):
     assert len(got) == 1
     assert got[0].predicted == "a"
     assert got[0].score == pytest.approx(1.0, abs=1e-12)
+
+
+def test_rank_eval_metrics(spark):
+    # 1-d embeddings, r = 0: candidate scores are squared distances to h
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("t", 0, 1.0), ("u", 0, 2.0), ("v", 0, 3.0)],
+        "name string, d int, val double",
+    )
+    rel = spark.createDataFrame([("r", 0, 0.0)], "name string, d int, val double")
+    # true tail t: candidates h(0) < t(1) < u(4) < v(9) -> rank(t) = 2
+    test = spark.createDataFrame([("h", "r", "t")], "subj string, pred string, obj string")
+    row = kge.rank_eval(ent, rel, test).collect()[0]
+    assert row.n_test == 1
+    assert row.mrr == 0.5
+    assert row.hits_1 == 0.0 and row.hits_3 == 1.0 and row.hits_10 == 1.0
+
+
+def test_rank_eval_tie_uses_name_order(spark):
+    # h + r = 0; true tail 'b' at distance 1 ties with 'a' and 'c'.
+    # strictly-smaller: h(0); ties smaller by name: a -> rank = 1 + 1 + 1 = 3
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("a", 0, 1.0), ("b", 0, -1.0), ("c", 0, 1.0)],
+        "name string, d int, val double",
+    )
+    rel = spark.createDataFrame([("r", 0, 0.0)], "name string, d int, val double")
+    test = spark.createDataFrame([("h", "r", "b")], "subj string, pred string, obj string")
+    row = kge.rank_eval(ent, rel, test).collect()[0]
+    assert row.n_test == 1
+    assert row.mrr == pytest.approx(1 / 3, abs=1e-6)

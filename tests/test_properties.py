@@ -213,6 +213,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_communities": (0, 4, 0),
     # keyed-triple ckpt read by the max-key agg branch + the winner join
     "kg_resolve": (0, 2, 0),
+    # scored ckpt read by the true-score branch + the rank join
+    "kg_rank_eval": (0, 2, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
