@@ -440,6 +440,15 @@ def q_kg_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (3 hops from every source node) with
+    hash-derandomized next-hop choice — deterministic, retry-stable
+    training-sequence generation for skip-gram embedding pipelines."""
+    return graph.hash_random_walks(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), steps=3
+    )
+
+
 def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-completion evaluation of the trained TransE model: raw-setting
     tail ranking of every born_in fact against the full entity vocabulary —
@@ -1193,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_resolve": q_kg_resolve,
         "kg_rank_eval": q_kg_rank_eval,
+        "kg_walks": q_kg_walks,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1284,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": oracle.label_propagation_sql(iters=3),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
+        "kg_walks": oracle.hash_walks_sql(steps=3),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

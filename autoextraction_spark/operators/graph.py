@@ -364,6 +364,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("entity").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def hash_random_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
+    """DeepWalk-style walk-corpus generation with HASH-derandomized next-hop
+    choice: from every node, one walk of ``steps`` hops where the step-k
+    successor of v is ``argmin_u md5(v ‖ k ‖ u)`` over v's out-neighbors —
+    a uniform-looking but fully deterministic choice, so the corpus is
+    retry-stable, resumable, and SQL-replayable (the same reason
+    mixture_sample uses integer hash thresholds instead of rand()). A
+    production run varies walks per node by salting the hash with a walk
+    index — same plan, one more literal.
+
+    Output: (start, step, node) path rows — step 0 is the start node; walks
+    stop early at sink nodes (no out-edges). Per step: ONE frontier⋈edges
+    equi-join + the portable two-step argmin (min hash per walk position,
+    then join back) — no window over the neighbor lists, no RNG. The edge
+    set is checkpointed once; each frontier is checkpointed (same loop
+    discipline as transitive_closure).
+    """
+    e = _eager(edges.select("src", "dst").distinct())
+    frontier = e.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("node")
+    )
+    out = frontier.withColumn("step", F.lit(0))
+    for k in range(1, steps + 1):
+        cand = (
+            frontier.join(e, frontier.node == e.src)
+            .select(
+                "start",
+                F.col("dst").alias("nxt"),
+                F.md5(
+                    F.concat_ws(":", F.col("node"), F.lit(str(k)), F.col("dst"))
+                ).alias("h"),
+            )
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        best = cand.groupBy("start").agg(F.min("h").alias("h"))
+        frontier = _eager(
+            cand.join(best, ["start", "h"]).select(
+                "start", F.col("nxt").alias("node")
+            )
+        )
+        out = out.union(frontier.withColumn("step", F.lit(k)))
+    return out
+
+
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous label-propagation community detection over the
     UNDIRECTED entity graph: every node starts labeled with itself; each

@@ -1743,6 +1743,29 @@ SELECT count(*) AS n_test, round(avg(1.0 / rank), 6) AS mrr, {hit_cols}
 FROM ranks"""
 
 
+def hash_walks_sql(steps: int = 3) -> str:
+    """Replicates operators.graph.hash_random_walks: unrolled hash-argmin
+    next-hop choice per step over the gold entity graph."""
+    prev = "w0"
+    ctes = ""
+    selects = ["SELECT start, CAST(0 AS INT) AS step, node FROM w0"]
+    for k in range(1, steps + 1):
+        ctes += f""",
+c{k} AS MATERIALIZED (
+  SELECT w.start, e.dst AS nxt, md5(w.node || ':{k}:' || e.dst) AS h
+  FROM {prev} w JOIN e ON w.node = e.src),
+b{k} AS (SELECT start, min(h) AS h FROM c{k} GROUP BY start),
+w{k} AS MATERIALIZED (
+  SELECT c.start, c.nxt AS node
+  FROM c{k} c JOIN b{k} b ON c.start = b.start AND c.h = b.h)"""
+        selects.append(f"SELECT start, CAST({k} AS INT) AS step, node FROM w{k}")
+        prev = f"w{k}"
+    return f"""WITH {_gold_graph_ctes()},
+e AS MATERIALIZED (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+w0 AS (SELECT DISTINCT src AS start, src AS node FROM e){ctes}
+{" UNION ALL ".join(selects)}"""
+
+
 def _quality_xs() -> list[str]:
     """The five quality-classifier feature expressions over a ``text``
     column — the single SQL counterpart of classifier.quality_features

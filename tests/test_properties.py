@@ -215,6 +215,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_resolve": (0, 2, 0),
     # scored ckpt read by the true-score branch + the rank join
     "kg_rank_eval": (0, 2, 0),
+    # final union reads the step-0 frontier + each step's walk checkpoint
+    "kg_walks": (0, 4, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
