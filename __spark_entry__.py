@@ -354,9 +354,10 @@ def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate scoring (the exact baseline; ANN over the embedding table is
     the documented scale path) for every distinct (subj, 'founded') query,
     rounded-score argmin with name tie-break."""
-    t = _pipeline_triples(spark, sf_dir)
-    ent, rel, _ = kge.transe_train(t)
-    q = t.filter(F.col("pred") == "founded").select("subj", "pred").distinct()
+    ent, rel, tr = kge.transe_train(_pipeline_triples(spark, sf_dir))
+    # derive queries from the CHECKPOINTED train set — filtering the raw
+    # pipeline plan instead would re-run the whole extraction a second time
+    q = tr.filter(F.col("pred") == "founded").select("subj", "pred").distinct()
     return kge.link_predict(ent, rel, q)
 
 
@@ -454,9 +455,9 @@ def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail ranking of every born_in fact against the full entity vocabulary —
     one row of (n_test, mrr, hits_1, hits_3, hits_10). Rank 1 ⟺
     link_predict would return the true tail (same rounded total order)."""
-    t = _pipeline_triples(spark, sf_dir)
-    ent, rel, _ = kge.transe_train(t)
-    test = t.filter(F.col("pred") == "born_in").select("subj", "pred", "obj")
+    ent, rel, tr = kge.transe_train(_pipeline_triples(spark, sf_dir))
+    # test set from the checkpointed train table (see q_kg_link_predict)
+    test = tr.filter(F.col("pred") == "born_in").select("subj", "pred", "obj")
     return kge.rank_eval(ent, rel, test)
 
 

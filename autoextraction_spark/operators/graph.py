@@ -73,9 +73,9 @@ def export_int_ids(triples: DataFrame) -> DataFrame:
         .union(t.select(F.col("obj").alias("name")))
         .distinct()
     )
-    ents = _with_rank(ent_names, "name").select(
-        "name", F.col("_rn").alias("eid")
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    ents = _eager(
+        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("eid"))
+    )
     rels = _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name").select(
         "name", F.col("_rn").alias("pid")
     )
@@ -99,6 +99,8 @@ def conjunctive_query(
     variable an equi-join key — Catalyst orders the joins; at web scale the
     triple table is bucketed by subj so var-on-subj joins co-locate.
     """
+    if not patterns:
+        raise ValueError("conjunctive_query requires at least one pattern")
     t = _ckpt(triples.select("pred", "subj", "obj").distinct())
     out = None
     seen: list[str] = []
@@ -205,6 +207,8 @@ def rule_inference(
     Reference tie-in: the reference stops at triple emission
     (predict.py:144-154); downstream inference is engine-new.
     """
+    if not rules:
+        raise ValueError("rule_inference requires at least one rule")
     t = _ckpt(triples.select("subj", "pred", "obj"))
     out = None
     for pa, pb, new_pred in rules:
@@ -323,7 +327,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     must match even though the physical join tree differs; the comparison
     therefore also guards the orientation logic itself.
     """
-    und = (
+    # materialize BEFORE the fan-out: und feeds deg (twice, as du/dv) and
+    # the orientation join — unmaterialized, the upstream extraction plan
+    # would execute 5× inside the oriented-checkpoint job (this hides from
+    # the final-plan scan audit, which only sees the post-checkpoint reads)
+    und = _eager(
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
@@ -387,16 +395,15 @@ def hash_random_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
     )
     out = frontier.withColumn("step", F.lit(0))
     for k in range(1, steps + 1):
-        cand = (
-            frontier.join(e, frontier.node == e.src)
-            .select(
+        cand = _eager(
+            frontier.join(e, frontier.node == e.src).select(
                 "start",
                 F.col("dst").alias("nxt"),
                 F.md5(
                     F.concat_ws(":", F.col("node"), F.lit(str(k)), F.col("dst"))
                 ).alias("h"),
             )
-        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
         best = cand.groupBy("start").agg(F.min("h").alias("h"))
         frontier = _eager(
             cand.join(best, ["start", "h"]).select(
@@ -489,7 +496,11 @@ def personalized_pagerank(
 
     d = float(damping)
     omd = 1.0 - d
-    ranks = base.withColumn("rank", F.col("is_seed") / F.col("ns"))
+    # greatest(ns, 1): with NO seed present in the graph every is_seed is 0
+    # and the division would yield NaN everywhere; the guard makes the
+    # result all-zero ppr instead (and is a no-op whenever ns ≥ 1)
+    safe_ns = F.greatest(F.col("ns"), F.lit(1.0))
+    ranks = base.withColumn("rank", F.col("is_seed") / safe_ns)
     for _ in range(iters):
         ranks = _ckpt(ranks)
         dang = ranks.filter(F.col("out_deg") == 0).agg(
@@ -510,11 +521,11 @@ def personalized_pagerank(
                 "is_seed",
                 "ns",
                 (
-                    F.lit(omd) * F.col("is_seed") / F.col("ns")
+                    F.lit(omd) * F.col("is_seed") / safe_ns
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("m"), F.lit(0.0))
-                        + F.col("is_seed") * F.col("dang") / F.col("ns")
+                        + F.col("is_seed") * F.col("dang") / safe_ns
                     )
                 ).alias("rank"),
             )

@@ -35,14 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .fileops import _with_rank
+from .graph import _eager  # the shared iterative-loop checkpoint barrier
 
 #: init constants — arbitrary coprime multipliers; values in [-0.5, 0.5)
 ENT_INIT = (37, 101, 97)
 REL_INIT = (53, 67, 89)
-
-
-def _eager(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def _init_emb(vocab: DataFrame, dim: int, consts: tuple[int, int, int]) -> DataFrame:

@@ -1393,9 +1393,9 @@ def rule_inference_sql(rules: list[tuple[str, str, str]]) -> str:
     """Replicates operators.graph.rule_inference: one equi-join per
     property-chain rule over the gold triple graph, unioned."""
     parts = [
-        f"""SELECT DISTINCT a.subj AS subj, '{out}' AS pred, b.obj AS obj
+        f"""SELECT DISTINCT a.subj AS subj, {sql_str(out)} AS pred, b.obj AS obj
 FROM g a JOIN g b ON a.obj = b.subj
-WHERE a.pred = '{pa}' AND b.pred = '{pb}'"""
+WHERE a.pred = {sql_str(pa)} AND b.pred = {sql_str(pb)}"""
         for pa, pb, out in rules
     ]
     return f"WITH {_gold_graph_ctes()}\n" + "\nUNION ALL\n".join(parts)
@@ -1407,7 +1407,7 @@ def transitive_closure_sql(pred: str = "acquired", max_depth: int = 8) -> str:
     triple — min(depth) per pair IS the BFS-minimal hop count, exactly what
     the Spark semi-naive frontier emits."""
     return f"""WITH RECURSIVE {_gold_graph_ctes()},
-e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = '{pred}'),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = {sql_str(pred)}),
 paths(src, dst, depth) AS (
   SELECT src, dst, 1 FROM e
   UNION
@@ -1642,11 +1642,11 @@ def personalized_pagerank_sql(
         iter_ctes += f""",
 r{k} AS (
   SELECT b.node, b.out_deg, b.is_seed,
-         {omd!r} * b.is_seed / (SELECT ns FROM nsd)
+         {omd!r} * b.is_seed / (SELECT greatest(ns, 1.0) FROM nsd)
          + {d!r} * (coalesce(c.m, 0.0)
                     + b.is_seed
                       * (SELECT coalesce(sum(rank), 0.0) FROM {prev} WHERE out_deg = 0)
-                      / (SELECT ns FROM nsd)) AS rank
+                      / (SELECT greatest(ns, 1.0) FROM nsd)) AS rank
   FROM base b
   LEFT JOIN (SELECT e.dst, sum(r.rank / r.out_deg) AS m
              FROM {prev} r JOIN e ON r.node = e.src
@@ -1663,7 +1663,7 @@ base AS MATERIALIZED (
   FROM nodes LEFT JOIN od ON node = od.src),
 nsd AS (SELECT sum(is_seed) AS ns FROM base),
 r0 AS (SELECT node, out_deg, is_seed,
-              is_seed / (SELECT ns FROM nsd) AS rank FROM base){iter_ctes}
+              is_seed / (SELECT greatest(ns, 1.0) FROM nsd) AS rank FROM base){iter_ctes}
 SELECT node AS entity, round(rank, 6) AS ppr FROM {prev}"""
 
 

@@ -56,13 +56,19 @@ def _maintain_batch(store_dir: str):
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         novel = _first_seen_per_fact(_batch_triples(batch_df))
+        # guard ONLY the store read: a missing path means first epoch
+        # (everything novel), but an AnalysisException from the novelty
+        # join itself (e.g. a foreign store with a renamed fact column)
+        # must PROPAGATE — swallowing it would silently disable dedup and
+        # duplicate facts across every subsequent epoch
         try:
-            prior = spark.read.parquet(store_dir).filter(
-                F.col("_epoch") < F.lit(epoch_id)
-            )
-            novel = incremental_delta(novel, prior)
+            prior = spark.read.parquet(store_dir)
         except AnalysisException:
-            pass  # first epoch: no store yet, everything is novel
+            prior = None
+        if prior is not None:
+            novel = incremental_delta(
+                novel, prior.filter(F.col("_epoch") < F.lit(epoch_id))
+            )
         (
             novel.withColumn("_epoch", F.lit(epoch_id))
             .write.mode("overwrite")
