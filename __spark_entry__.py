@@ -441,6 +441,16 @@ def q_kg_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_infer_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED KG-downstream pipeline: stages A-F (extraction → linking →
+    CC canonicalization) feeding property-chain rule inference — one lazy
+    plan whose oracle recomputes the full composition over canonical
+    surfaces, verifying the linking and inference stage interfaces jointly
+    (the training_pipeline discipline applied to the KG side)."""
+    canonical = linking.canonical_triples(_pipeline_triples(spark, sf_dir))
+    return graph.rule_inference(canonical, INFERENCE_RULES)
+
+
 def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style walk corpus (3 hops from every source node) with
     hash-derandomized next-hop choice — deterministic, retry-stable
@@ -1204,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve": q_kg_resolve,
         "kg_rank_eval": q_kg_rank_eval,
         "kg_walks": q_kg_walks,
+        "kg_infer_canonical": q_kg_infer_canonical,
         "quality_classifier": q_quality_classifier,
         "classifier_score": q_classifier_score,
         "lm_perplexity": q_lm_perplexity,
@@ -1296,6 +1307,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
         "kg_walks": oracle.hash_walks_sql(steps=3),
+        "kg_infer_canonical": oracle.rule_inference_sql(
+            INFERENCE_RULES, canonical=True),
         "quality_classifier": oracle.quality_classifier_sql(lr=2.0, iters=3),
         "classifier_score": oracle.classifier_score_sql(CLASSIFIER_WEIGHTS),
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),

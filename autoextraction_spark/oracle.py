@@ -1378,27 +1378,32 @@ SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
 FROM base b JOIN {prev} r ON b.node = r.node"""
 
 
-def _gold_graph_ctes() -> str:
+def _gold_graph_ctes(canonical: bool = False) -> str:
     """Shared (pred, subj, obj) gold-triple CTE ``g`` — the single source the
     graph-reasoning oracles (rule inference / closure / BFS / triangles)
-    build on, so the triple semantics cannot drift between them."""
+    build on, so the triple semantics cannot drift between them.
+    ``canonical=True`` uses the post-linking canonical surfaces."""
     return (
         f"{_DOCS_CTE}, {_FACTS_CTE},\n"
         f"g AS (SELECT DISTINCT {_RELS}[rel_idx + 1] AS pred,\n"
-        f"      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts)"
+        f"      {_subj_expr()} AS subj, {_obj_expr(canonical)} AS obj FROM facts)"
     )
 
 
-def rule_inference_sql(rules: list[tuple[str, str, str]]) -> str:
+def rule_inference_sql(
+    rules: list[tuple[str, str, str]], canonical: bool = False
+) -> str:
     """Replicates operators.graph.rule_inference: one equi-join per
-    property-chain rule over the gold triple graph, unioned."""
+    property-chain rule over the gold triple graph, unioned. With
+    ``canonical=True`` the composition additionally verifies the linking +
+    CC canonicalization stages the Spark side runs upstream."""
     parts = [
         f"""SELECT DISTINCT a.subj AS subj, {sql_str(out)} AS pred, b.obj AS obj
 FROM g a JOIN g b ON a.obj = b.subj
 WHERE a.pred = {sql_str(pa)} AND b.pred = {sql_str(pb)}"""
         for pa, pb, out in rules
     ]
-    return f"WITH {_gold_graph_ctes()}\n" + "\nUNION ALL\n".join(parts)
+    return f"WITH {_gold_graph_ctes(canonical)}\n" + "\nUNION ALL\n".join(parts)
 
 
 def transitive_closure_sql(pred: str = "acquired", max_depth: int = 8) -> str:

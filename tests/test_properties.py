@@ -217,6 +217,8 @@ EXPECTED_PLAN_COUNTS = {
     "kg_rank_eval": (0, 2, 0),
     # final union reads the step-0 frontier + each step's walk checkpoint
     "kg_walks": (0, 4, 0),
+    # composed A-F + inference: canonical-triple ckpt ×2 per rule
+    "kg_infer_canonical": (0, 4, 0),
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
