@@ -405,6 +405,19 @@ def q_kg_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-weighted fact fusion (engine-new): every distinct fact in
+    the emitted KG scored by its crawl-wide support — supporting-page count,
+    distinct-host count, and the noisy-OR fused confidence over the
+    per-page detection scores. Complements kg_resolve: recency picks ONE
+    object for functional predicates; fusion keeps and scores every fact.
+    One (url, pred) equi-join + one partial-aggregated groupBy on the fact
+    key — no window, no UDF."""
+    t = _pipeline_triples(spark, sf_dir)
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    return output.fuse_by_provenance(t, detect.detect_relations(pages))
+
+
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (3 fixed rounds) over the
     undirected entity graph — portable argmax (max count, min label), one
@@ -1212,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_communities": q_kg_communities,
         "kg_resolve": q_kg_resolve,
+        "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
         "kg_walks": q_kg_walks,
         "kg_infer_canonical": q_kg_infer_canonical,
@@ -1305,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "kg_communities": oracle.label_propagation_sql(iters=3),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
+        "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
         "kg_walks": oracle.hash_walks_sql(steps=3),
         "kg_infer_canonical": oracle.rule_inference_sql(

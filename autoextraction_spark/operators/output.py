@@ -93,6 +93,44 @@ def resolve_by_recency(triples: DataFrame, preds: list[str] | None = None) -> Da
     )
 
 
+def fuse_by_provenance(triples: DataFrame, det: DataFrame) -> DataFrame:
+    """Provenance-weighted fact fusion (engine-new; no reference
+    counterpart): the KG-construction stage between extraction and truth
+    discovery. Per distinct fact (subj, pred, obj), aggregate its supporting
+    evidence across the crawl — supporting-page count, distinct-host count,
+    and a fused confidence under the standard independent-source noisy-OR
+    model, ``conf = 1 - Π(1 - rc_i)`` over the per-page detection scores.
+    Unlike :func:`resolve_by_recency` (which picks ONE object per functional
+    (subj, pred)), fusion keeps every fact and scores it.
+
+    Physical plan: one equi-join on (url, pred) of the unique triple
+    sightings against the per-(url, rel) detection scores, then ONE
+    partial-aggregated groupBy on the fact key — count / count-distinct /
+    sum(ln) all combine map-side, so the shuffle carries per-fact partials,
+    never the sighting rows. No window, no UDF, no collect.
+
+    Engine-parity (oracle) discipline: rc rounds to 6 decimals before the
+    log (and is clamped below 1.0 so ln stays finite), the log-sum rounds
+    to 9 before exp, the fused confidence to 6 — the DuckDB oracle applies
+    the identical formula, not an algebraic equivalent.
+    """
+    sight = triples.join(
+        det.select(
+            "url",
+            F.col("rel").alias("pred"),
+            F.least(F.round("rc_score", 6), F.lit(0.999999)).alias("rc"),
+        ),
+        ["url", "pred"],
+    )
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    log_keep = F.round(F.sum(F.log(F.lit(1.0) - F.col("rc"))), 9)
+    return sight.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(host).alias("n_hosts"),
+        F.round(F.lit(1.0) - F.exp(log_keep), 6).alias("conf"),
+    )
+
+
 def to_event_rows(completed: DataFrame) -> DataFrame:
     """Event states → distinct (url, etype, role, value) rows.
 

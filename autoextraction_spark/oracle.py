@@ -1715,6 +1715,39 @@ FROM tt t JOIN latest l ON t.pred = l.pred AND t.subj = l.subj AND t.rk = l.rk
 GROUP BY t.subj, t.pred"""
 
 
+def fuse_sql() -> str:
+    """Replicates operators.output.fuse_by_provenance: per distinct fact,
+    supporting-page count, distinct-host count and the noisy-OR fused
+    confidence from the per-(url, rel) detection scores of detect_sql —
+    the IDENTICAL rounding ladder (rc→6 before ln, log-sum→9 before exp,
+    conf→6), never an algebraic equivalent."""
+    alt_cond = (
+        f"lang = 'en' AND (doc_id*3 + i) % 4 = 0 AND {_in('rel_idx', _ALT_RELS)}"
+    )
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+gated AS (
+  SELECT doc_id, lang, rel_idx,
+         max(CASE WHEN {alt_cond} THEN 0 ELSE 1 END) AS has_primary
+  FROM facts GROUP BY doc_id, lang, rel_idx
+),
+trip AS (SELECT DISTINCT doc_id, rel_idx, {_RELS}[rel_idx + 1] AS pred,
+                {_subj_expr()} AS subj, {_obj_expr(False)} AS obj
+         FROM facts),
+sight AS (
+  SELECT t.subj, t.pred, t.obj, t.doc_id,
+         least(round(1.0/(1.0 + exp(-(CASE WHEN g.has_primary = 1
+                                           THEN 2.5 ELSE 1.5 END))), 6),
+               0.999999) AS rc
+  FROM trip t JOIN gated g ON t.doc_id = g.doc_id AND t.rel_idx = g.rel_idx
+)
+SELECT subj, pred, obj,
+       count(*) AS n_urls,
+       count(DISTINCT CASE WHEN doc_id % 5 = 0 THEN 0
+                           ELSE doc_id % {S.N_HOSTS} END) AS n_hosts,
+       round(1.0 - exp(round(sum(ln(1.0 - rc)), 9)), 6) AS conf
+FROM sight GROUP BY subj, pred, obj"""
+
+
 def rank_eval_sql(
     test_pred: str = "born_in", ks: tuple[int, ...] = (1, 3, 10), **kw
 ) -> str:

@@ -213,6 +213,7 @@ EXPECTED_PLAN_COUNTS = {
     "kg_communities": (0, 4, 0),
     # keyed-triple ckpt read by the max-key agg branch + the winner join
     "kg_resolve": (0, 2, 0),
+    "kg_fuse": (2, 2, 3),
     # scored ckpt read by the true-score branch + the rank join
     "kg_rank_eval": (0, 2, 0),
     # final union reads the step-0 frontier + each step's walk checkpoint
