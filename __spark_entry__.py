@@ -476,7 +476,7 @@ def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-completion evaluation of the trained TransE model: raw-setting
     tail ranking of every born_in fact against the full entity vocabulary —
-    one row of (n_test, mrr, hits_1, hits_3, hits_10). Rank 1 ⟺
+    one row of (n_test, mrr, hits_1, hits_3, hits_10, n_dropped). Rank 1 ⟺
     link_predict would return the true tail (same rounded total order)."""
     ent, rel, tr = kge.transe_train(_pipeline_triples(spark, sf_dir))
     # test set from the checkpointed train table (see q_kg_link_predict)

@@ -105,15 +105,24 @@ def conjunctive_query(
     out = None
     seen: list[str] = []
     for sv, pred, ov in patterns:
-        p = t.filter(F.col("pred") == pred).select(
-            F.col("subj").alias(sv), F.col("obj").alias(ov)
-        )
-        if out is None:
-            out, seen = p, [sv, ov]
+        filtered = t.filter(F.col("pred") == pred)
+        if sv == ov:
+            # Self-loop pattern (?x pred ?x): one output column, the
+            # subj == obj restriction folded into the scan — mirrors the
+            # SQL oracle's alias.subj = alias.obj predicate.
+            p = filtered.filter(F.col("subj") == F.col("obj")).select(
+                F.col("subj").alias(sv)
+            )
+            pvars = [sv]
         else:
-            keys = [v for v in (sv, ov) if v in seen]
+            p = filtered.select(F.col("subj").alias(sv), F.col("obj").alias(ov))
+            pvars = [sv, ov]
+        if out is None:
+            out, seen = p, list(pvars)
+        else:
+            keys = [v for v in pvars if v in seen]
             out = out.join(p, keys) if keys else out.crossJoin(p)
-            seen += [v for v in (sv, ov) if v not in seen]
+            seen += [v for v in pvars if v not in seen]
     return out.distinct()
 
 
@@ -410,6 +419,11 @@ def hash_random_walks(edges: DataFrame, steps: int = 3) -> DataFrame:
                 "start", F.col("nxt").alias("node")
             )
         )
+        if frontier.isEmpty():
+            # All walks hit sink nodes — same early exit as
+            # transitive_closure/bfs_distances; empty frontiers contribute
+            # no rows, so SQL-oracle parity is unaffected.
+            break
         out = out.union(frontier.withColumn("step", F.lit(k)))
     return out
 

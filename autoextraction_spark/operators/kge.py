@@ -22,7 +22,10 @@ design rules):
   init values are pure integer arithmetic on (vocab rank, dim), the
   corrupted tail is a rank-shift (uniform corruption without RNG), and the
   discontinuous hinge decision is made on a ``round(margin, 9)`` value in
-  BOTH engines so a last-ulp float-sum difference can never flip a branch.
+  BOTH engines so a last-ulp float-sum difference can never flip a branch,
+  and the embedding tables are re-quantized to 9 decimals at every iteration
+  boundary so last-ulp differences cannot compound across iterations (the
+  whole trajectory, not just each branch, is engine-independent).
 
 Reference tie-in: the reference stops at triple emission (predict.py:144-154);
 embedding the resulting graph is engine-new (SURVEY.md engine-new inventory).
@@ -40,6 +43,11 @@ from .graph import _eager  # the shared iterative-loop checkpoint barrier
 #: init constants — arbitrary coprime multipliers; values in [-0.5, 0.5)
 ENT_INIT = (37, 101, 97)
 REL_INIT = (53, 67, 89)
+
+#: boundary-avoiding quantization offset for the per-iteration round(·, 9)
+#: (see transe_train._update): large vs cross-engine float-sum noise
+#: (~1e-13), small vs the 5e-11 decimal grid the default-lr updates live on.
+QUANT_EPS = 2e-11
 
 
 def _init_emb(vocab: DataFrame, dim: int, consts: tuple[int, int, int]) -> DataFrame:
@@ -166,12 +174,32 @@ def transe_train(
         )
 
         def _update(emb: DataFrame, grad: DataFrame) -> DataFrame:
+            # Re-quantize the stored coordinate to 9 decimals each iteration
+            # so the inter-iteration trajectory is engine-independent: the
+            # gradient sums feeding the next round's sp/sn are unordered
+            # float sums (Spark groupBy vs DuckDB GROUP BY), and without
+            # this re-quantization a last-ulp difference could compound
+            # across iterations and flip a later hinge branch.
+            #
+            # QUANT_EPS before the round avoids exact decimal half-
+            # boundaries: once values are 1e-9 multiples, the next update
+            # (lr=0.05 × 1e-9-quantized gradient sums) lands on a 5e-11
+            # decimal grid that CONTAINS the x.5e-9 rounding boundaries —
+            # there, sub-1e-14 cross-engine float noise decides the round
+            # and Spark (shortest-decimal HALF_UP) vs DuckDB (binary-scaled
+            # C round) flip coins independently. The 2e-11 offset (≫ noise,
+            # ≪ grid pitch, applied identically in both engines) keeps every
+            # quantized value ≥2e-11 away from every boundary, so both
+            # engines always round to the same decimal — and both then store
+            # the same double (nearest double to that decimal).
             return emb.join(grad, ["name", "d"], "left").select(
                 "name",
                 "d",
-                (
+                F.round(
                     F.col("val")
                     - F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0))
+                    + F.lit(QUANT_EPS),
+                    9,
                 ).alias("val"),
             )
 
@@ -200,7 +228,9 @@ def rank_eval(
     """Link-prediction evaluation: filtered-nothing (raw) tail ranking of
     each test triple against the FULL entity vocabulary — MRR and hits@k,
     the standard KG-completion metrics (Bordes et al. 2013 protocol, raw
-    setting). One output row: (n_test, mrr, hits_1, hits_3, hits_10).
+    setting). One output row: (n_test, mrr, hits_1, hits_3, hits_10,
+    n_dropped) where n_dropped counts test triples excluded because their
+    subj/pred/obj has no trained embedding (out-of-vocabulary).
 
     rank(h, r, t) = 1 + |{c : (score_c, c) < (score_t, t)}| under the
     rounded score with name tie-break — the same total order link_predict
@@ -258,7 +288,23 @@ def rank_eval(
                 F.avg(F.when(F.col("rank") <= k, 1.0).otherwise(0.0)), 6
             ).alias(f"hits_{k}")
         )
-    return ranks.agg(*aggs)
+    # Test triples whose subj/pred/obj has no embedding are dropped by the
+    # inner vocabulary joins above (safe for train-derived test sets, a trap
+    # for genuine held-out evaluation) — surface the drop explicitly instead
+    # of silently deflating n_test: n_dropped = distinct input triples minus
+    # ranked triples, computed as a 1-row crossJoined aggregate (the
+    # no-collect scalar idiom used throughout the iterative operators).
+    n_in = (
+        test.select("subj", "pred", "obj")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_input"))
+    )
+    return (
+        ranks.agg(*aggs)
+        .crossJoin(F.broadcast(n_in))
+        .withColumn("n_dropped", F.col("n_input") - F.col("n_test"))
+        .drop("n_input")
+    )
 
 
 def link_predict(

@@ -1526,9 +1526,9 @@ gent{k} AS (SELECT name, d, sum(gv) AS g FROM (
             GROUP BY name, d),
 grel{k} AS (SELECT pred AS name, d, sum(2.0*(dp - dn)) AS g FROM viol{k}
             GROUP BY pred, d),
-e{k} AS MATERIALIZED (SELECT e.name, e.d, e.val - {float(lr)!r}*coalesce(gg.g, 0.0) AS val
+e{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
          FROM {pe} e LEFT JOIN gent{k} gg ON e.name = gg.name AND e.d = gg.d),
-r{k} AS MATERIALIZED (SELECT e.name, e.d, e.val - {float(lr)!r}*coalesce(gg.g, 0.0) AS val
+r{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
          FROM {pr} e LEFT JOIN grel{k} gg ON e.name = gg.name AND e.d = gg.d)"""
         pe, pr = f"e{k}", f"r{k}"
     return ctes, pe, pr
@@ -1777,7 +1777,8 @@ ranks AS (
   FROM scored s JOIN true_s t
     ON s.subj = t.subj AND s.pred = t.pred AND s.obj = t.obj
   GROUP BY s.subj, s.pred, s.obj)
-SELECT count(*) AS n_test, round(avg(1.0 / rank), 6) AS mrr, {hit_cols}
+SELECT count(*) AS n_test, round(avg(1.0 / rank), 6) AS mrr, {hit_cols},
+       (SELECT count(*) FROM q) - count(*) AS n_dropped
 FROM ranks"""
 
 

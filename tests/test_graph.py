@@ -201,6 +201,25 @@ def test_conjunctive_query_bgp(spark):
     assert got == [("alice", "acme", "oslo")]
 
 
+def test_conjunctive_query_self_loop_pattern(spark):
+    # (?x pred ?x) is a valid BGP — one output column, subj == obj folded
+    # into the scan (ADVICE r4: engine used to emit two same-named columns)
+    triples = spark.createDataFrame(
+        [("u", "same_as", "acme", "acme"),
+         ("u", "same_as", "alice", "bob"),
+         ("u", "works_for", "acme", "oslo")],
+        "url string, pred string, subj string, obj string",
+    )
+    got = graph.conjunctive_query(triples, [("x", "same_as", "x")])
+    assert got.columns == ["x"]
+    assert [r.x for r in got.collect()] == ["acme"]
+    # and joined with a second pattern sharing the variable
+    got2 = graph.conjunctive_query(
+        triples, [("x", "same_as", "x"), ("x", "works_for", "y")]
+    )
+    assert [(r.x, r.y) for r in got2.collect()] == [("acme", "oslo")]
+
+
 def test_schema_induction_types_and_counts(spark):
     triples = spark.createDataFrame(
         [("works_for", "alice", "acme"),

@@ -1,10 +1,19 @@
 """TransE KG-embedding training + link prediction (operators/kge.py)."""
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from autoextraction_spark.operators import kge
+
+
+def _round9(x: float) -> float:
+    """Spark-semantics round(x, 9): shortest-decimal repr then HALF_UP —
+    what Spark's BigDecimal.valueOf(double).setScale(9, HALF_UP) computes
+    (numpy.round is half-even and disagrees on .5 decimal boundaries)."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
 
 
 def _reference_transe(triples, dim=4, iters=2, lr=0.05, margin=1.0, neg_offset=7):
@@ -37,7 +46,12 @@ def _reference_transe(triples, dim=4, iters=2, lr=0.05, margin=1.0, neg_offset=7
                 gR[rrank[p]] += 2 * (dp - dn)
                 gE[erank[o]] += -2 * dp
                 gE[erank[negs[(p, s, o)]]] += 2 * dn
-        E, R = E - lr * gE, R - lr * gR
+        # the engine re-quantizes the embedding tables to 9 decimals at
+        # every iteration boundary (engine-independent trajectory) — use
+        # Spark's HALF_UP semantics (not numpy's half-even) and the same
+        # boundary-avoiding QUANT_EPS offset
+        E = np.vectorize(_round9)(E - lr * gE + kge.QUANT_EPS)
+        R = np.vectorize(_round9)(R - lr * gR + kge.QUANT_EPS)
     return ents, rels, E, R
 
 
@@ -141,6 +155,23 @@ def test_rank_eval_metrics(spark):
     assert row.n_test == 1
     assert row.mrr == 0.5
     assert row.hits_1 == 0.0 and row.hits_3 == 1.0 and row.hits_10 == 1.0
+    assert row.n_dropped == 0
+
+
+def test_rank_eval_reports_oov_drops(spark):
+    # a test triple whose obj has no embedding must not silently deflate
+    # n_test: it is counted in n_dropped instead (ADVICE r4)
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("t", 0, 1.0)], "name string, d int, val double"
+    )
+    rel = spark.createDataFrame([("r", 0, 0.0)], "name string, d int, val double")
+    test = spark.createDataFrame(
+        [("h", "r", "t"), ("h", "r", "unseen"), ("ghost", "r", "t")],
+        "subj string, pred string, obj string",
+    )
+    row = kge.rank_eval(ent, rel, test).collect()[0]
+    assert row.n_test == 1
+    assert row.n_dropped == 2
 
 
 def test_rank_eval_tie_uses_name_order(spark):

@@ -214,8 +214,9 @@ EXPECTED_PLAN_COUNTS = {
     # keyed-triple ckpt read by the max-key agg branch + the winner join
     "kg_resolve": (0, 2, 0),
     "kg_fuse": (2, 2, 3),
-    # scored ckpt read by the true-score branch + the rank join
-    "kg_rank_eval": (0, 2, 0),
+    # scored ckpt read by the true-score branch + the rank join; the
+    # n_dropped input-count branch reads the train-table ckpt once more
+    "kg_rank_eval": (0, 3, 0),
     # final union reads the step-0 frontier + each step's walk checkpoint
     "kg_walks": (0, 4, 0),
     # composed A-F + inference: canonical-triple ckpt ×2 per rule
