@@ -21,8 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1>", re.S | re.I)
-_BLOCK_CLOSE_RE = re.compile(r"</(p|h1|h2|h3|h4|li|div|title|tr)>", re.I)
-_BR_RE = re.compile(r"<br\s*/?>", re.I)
+# block-close tags and <br> both become newlines — one alternation pass
+# (the two literals cannot overlap, and "\n" cannot create a new match, so
+# this is byte-identical to two sequential passes)
+_NEWLINE_TAG_RE = re.compile(r"</(p|h1|h2|h3|h4|li|div|title|tr)>|<br\s*/?>", re.I)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 
@@ -33,15 +35,20 @@ def extract_text(html: bytes | str) -> str:
     Rules: drop <script>/<style> blocks; block-close tags and <br> become
     newlines; all other tags dropped; entities unescaped; intra-line
     whitespace collapsed; blank lines removed; lines joined with '\\n'.
+
+    (The output contract is frozen by the golden fixtures; the
+    implementation below is the measured-fast form — fewer regex passes,
+    whitespace collapsed once over the whole string instead of per line.
+    _WS_RE never matches '\\n', so the hoisted sub touches exactly the same
+    spans the per-line subs did.)
     """
     s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
     s = _SCRIPT_RE.sub("", s)
-    s = _BLOCK_CLOSE_RE.sub("\n", s)
-    s = _BR_RE.sub("\n", s)
+    s = _NEWLINE_TAG_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
     s = _html.unescape(s)
-    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
-    return "\n".join(ln for ln in lines if ln)
+    s = _WS_RE.sub(" ", s)
+    return "\n".join(ln for ln in map(str.strip, s.split("\n")) if ln)
 
 
 @F.pandas_udf(T.StringType())

@@ -103,6 +103,12 @@ def _matches(
     for conn, is_primary in _connectors(rel, lang):
         if primary_only and not is_primary:
             continue
+        if conn not in text:
+            # the connector is a literal segment of every pattern variant —
+            # absent connector ⟹ no match; the C-level substring probe is
+            # far cheaper than the regex scan it skips (alt connectors are
+            # absent from most gated pages)
+            continue
         logit = PRIMARY_LOGIT if is_primary else ALT_LOGIT
         if want_slot_idx == 1 and fixed is not None:
             # fixed subject: literal-prefix fast path, no per-mention compile
@@ -181,11 +187,18 @@ def score2prob(entities: list[tuple[str, float]]) -> list[tuple[str, float, floa
     """Exact Environment.py:90-99 semantics; output sorted (-score, mention)."""
     if not entities:
         return []
-    logsum = sum(math.exp(s) for _, s in entities)
+    if len(entities) == 1:
+        # exact fast path: p = exp(s)/exp(s) = 1.0 bit-exactly in IEEE 754
+        m, s = entities[0]
+        return [(m, 1.0, s)]
+    # exp each logit once and reuse (same floats, same summation order as
+    # computing it twice — math.exp is deterministic per input)
+    exps = [math.exp(s) for _, s in entities]
+    logsum = sum(exps)
     by_mention: dict[str, tuple[float, float]] = {}
-    for mention, s in entities:
+    for (mention, s), e in zip(entities, exps):
         p, mx = by_mention.get(mention, (0.0, float("-inf")))
-        by_mention[mention] = (p + math.exp(s) / logsum, max(mx, s))
+        by_mention[mention] = (p + e / logsum, max(mx, s))
     out = [(m, p, mx) for m, (p, mx) in by_mention.items()]
     out.sort(key=lambda e: (-e[2], e[0]))
     return out
