@@ -40,6 +40,104 @@ def relation_anchors(spark: SparkSession) -> DataFrame:
     )
 
 
+#: detector-training hyperparameters: full-batch GD needs ~24 iterations at
+#: lr 8 before the rare alt-only-phrased class (x1=0, x2=1, ~3.6% of
+#: positives) clears the 0.5 gate — chosen so the TRAINED gate's detection
+#: F1 reaches the fixed-anchor gate's 1.0 on the synthetic corpus with
+#: margin (w0+w2 ≈ 0.76 at convergence, sigmoid ≈ 0.68).
+DETECTOR_LR = 8.0
+DETECTOR_ITERS = 24
+
+
+def detector_features(pages: DataFrame) -> DataFrame:
+    """(url, rel, x0..x4) — one candidate row per (page, relation/event of
+    the page's language), the multi-label-as-binary decomposition of the
+    reference's RCModel (classification.py:32-67: shared encoder + sigmoid
+    per relation).
+
+    Features are pure codegen over the broadcast anchor dimension — the
+    same single-scan shape as the fixed gate, so feature generation runs at
+    scan speed on 100 TB: x0 bias, x1 primary-anchor presence, x2
+    alt-anchor presence, x3 zh-language flag, x4 event-schema flag.
+    """
+    anchors = F.broadcast(relation_anchors(pages.sparkSession))
+    return pages.join(anchors, on="lang", how="inner").select(
+        "url",
+        "rel",
+        F.lit(1.0).alias("x0"),
+        (F.instr(F.col("text"), F.col("primary_anchor")) > 0)
+        .cast("double")
+        .alias("x1"),
+        F.when(
+            F.col("alt_anchor").isNotNull()
+            & (F.instr(F.col("text"), F.col("alt_anchor")) > 0),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("x2"),
+        (F.col("lang") == "zh").cast("double").alias("x3"),
+        F.col("rel").isin(list(S.EVENTS)).cast("double").alias("x4"),
+    )
+
+
+def with_detector_labels(feats: DataFrame, gold_pairs: DataFrame) -> DataFrame:
+    """Attach the supervision signal: y = 1 iff the gold corpus carries a
+    fact/event of ``rel`` on that page (the reference trains RCModel from
+    its labeled datasets the same way — classification.py:52-60)."""
+    g = (
+        gold_pairs.select("url", "rel")
+        .distinct()
+        .withColumn("y", F.lit(1.0))
+    )
+    return feats.join(g, ["url", "rel"], "left").fillna({"y": 0.0})
+
+
+def train_detector(
+    pages: DataFrame,
+    gold_pairs: DataFrame,
+    lr: float = DETECTOR_LR,
+    iters: int = DETECTOR_ITERS,
+) -> DataFrame:
+    """Train the detection gate's weights distributedly (the
+    classification.py training analog): full-batch logistic-regression GD
+    via classifier.logreg_train — weights live in 1-row broadcast
+    DataFrames, each iteration is ONE map-side-combinable average over the
+    checkpointed feature table, no collect anywhere. Returns the (iter,
+    w0..w4) snapshot table (rounded to 6, the oracle-parity rule)."""
+    from .classifier import logreg_train
+
+    feats = with_detector_labels(detector_features(pages), gold_pairs)
+    return logreg_train(feats, label_col="y", lr=lr, iters=iters)
+
+
+def detect_relations_with_weights(
+    pages: DataFrame, weights: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Deploy a TRAINED detection gate: (url, rel, score, keep) for every
+    candidate pair, score = round(sigmoid(w·x), 6), keep = score ≥
+    threshold (the rounded score decides, so a last-ulp exp() difference
+    between engines cannot flip the gate).
+
+    ``weights`` is a 1-row (w0..w4) DataFrame — e.g.
+    ``train_detector(...).filter(F.col("iter") == DETECTOR_ITERS)`` — kept
+    as a broadcast crossJoin rather than collected literals so the
+    train→deploy composition stays one lazy plan."""
+    feats = detector_features(pages)
+    j = feats.crossJoin(
+        F.broadcast(weights.select(*[f"w{i}" for i in range(5)]))
+    )
+    z = F.lit(0.0)
+    for i in range(5):
+        z = z + F.col(f"w{i}") * F.col(f"x{i}")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return j.select(
+        "url",
+        "rel",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).cast("int").alias("keep"),
+    )
+
+
 def detect_relations(pages: DataFrame, threshold: float = RC_THRESHOLD) -> DataFrame:
     """(url, text, lang) -> (url, text, lang, rel, rc_score), gated.
 

@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import png
+from . import png, wav
 
 try:  # real decoders, absent in this container
     from PIL import Image  # noqa: F401
@@ -37,6 +37,10 @@ MEDIA_SCHEMA = (
 )
 IMAGE_FEATURES_SCHEMA = (
     "url string, width int, height int, n_channels int, features array<float>"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "url string, n_channels int, sample_rate int, n_frames int, "
+    "features array<float>"
 )
 FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_ts_ms int, frame binary"
 
@@ -187,6 +191,108 @@ def extract_image_features(media: DataFrame, use_real_decoder: bool = False) -> 
             )
 
     return images.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def wav_media_table(pages: DataFrame) -> DataFrame:
+    """Media table whose audio payloads are REAL RIFF/WAVE bytes (stdlib
+    ``wave`` codec — the png_media_table move applied to the second
+    modality): every ``doc_id % 4 == 2`` page carries mono 16-bit PCM with
+
+    - ``n = (doc_id % 5 + 1) * 64`` frames,
+    - ``rate = 8000 + (doc_id % 3) * 4000`` Hz,
+    - sample ``v(t) = ((doc_id*13 + t*t) % 4096) - 2048`` — pure integer
+      arithmetic, so a closed-form DuckDB oracle recomputes every decoded
+      statistic and one wrong decoded sample anywhere breaks a sum.
+
+    Encoding happens worker-side in one Arrow pass; payloads never shuffle.
+    """
+    auds = pages.filter(F.col("doc_id") % 4 == 2).select("doc_id", "url")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                d = int(doc_id)
+                n = (d % 5 + 1) * 64
+                rate = 8000 + (d % 3) * 4000
+                samples = [((d * 13 + t * t) % 4096) - 2048 for t in range(n)]
+                payload = wav.encode_wav(samples, rate, n_channels=1)
+                out.append((url, "audio", payload, None, None, n * 1000 // rate))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "kind", "payload", "media_w", "media_h",
+                    "duration_ms",
+                ],
+            )
+
+    return auds.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _decode_audio_real(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real decoder: stdlib ``wave`` for RIFF PCM payloads; anything else
+    (mp3/flac/ogg) remains the ffmpeg/soundfile swap seam.
+
+    Feature contract (8 floats, all INTEGER-valued so they are exact in
+    float32 and reproducible by the DuckDB oracle): sample sum, min, max,
+    first sample, last sample, distinct-value count, zero-crossing count
+    (sign flips between adjacent samples, negatives strictly < 0), and the
+    sum of absolute values. Means/RMS are ratios of these — left to the
+    consumer so the emitted features stay integral."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        ch, rate, n, samples = wav.decode_wav(payload)
+        crossings = sum(
+            1
+            for i in range(1, len(samples))
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+        feats = [
+            float(sum(samples)),
+            float(min(samples)),
+            float(max(samples)),
+            float(samples[0]),
+            float(samples[-1]),
+            float(len(set(samples))),
+            float(crossings),
+            float(sum(abs(s) for s in samples)),
+        ]
+        return ch, rate, n, feats
+    raise NotImplementedError(
+        "non-WAV decoding requires ffmpeg/soundfile; wire it here — the "
+        "surrounding Spark plumbing is decode-library agnostic"
+    )
+
+
+def _decode_audio_fake(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic fake (the image-fake rule): 8 'features' from the
+    payload digest, each an exact binary fraction."""
+    digest = hashlib.md5(payload).digest()
+    return 1, 8000, len(payload), [b / 256.0 for b in digest[:8]]
+
+
+def extract_audio_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """audio rows -> (url, n_channels, sample_rate, n_frames, features).
+
+    Same shape rules as extract_image_features: iterator-of-batches (a real
+    decoder initializes once per worker), payload dropped at the UDF
+    boundary so it never shuffles."""
+    audio = media.filter(F.col("kind") == "audio").select("url", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                if use_real_decoder:
+                    ch, rate, n, feats = _decode_audio_real(bytes(payload))
+                else:
+                    ch, rate, n, feats = _decode_audio_fake(bytes(payload))
+                out.append((url, ch, rate, n, feats))
+            yield pd.DataFrame(
+                out,
+                columns=["url", "n_channels", "sample_rate", "n_frames", "features"],
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:

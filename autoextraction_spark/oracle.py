@@ -627,6 +627,39 @@ SELECT {URL_EXPR} AS url, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
 FROM agg"""
 
 
+def audio_features_real_sql() -> str:
+    """Real-decoder parity for the audio modality (multimodal.wav_media_table
+    → wav.decode_wav): samples are pure integer arithmetic on (doc_id, t),
+    so every decoded statistic is closed-form — one wrong decoded sample
+    anywhere breaks a sum/min/max/distinct/zero-crossing count."""
+    return f"""WITH auds AS (
+  SELECT doc_id, (doc_id % 5 + 1) * 64 AS n,
+         8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id % 4 = 2),
+ts AS (SELECT unnest(range(320)) AS t),
+v AS (SELECT a.doc_id, a.n, a.rate, ts.t,
+             ((a.doc_id * 13 + ts.t * ts.t) % 4096) - 2048 AS v
+      FROM auds a JOIN ts ON ts.t < a.n),
+w AS (SELECT doc_id, n, rate, t, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM v),
+agg AS (SELECT doc_id, n, rate,
+               CAST(sum(v) AS DOUBLE) AS f0,
+               CAST(min(v) AS DOUBLE) AS f1,
+               CAST(max(v) AS DOUBLE) AS f2,
+               CAST(count(DISTINCT v) AS DOUBLE) AS f5,
+               CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS f6,
+               CAST(sum(abs(v)) AS DOUBLE) AS f7
+        FROM w GROUP BY doc_id, n, rate)
+SELECT {URL_EXPR} AS url, CAST(1 AS INT) AS n_channels,
+       CAST(rate AS INT) AS sample_rate, CAST(n AS INT) AS n_frames,
+       f0, f1, f2,
+       CAST((doc_id * 13) % 4096 - 2048 AS DOUBLE) AS f3,
+       CAST((doc_id * 13 + (n - 1) * (n - 1)) % 4096 - 2048 AS DOUBLE) AS f4,
+       f5, f6, f7
+FROM agg"""
+
+
 def spo_flatten_sql() -> str:
     """Expected P2 flatten output: the three composed slots per event row."""
     return """SELECT event_id, '头实体-用户' AS slot,
@@ -1849,18 +1882,17 @@ SELECT doc_id, shard, n_tokens,
 FROM c"""
 
 
-def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
-    """Replicates operators.classifier.logreg_train over quality_features
-    with y = (lang = 'en'): full-batch logistic GD from w = 0, one CTE pair
-    (gradient, weights) per unrolled iteration. Each feature formula and the
-    sigmoid/error/average expressions mirror the Spark column tree
-    term-for-term; lr is embedded via repr() of the same python float. The
-    only drift source is float-sum ordering in the avg — absorbed by
-    round(…, 6) on the emitted weight snapshots."""
-    from .operators.classifier import N_FEATURES
-
+def _gd_unroll(lr: float, iters: int, n_features: int = 5) -> tuple[str, str, str]:
+    """Unrolled full-batch logistic-GD CTE chain over a CTE ``f`` carrying
+    x0..x{n-1} and y — the SQL counterpart of classifier.logreg_train,
+    shared by quality_classifier_sql and the detector trainer. Returns
+    (iter_ctes, final_weights_cte, snapshots_select). Every per-iteration
+    CTE is MATERIALIZED: w{k}s references its predecessor twice (once via
+    g{k}), so plain CTE inlining would re-expand the chain 2^iters times.
+    The only cross-engine drift source is float-sum ordering in the avg —
+    absorbed by round(…, 6) on the emitted snapshots."""
     lrr = repr(float(lr))
-    js = range(N_FEATURES)
+    js = range(n_features)
     dot = " + ".join(f"w.w{j} * f.x{j}" for j in js)
     grads = ",\n         ".join(
         f"avg((1.0 / (1.0 + exp(-({dot}))) - f.y) * f.x{j}) AS g{j}"
@@ -1868,13 +1900,13 @@ def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
     )
     steps = ", ".join(f"w.w{j} - {lrr} * g.g{j} AS w{j}" for j in js)
     zeros = ", ".join(f"0.0 AS w{j}" for j in js)
-    iter_ctes = ""
+    iter_ctes = f",\nw0s AS (SELECT {zeros})"
     prev = "w0s"
     for k in range(1, iters + 1):
         iter_ctes += f""",
-g{k} AS (SELECT {grads}
+g{k} AS MATERIALIZED (SELECT {grads}
          FROM f, {prev} w),
-w{k}s AS (SELECT {steps} FROM {prev} w, g{k} g)"""
+w{k}s AS MATERIALIZED (SELECT {steps} FROM {prev} w, g{k} g)"""
         prev = f"w{k}s"
     snap = " UNION ALL ".join(
         f"SELECT {k} AS iter, "
@@ -1882,16 +1914,93 @@ w{k}s AS (SELECT {steps} FROM {prev} w, g{k} g)"""
         + f" FROM w{k}s"
         for k in range(iters + 1)
     )
+    return iter_ctes, prev, snap
+
+
+def quality_classifier_sql(lr: float = 2.0, iters: int = 3) -> str:
+    """Replicates operators.classifier.logreg_train over quality_features
+    with y = (lang = 'en'): full-batch logistic GD from w = 0, one CTE pair
+    (gradient, weights) per unrolled iteration. Each feature formula and the
+    sigmoid/error/average expressions mirror the Spark column tree
+    term-for-term; lr is embedded via repr() of the same python float."""
+    iter_ctes, _, snap = _gd_unroll(lr, iters)
     feat_cols = ",\n         ".join(
         f"{x} AS x{j}" for j, x in enumerate(_quality_xs())
     )
-    return f"""WITH f AS (
+    return f"""WITH f AS MATERIALIZED (
   SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
          {feat_cols}
   FROM documents
-),
-w0s AS (SELECT {zeros}){iter_ctes}
+){iter_ctes}
 SELECT CAST(iter AS BIGINT) AS iter, w0, w1, w2, w3, w4 FROM ({snap})"""
+
+
+def _detector_f_ctes() -> str:
+    """CTE chain ending in ``f(url, rel, x0..x4, y)`` — the closed-form
+    feature/label table of the trainable detection gate (one row per
+    (page, candidate relation/event of the page's language)), mirroring
+    detect.detector_features + with_detector_labels: x1 = primary-anchor
+    presence, x2 = alt-anchor presence (both derivable from the fact math,
+    the detect_sql gating logic), x3 = zh flag, x4 = event flag, y = gold
+    carries the relation/event on that page."""
+    alt_cond = (
+        f"f2.lang = 'en' AND (f2.doc_id*3 + f2.i) % 4 = 0 AND {_in('f2.rel_idx', _ALT_RELS)}"
+    )
+    ev_selects = []
+    for etype, gate, _, lang in _event_rows():
+        ev_selects.append(
+            f"""SELECT url, {sql_str(etype)} AS rel, 1.0 AS x0,
+         CASE WHEN {gate} THEN 1.0 ELSE 0.0 END AS x1, 0.0 AS x2,
+         CASE WHEN lang = 'zh' THEN 1.0 ELSE 0.0 END AS x3, 1.0 AS x4,
+         CASE WHEN {gate} THEN 1.0 ELSE 0.0 END AS y
+  FROM docsu WHERE lang = {sql_str(lang)}"""
+        )
+    ev_union = "\n  UNION ALL\n  ".join(ev_selects)
+    return f"""{_DOCS_CTE}, {_FACTS_CTE},
+docsu AS (SELECT doc_id, lang, {URL_EXPR} AS url FROM docs),
+relagg AS (
+  SELECT f2.doc_id, f2.rel_idx,
+         max(CASE WHEN {alt_cond} THEN 0 ELSE 1 END) AS anyprim,
+         max(CASE WHEN {alt_cond} THEN 1 ELSE 0 END) AS anyalt
+  FROM facts f2 GROUP BY f2.doc_id, f2.rel_idx),
+f AS MATERIALIZED (
+  SELECT d.url, {_RELS}[ri.ridx + 1] AS rel, 1.0 AS x0,
+         CASE WHEN r.anyprim = 1 THEN 1.0 ELSE 0.0 END AS x1,
+         CASE WHEN r.anyalt = 1 THEN 1.0 ELSE 0.0 END AS x2,
+         CASE WHEN d.lang = 'zh' THEN 1.0 ELSE 0.0 END AS x3,
+         0.0 AS x4,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS y
+  FROM docsu d
+  CROSS JOIN (SELECT CAST(unnest(range({len(S.RELATIONS)})) AS INT) AS ridx) ri
+  LEFT JOIN relagg r ON r.doc_id = d.doc_id AND r.rel_idx = ri.ridx
+  UNION ALL
+  {ev_union}
+)"""
+
+
+def detector_train_sql(lr: float, iters: int) -> str:
+    """Replicates detect.train_detector: the GD-trajectory snapshot table
+    of the trainable detection gate over the closed-form feature CTE."""
+    iter_ctes, _, snap = _gd_unroll(lr, iters)
+    return f"""WITH {_detector_f_ctes()}{iter_ctes}
+SELECT CAST(iter AS BIGINT) AS iter, w0, w1, w2, w3, w4 FROM ({snap})"""
+
+
+def detector_score_sql(lr: float, iters: int, threshold: float = 0.5) -> str:
+    """Replicates detect.detect_relations_with_weights over the weights
+    train_detector converges to: score = round(sigmoid(w·x), 6) per
+    candidate pair with the ROUNDED final snapshot (both engines deploy the
+    6-decimal artifact, so the keep decision compares identical doubles)."""
+    iter_ctes, final, _ = _gd_unroll(lr, iters)
+    rounded = ", ".join(f"round(w{j}, 6) AS w{j}" for j in range(5))
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+    return f"""WITH {_detector_f_ctes()}{iter_ctes},
+wfin AS (SELECT {rounded} FROM {final})
+SELECT f.url, f.rel,
+       round(1.0 / (1.0 + exp(-({dot}))), 6) AS score,
+       CAST(CASE WHEN round(1.0 / (1.0 + exp(-({dot}))), 6) >= {threshold!r}
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM f, wfin w"""
 
 
 def classifier_score_sql(weights: list[float], threshold: float = 0.5) -> str:

@@ -102,3 +102,53 @@ def test_frame_sampling(media):
     r = frames.first()
     assert r.frame_ts_ms == r.frame_idx * 5000
     assert len(bytes(r.frame)) == 16
+
+
+def test_wav_roundtrip():
+    from autoextraction_spark.operators import wav
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    for ch in (1, 2):
+        data = wav.encode_wav(samples, 16000, n_channels=ch)
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+        c, rate, n, got = wav.decode_wav(data)
+        assert (c, rate, n) == (ch, 16000, len(samples) // ch)
+        assert got == samples
+
+
+def test_audio_features_real_decoder(spark):
+    pages = spark.createDataFrame(
+        [(d, f"u{d}") for d in (2, 6, 10, 14)], "doc_id long, url string"
+    )
+    media = multimodal.wav_media_table(pages)
+    feats = {
+        r.url: r for r in
+        multimodal.extract_audio_features(media, use_real_decoder=True).collect()
+    }
+    assert set(feats) == {"u2", "u6", "u10", "u14"}
+    for d in (2, 6, 10, 14):
+        r = feats[f"u{d}"]
+        n = (d % 5 + 1) * 64
+        assert (r.n_channels, r.sample_rate, r.n_frames) == (
+            1, 8000 + (d % 3) * 4000, n
+        )
+        v = [((d * 13 + t * t) % 4096) - 2048 for t in range(n)]
+        assert r.features[0] == sum(v)
+        assert r.features[1] == min(v) and r.features[2] == max(v)
+        assert r.features[3] == v[0] and r.features[4] == v[-1]
+        assert r.features[5] == len(set(v))
+        assert r.features[6] == sum(
+            1 for i in range(1, n) if (v[i - 1] < 0) != (v[i] < 0)
+        )
+        assert r.features[7] == sum(abs(x) for x in v)
+
+
+def test_audio_fake_path_and_nonwav_seam(spark):
+    import pytest as _pytest
+
+    pages = spark.createDataFrame([(2, "u2")], "doc_id long, url string")
+    media = multimodal.wav_media_table(pages)
+    fake = multimodal.extract_audio_features(media, use_real_decoder=False).first()
+    assert len(fake.features) == 8 and all(0 <= f < 1 for f in fake.features)
+    with _pytest.raises(NotImplementedError):
+        multimodal._decode_audio_real(b"ID3\x04not-a-wav")

@@ -160,6 +160,7 @@ EXPECTED_PLAN_COUNTS = {
     "host_counts": (1, 0, 1),
     "image_features": (1, 0, 2),
     "image_features_real": (1, 0, 3),
+    "audio_features_real": (1, 0, 3),
     "tpch_q1": (1, 0, 0),
     "tpch_q3ish": (3, 0, 0),
     "sessionize": (1, 0, 0),
@@ -224,6 +225,11 @@ EXPECTED_PLAN_COUNTS = {
     # GD training: final union reads the 3 checkpointed weight snapshots
     "quality_classifier": (0, 3, 0),
     "classifier_score": (1, 0, 0),
+    # detector GD: one checkpointed weight snapshot per iteration (24)
+    "detector_train": (0, 24, 0),
+    # deploy: feature pass (pages scan + generator) + final-weight ckpt +
+    # the labeled-feature ckpt inside the training lineage
+    "detector_score": (1, 2, 1),
     # ref-subset scan (inside the lazy ckpt lineage) + scoring scan are
     # different subsets of the source, as in decontaminate; counts/vocab
     # read the two checkpoints
