@@ -394,6 +394,19 @@ def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kge.link_predict(ent, rel, q)
 
 
+def q_kg_link_predict_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-pruned KG completion (the scale path as a QUERY, r4-verdict item
+    7): sign-LSH buckets over the trained entity vectors generate candidate
+    tails (bucket equi-join replaces the query×vocabulary crossJoin at 10^9
+    entities), exact TransE re-rank on the collisions, and a per-query
+    ``hit`` column comparing the ANN winner to the brute-force winner — the
+    emitted table IS the recall@1 evaluation. Oracle replays the identical
+    hyperplane literals, bucket join, re-rank, and comparison."""
+    ent, rel, tr = kge.transe_train(_pipeline_triples(spark, sf_dir))
+    q = tr.filter(F.col("pred") == "founded").select("subj", "pred").distinct()
+    return kge.link_predict_ann(ent, rel, q)
+
+
 #: BGP for q_kg_conjunctive: people who work for an org based in the city
 #: they were born in (three shared-variable patterns)
 CONJUNCTIVE_PATTERNS = [
@@ -1269,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
         "kg_link_predict": q_kg_link_predict,
+        "kg_link_predict_ann": q_kg_link_predict_ann,
         "kg_export": q_kg_export,
         "kg_conjunctive": q_kg_conjunctive,
         "kg_schema": q_kg_schema,
@@ -1370,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
         "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
+        "kg_link_predict_ann": oracle.link_predict_ann_sql(query_pred="founded"),
         "kg_export": oracle.export_ids_sql(),
         "kg_conjunctive": oracle.conjunctive_sql(CONJUNCTIVE_PATTERNS),
         "kg_schema": oracle.schema_induction_sql(TYPE_DICTS),

@@ -1599,6 +1599,82 @@ FROM scored s JOIN best b ON s.subj = b.subj AND s.pred = b.pred
 GROUP BY s.subj, s.pred, s.score"""
 
 
+def link_predict_ann_sql(
+    query_pred: str = "founded",
+    n_planes: int = 2,
+    n_tables: int = 4,
+    dim: int = 4,
+    **kw,
+) -> str:
+    """Replicates operators.kge.link_predict_ann: sign-LSH bucket candidate
+    generation (the SAME hyperplane literals similarity.hyperplane_weights
+    emits) + exact TransE re-rank on colliding candidates + recall@1 hit
+    column vs the brute-force argmin."""
+    from .operators.similarity import hyperplane_weights
+
+    ctes, pe, pr = _transe_ctes(**kw)
+
+    def bucket_selects(src: str, keys: str) -> str:
+        rows = []
+        for t in range(n_tables):
+            planes = hyperplane_weights(n_planes, dim, seed=f"ann-t{t}")
+            terms = []
+            for p, w in enumerate(planes):
+                lit = "[" + ", ".join(repr(x) for x in w) + "]"
+                terms.append(
+                    f"(CASE WHEN list_dot_product(v, {lit}::DOUBLE[]) > 0"
+                    f" THEN {2 ** p} ELSE 0 END)"
+                )
+            rows.append(
+                f"SELECT {keys}, {t} AS tbl, {' + '.join(terms)} AS bucket FROM {src}"
+            )
+        return " UNION ALL ".join(rows)
+
+    return f"""WITH {ctes},
+q AS (SELECT DISTINCT subj, pred FROM g WHERE pred = {sql_str(query_pred)}),
+qv AS MATERIALIZED (SELECT q.subj, q.pred, list(h.val + r.val ORDER BY h.d) AS v
+      FROM q JOIN {pe} h ON h.name = q.subj
+             JOIN {pr} r ON r.name = q.pred AND r.d = h.d
+      GROUP BY q.subj, q.pred),
+cv AS MATERIALIZED (SELECT name, list(val ORDER BY d) AS v FROM {pe} GROUP BY name),
+qb AS ({bucket_selects("qv", "subj, pred")}),
+cb AS ({bucket_selects("cv", "name")}),
+cand AS (SELECT DISTINCT a.subj, a.pred, b.name
+         FROM qb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket),
+scored AS MATERIALIZED (
+  SELECT c.subj, c.pred, c.name,
+         round(sum((h.val + r.val - e.val)*(h.val + r.val - e.val)), 9) AS score
+  FROM cand c
+  JOIN {pe} h ON h.name = c.subj
+  JOIN {pr} r ON r.name = c.pred AND r.d = h.d
+  JOIN {pe} e ON e.name = c.name AND e.d = h.d
+  GROUP BY c.subj, c.pred, c.name),
+best AS (SELECT subj, pred, min(score) AS score FROM scored GROUP BY subj, pred),
+ann AS (SELECT s.subj, s.pred, min(s.name) AS predicted, s.score
+        FROM scored s JOIN best b ON s.subj = b.subj AND s.pred = b.pred
+                                 AND s.score = b.score
+        GROUP BY s.subj, s.pred, s.score),
+bf_scored AS MATERIALIZED (
+  SELECT q.subj, q.pred, c.name AS predicted,
+         round(sum((h.val + r.val - c.val)*(h.val + r.val - c.val)), 9) AS score
+  FROM q
+  JOIN {pe} h ON h.name = q.subj
+  JOIN {pr} r ON r.name = q.pred AND r.d = h.d
+  JOIN {pe} c ON c.d = h.d
+  GROUP BY q.subj, q.pred, c.name),
+bf_best AS (SELECT subj, pred, min(score) AS score FROM bf_scored
+            GROUP BY subj, pred),
+bf AS (SELECT s.subj, s.pred, min(s.predicted) AS predicted_bf
+       FROM bf_scored s JOIN bf_best b ON s.subj = b.subj AND s.pred = b.pred
+                                      AND s.score = b.score
+       GROUP BY s.subj, s.pred, s.score)
+SELECT q.subj, q.pred, a.predicted, a.score,
+       CAST(CASE WHEN a.predicted = bf.predicted_bf THEN 1 ELSE 0 END AS INT) AS hit
+FROM q
+LEFT JOIN ann a ON a.subj = q.subj AND a.pred = q.pred
+LEFT JOIN bf ON bf.subj = q.subj AND bf.pred = q.pred"""
+
+
 def export_ids_sql() -> str:
     """Replicates operators.graph.export_int_ids: dense ids by binary name
     rank over the gold triple graph."""

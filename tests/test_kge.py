@@ -186,3 +186,27 @@ def test_rank_eval_tie_uses_name_order(spark):
     row = kge.rank_eval(ent, rel, test).collect()[0]
     assert row.n_test == 1
     assert row.mrr == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_link_predict_ann_recall_vs_brute_force(tiny_kg):
+    """The ANN path (LSH candidates + exact re-rank) must agree with the
+    brute-force argmin wherever it emits a winner, and reach recall@1 ≥ 0.5
+    on the tiny graph with the default 4-table sizing."""
+    rows, df = tiny_kg
+    ent, rel, tr = kge.transe_train(df, dim=4, iters=2)
+    q = tr.select("subj", "pred").distinct()
+    bf = {
+        (r.subj, r.pred): r.predicted
+        for r in kge.link_predict(ent, rel, q).collect()
+    }
+    got = kge.link_predict_ann(ent, rel, q).collect()
+    assert {(r.subj, r.pred) for r in got} == set(bf)
+    hits = 0
+    for r in got:
+        assert r.hit in (0, 1)
+        if r.predicted is not None and r.predicted == bf[(r.subj, r.pred)]:
+            assert r.hit == 1
+            hits += 1
+        else:
+            assert r.hit == 0
+    assert hits / len(got) >= 0.5

@@ -200,6 +200,9 @@ EXPECTED_PLAN_COUNTS = {
     "kg_transe": (0, 6, 0),
     # the scored table is checkpointed and read twice (scores + argmin)
     "kg_link_predict": (0, 2, 0),
+    # ann: ent-vec ckpt ×2 (cand gen + scoring) + query-point ckpt ×2 +
+    # the brute-force comparison branch's scored ckpt
+    "kg_link_predict_ann": (0, 5, 0),
     # triple ckpt (1, rel-vocab branch) + eid ckpt ×2 + rank part ckpt
     "kg_export": (0, 4, 0),
     # one checkpointed triple plan read per BGP pattern
