@@ -54,6 +54,14 @@ HEADLINE = [
     "tpch_q1",
     "vocab_topk",
     "cooccur_pairs",
+    # round-4 families folded into the calibrated capture (r4-verdict item
+    # 2): the heaviest KG-downstream and curation queries, each including
+    # its full upstream pipeline run
+    "kg_infer_canonical",    # A-F + rule inference over canonical triples
+    "kg_transe",             # KG-embedding training (2 full-batch iters)
+    "kg_communities",        # label propagation over the extracted graph
+    "training_pipeline",     # dedup -> classify -> mix -> pack, one plan
+    "paragraph_dedup",       # corpus-wide first-occurrence winner
 ]
 
 
@@ -139,6 +147,14 @@ def main() -> int:
             rows[name] = qs[name](spark, sf_dir).count()
             pass_walls[name] = round(time.time() - t0, 3)
             raw[name].append(pass_walls[name])
+            # drop the query's leaked DISK_ONLY localCheckpoint RDDs now:
+            # cleanup is reference-driven and async, and with 12 heavy
+            # queries per pass the accumulated blocks measurably degrade
+            # later queries (observed 9.6s -> 52.8s on kg_infer_canonical
+            # behind a long session)
+            import gc  # noqa: PLC0415
+
+            gc.collect()
         cal_post = _calibration(spark, cpus)
         cal_per_pass.append([cal_pre, cal_post])
         quiet = (

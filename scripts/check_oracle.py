@@ -35,6 +35,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write a per-query artifact (the committed full-sweep record "
+        "the driver's 50-query sample can't provide — r4-verdict item 1)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -52,11 +58,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.only.split(",") if args.only else list(qs)
     failures = []
+    records: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         sdf = qs[name](spark, args.sf_dir).toPandas()
         if name not in oracles:
             print(f"  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            records[name] = {
+                "status": "rows_only", "rows": int(len(sdf)),
+                "sec": round(time.time() - t0, 1),
+            }
             continue
         odf = con.sql(oracles[name]).df()
         a, b = normalize(sdf), normalize(odf)
@@ -71,9 +82,38 @@ def main() -> int:
             status = f"VALUES differ on {int(bad.sum())}/{len(a)} rows"
             print(pd.concat([a[bad].head(3), b[bad].head(3)]))
         print(f"  {name}: {status} ({len(a)} rows) [{time.time()-t0:.1f}s]")
+        records[name] = {
+            "status": "ok" if status == "OK" else status,
+            "rows": int(len(a)),
+            "sec": round(time.time() - t0, 1),
+        }
         if status != "OK":
             failures.append(name)
     spark.stop()
+    if args.json_out:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(args.json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "git_head": head,
+                    "n_queries": len(records),
+                    "n_ok": sum(r["status"] == "ok" for r in records.values()),
+                    "n_rows_only": sum(
+                        r["status"] == "rows_only" for r in records.values()
+                    ),
+                    "failures": failures,
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+            )
     if failures:
         print("FAILURES:", failures)
         return 1
