@@ -382,6 +382,16 @@ def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kge.transe_embeddings(_pipeline_triples(spark, sf_dir))
 
 
+def q_kg_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistMult (bilinear-diagonal) KG-embedding training (r5): the SECOND
+    score function through the same model-as-DataFrame trainer — bilinear
+    score Σ h·r·t, margin hinge against rank-shift negatives, gradients
+    from shared per-dimension intermediates, QUANT_EPS re-quantization.
+    One trainer layout, two embedding models; the oracle unrolls this
+    trajectory too."""
+    return kge.distmult_embeddings(_pipeline_triples(spark, sf_dir))
+
+
 def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG completion over the trained TransE embeddings: brute-force
     candidate scoring (the exact baseline; ANN over the embedding table is
@@ -1281,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
+        "kg_distmult": q_kg_distmult,
         "kg_link_predict": q_kg_link_predict,
         "kg_link_predict_ann": q_kg_link_predict_ann,
         "kg_export": q_kg_export,
@@ -1383,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracle.triangles_sql(),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
+        "kg_distmult": oracle.distmult_sql(),
         "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
         "kg_link_predict_ann": oracle.link_predict_ann_sql(query_pred="founded"),
         "kg_export": oracle.export_ids_sql(),

@@ -307,6 +307,138 @@ def rank_eval(
     )
 
 
+def distmult_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """DistMult (bilinear-diagonal) KG embedding — the second score
+    function through the SAME model-as-DataFrame trainer layout as TransE
+    (Yang et al., *Embedding Entities and Relations for Learning and
+    Inference in Knowledge Bases*, ICLR 2015): score(h, r, t) = Σ_d
+    h_d·r_d·t_d (higher is better), margin-ranking hinge against the same
+    rank-shift corrupted tails, full-batch SGD.
+
+    Violation test: ``round(margin − s_pos + s_neg, 9) > 0`` — the same
+    engine-portable rounded branch as TransE's. Gradients are written from
+    the shared per-dimension intermediates so the SQL oracle computes the
+    bit-identical formulas: ∂/∂h = r·(n − t), ∂/∂r = h·(n − t),
+    ∂/∂t = −h·r, ∂/∂n = h·r. Updates re-quantize with the same QUANT_EPS +
+    round(·, 9) rule (one shared determinism story for every trainer).
+    """
+    t = _eager(triples.select("pred", "subj", "obj").distinct())
+    ent_names = (
+        t.select(F.col("subj").alias("name"))
+        .union(t.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    ents = _eager(
+        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
+    )
+    rels = _eager(
+        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
+        .select("name", F.col("_rn").alias("rank"))
+    )
+    n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
+    tr = _eager(
+        t.join(ents.select(F.col("name").alias("obj"), F.col("rank").alias("t_rank")), "obj")
+        .crossJoin(F.broadcast(n_ent))
+        .withColumn("n_rank", (F.col("t_rank") + F.lit(neg_offset)) % F.col("n_ent"))
+        .join(
+            ents.select(F.col("rank").alias("n_rank"), F.col("name").alias("neg")),
+            "n_rank",
+        )
+        .select("pred", "subj", "obj", "neg")
+    )
+
+    ent_emb = _init_emb(ents, dim, ENT_INIT)
+    rel_emb = _init_emb(rels, dim, REL_INIT)
+
+    for _ in range(iters):
+        ent_emb = _eager(ent_emb)
+        rel_emb = _eager(rel_emb)
+        ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
+        j = (
+            tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
+            .join(rv.select(F.col("name").alias("pred"), F.col("vec").alias("rv")), "pred")
+            .join(ev.select(F.col("name").alias("obj"), F.col("vec").alias("tv")), "obj")
+            .join(ev.select(F.col("name").alias("neg"), F.col("vec").alias("nv")), "neg")
+        )
+        j = (
+            j.withColumn("hr", F.expr("zip_with(hv, rv, (a,b) -> a * b)"))
+            .withColumn(
+                "sp",
+                F.expr(
+                    "aggregate(zip_with(hr, tv, (a,b) -> a * b),"
+                    " cast(0.0 as double), (acc,x) -> acc + x)"
+                ),
+            )
+            .withColumn(
+                "sn",
+                F.expr(
+                    "aggregate(zip_with(hr, nv, (a,b) -> a * b),"
+                    " cast(0.0 as double), (acc,x) -> acc + x)"
+                ),
+            )
+            .filter(F.round(F.lit(float(margin)) - F.col("sp") + F.col("sn"), 9) > 0)
+        )
+        # gradients from shared intermediates: nmt = n − t once, then
+        # r·nmt / h·nmt / ∓h·r — the oracle computes the SAME trees
+        j = (
+            j.withColumn("nmt", F.expr("zip_with(nv, tv, (a,b) -> a - b)"))
+            .withColumn("g_h", F.expr("zip_with(rv, nmt, (a,b) -> a * b)"))
+            .withColumn("g_r", F.expr("zip_with(hv, nmt, (a,b) -> a * b)"))
+            .withColumn("g_t", F.expr("transform(hr, x -> -x)"))
+            .withColumn("g_n", F.col("hr"))
+        )
+        j = _eager(j.select("pred", "subj", "obj", "neg", "g_h", "g_r", "g_t", "g_n"))
+
+        def _contrib(df: DataFrame, key: str, grad: str) -> DataFrame:
+            return df.select(
+                F.col(key).alias("name"), F.posexplode(grad).alias("d", "g")
+            )
+
+        ent_grad = (
+            _contrib(j, "subj", "g_h")
+            .union(_contrib(j, "obj", "g_t"))
+            .union(_contrib(j, "neg", "g_n"))
+            .groupBy("name", "d")
+            .agg(F.sum("g").alias("g"))
+        )
+        rel_grad = _contrib(j, "pred", "g_r").groupBy("name", "d").agg(
+            F.sum("g").alias("g")
+        )
+
+        def _update(emb: DataFrame, grad: DataFrame) -> DataFrame:
+            return emb.join(grad, ["name", "d"], "left").select(
+                "name",
+                "d",
+                F.round(
+                    F.col("val")
+                    - F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0))
+                    + F.lit(QUANT_EPS),
+                    9,
+                ).alias("val"),
+            )
+
+        ent_emb = _update(ent_emb, ent_grad)
+        rel_emb = _update(rel_emb, rel_grad)
+
+    return ent_emb, rel_emb, tr
+
+
+def distmult_embeddings(triples: DataFrame, **kw) -> DataFrame:
+    """Trained DistMult (kind, name, d, val) table, rounded to 6 — same
+    output contract as transe_embeddings."""
+    ent, rel, _ = distmult_train(triples, **kw)
+    return ent.select(F.lit("ent").alias("kind"), "name", "d", F.round("val", 6).alias("val")).union(
+        rel.select(F.lit("rel").alias("kind"), "name", "d", F.round("val", 6).alias("val"))
+    )
+
+
 def link_predict_ann(
     ent_emb: DataFrame,
     rel_emb: DataFrame,

@@ -1577,6 +1577,70 @@ UNION ALL
 SELECT 'rel' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pr}"""
 
 
+def distmult_sql(
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> str:
+    """CTE chain replicating operators.kge.distmult_train term-for-term:
+    same integer init / rank-shift negatives / MATERIALIZED unroll as
+    TransE, with the bilinear-diagonal score sum(h·r·t), hinge on
+    round(margin − sp + sn, 9), and gradients from the shared nmt = n − t
+    intermediate (r·nmt, h·nmt, ∓h·r)."""
+    ea, eb, em = 37, 101, 97
+    ra, rb, rm = 53, 67, 89
+    ctes = f"""{_gold_graph_ctes()},
+enames AS (SELECT DISTINCT subj AS name FROM g UNION SELECT obj FROM g),
+ents AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM enames),
+nent AS (SELECT count(*) AS n FROM ents),
+rnames AS (SELECT DISTINCT pred AS name FROM g),
+rels AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM rnames),
+dims AS (SELECT unnest(range({dim})) AS d),
+e0 AS MATERIALIZED (SELECT name, d, ((rank*{ea} + d*{eb}) % {em})/{float(em)!r} - 0.5 AS val
+       FROM ents CROSS JOIN dims),
+r0 AS MATERIALIZED (SELECT name, d, ((rank*{ra} + d*{rb}) % {rm})/{float(rm)!r} - 0.5 AS val
+       FROM rels CROSS JOIN dims),
+tq AS (SELECT DISTINCT pred, subj, obj FROM g),
+tr AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, e2.name AS neg
+       FROM tq t JOIN ents et ON t.obj = et.name
+       JOIN ents e2 ON e2.rank = (et.rank + {neg_offset}) % (SELECT n FROM nent))"""
+    pe, pr = "e0", "r0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+dd{k} AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, t.neg, h.d,
+                 h.val AS hp, r.val AS rp, tt.val AS tp, nn.val AS np
+          FROM tr t
+          JOIN {pe} h ON h.name = t.subj
+          JOIN {pr} r ON r.name = t.pred AND r.d = h.d
+          JOIN {pe} tt ON tt.name = t.obj AND tt.d = h.d
+          JOIN {pe} nn ON nn.name = t.neg AND nn.d = h.d),
+ds{k} AS (SELECT pred, subj, obj, neg,
+                 sum((hp * rp) * tp) AS sp, sum((hp * rp) * np) AS sn
+          FROM dd{k} GROUP BY pred, subj, obj, neg),
+dv{k} AS MATERIALIZED (SELECT d.* FROM dd{k} d
+            JOIN ds{k} s ON d.pred = s.pred AND d.subj = s.subj
+                        AND d.obj = s.obj AND d.neg = s.neg
+            WHERE round({float(margin)!r} - s.sp + s.sn, 9) > 0),
+dge{k} AS (SELECT name, d, sum(gv) AS g FROM (
+              SELECT subj AS name, d, rp * (np - tp) AS gv FROM dv{k}
+              UNION ALL SELECT obj, d, -(hp * rp) FROM dv{k}
+              UNION ALL SELECT neg, d, hp * rp FROM dv{k}) u
+            GROUP BY name, d),
+dgr{k} AS (SELECT pred AS name, d, sum(hp * (np - tp)) AS g FROM dv{k}
+            GROUP BY pred, d),
+de{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
+         FROM {pe} e LEFT JOIN dge{k} gg ON e.name = gg.name AND e.d = gg.d),
+dr{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
+         FROM {pr} e LEFT JOIN dgr{k} gg ON e.name = gg.name AND e.d = gg.d)"""
+        pe, pr = f"de{k}", f"dr{k}"
+    return f"""WITH {ctes}
+SELECT 'ent' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pe}
+UNION ALL
+SELECT 'rel' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pr}"""
+
+
 def link_predict_sql(query_pred: str = "founded", **kw) -> str:
     """Brute-force TransE link prediction over the trained embeddings:
     min rounded score per (subj, pred) query, ties broken on candidate

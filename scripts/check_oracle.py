@@ -81,6 +81,13 @@ def main() -> int:
             bad = neq.any(axis=1)
             status = f"VALUES differ on {int(bad.sum())}/{len(a)} rows"
             print(pd.concat([a[bad].head(3), b[bad].head(3)]))
+        # drop the query's leaked checkpoint RDDs before the next one (the
+        # bench.py lesson: accumulated DISK_ONLY blocks degrade a long
+        # multi-query session)
+        del sdf
+        import gc
+
+        gc.collect()
         print(f"  {name}: {status} ({len(a)} rows) [{time.time()-t0:.1f}s]")
         records[name] = {
             "status": "ok" if status == "OK" else status,

@@ -86,6 +86,15 @@ def run_job(spark, n_docs: int) -> dict:
     from autoextraction_spark.operators.dedup import paragraph_dedup
     from autoextraction_spark.pipeline import salted_host_counts
 
+    # t0 BEFORE plan construction (linking.canonical_triples eagerly
+    # checkpoints its input, so timing only the final count would exclude
+    # the heavy work). A-D and the linking/CC stage are timed separately —
+    # they scale differently under this corpus size: extraction is
+    # embarrassingly parallel (~0.93 efficiency at 4→16 pinned cores),
+    # while canonicalization carries a ~10 s fixed floor (vocab distinct,
+    # mapping build, broadcast construction, checkpoint barriers) that
+    # only amortizes with corpus size.
+    t0 = time.time()
     pages = build_pages(spark, n_docs)
     det = detect.detect_relations(pages)
     completed = slot_fill.ordered_slot_fill(
@@ -93,12 +102,12 @@ def run_job(spark, n_docs: int) -> dict:
     )
     triples = output.to_triples(
         output.completed_filter(completed), assume_unique=True
-    )
-    canonical = linking.canonical_triples(triples)
-
+    ).localCheckpoint(eager=True)
+    wall_extract = round(time.time() - t0, 3)
     t0 = time.time()
-    n_canonical = canonical.count()
-    wall_pipeline = round(time.time() - t0, 3)
+    n_canonical = linking.canonical_triples(triples).count()
+    wall_linking = round(time.time() - t0, 3)
+    wall_pipeline = round(wall_extract + wall_linking, 3)
 
     pages2 = build_pages(spark, n_docs)
     t0 = time.time()
@@ -116,6 +125,8 @@ def run_job(spark, n_docs: int) -> dict:
     wall_paradedup = round(time.time() - t0, 3)
 
     return {
+        "wall_extract_ad_sec": wall_extract,
+        "wall_linking_cc_sec": wall_linking,
         "wall_pipeline_sec": wall_pipeline,
         "wall_salted_hosts_sec": wall_hosts,
         "wall_paragraph_dedup_sec": wall_paradedup,
@@ -127,7 +138,7 @@ def run_job(spark, n_docs: int) -> dict:
     }
 
 
-def run_level(cpus: int, n_docs: int, passes: int) -> list[dict]:
+def run_level_inprocess(cpus: int, n_docs: int, passes: int) -> list[dict]:
     from autoextraction_spark.session import get_spark
 
     spark = get_spark(app_name=f"skew-{cpus}", cpus=cpus)
@@ -145,14 +156,44 @@ def run_level(cpus: int, n_docs: int, passes: int) -> list[dict]:
     return out
 
 
+def run_level(cpus: int, n_docs: int, passes: int) -> list[dict]:
+    """Each level runs in its OWN taskset-pinned subprocess (the
+    scripts/scaling.py lesson): the py4j JVM persists across sessions in
+    one process and inherits the FIRST level's CPU affinity, and an
+    unpinned low leg quietly borrows extra vCPUs for JVM-side work,
+    flattering T_N and distorting the efficiency ratio."""
+    import subprocess
+
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}", sys.executable,
+        os.path.abspath(__file__),
+        "--worker", str(cpus), "--docs", str(n_docs),
+        "--passes", str(passes),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("[")]
+    if not lines:
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"skew level {cpus} produced no result")
+    return json.loads(lines[-1])
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    # 4 vs 16: stays under the box's 16 physical cores — an 8-vs-32 pair
+    # crosses the SMT boundary and measures hyperthreading, not the engine
+    # (BENCH/BASELINE.md round-4 attribution)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default="BENCH/skew_r5.json")
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.worker:
+        print(json.dumps(run_level_inprocess(args.worker, args.docs, args.passes)))
+        return 0
 
     lo = run_level(args.low, args.docs, args.passes)
     hi = run_level(args.high, args.docs, args.passes)
@@ -170,6 +211,10 @@ def main() -> int:
     )
     ratio = args.high / args.low
     speedup = b_lo["wall_total_sec"] / b_hi["wall_total_sec"]
+
+    def leg_eff(key: str) -> float:
+        return round(b_lo[key] / b_hi[key] / ratio, 3)
+
     result = {
         "n_docs": args.docs,
         "skew_shape": {
@@ -186,6 +231,12 @@ def main() -> int:
         "best_high": b_hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / ratio, 3),
+        "per_leg_efficiency": {
+            "extract_ad": leg_eff("wall_extract_ad_sec"),
+            "linking_cc": leg_eff("wall_linking_cc_sec"),
+            "salted_hosts": leg_eff("wall_salted_hosts_sec"),
+            "paragraph_dedup": leg_eff("wall_paragraph_dedup_sec"),
+        },
         "invariants_match_across_levels": invariants_match,
         "docs_per_sec_high": round(args.docs / b_hi["wall_total_sec"], 1),
     }

@@ -210,3 +210,76 @@ def test_link_predict_ann_recall_vs_brute_force(tiny_kg):
         else:
             assert r.hit == 0
     assert hits / len(got) >= 0.5
+
+
+def _reference_distmult(triples, dim=4, iters=2, lr=0.05, margin=1.0, neg_offset=7):
+    """Plain-numpy replay of distmult_train — independent of both engines."""
+    ents = sorted({s for _, s, _ in triples} | {o for _, _, o in triples})
+    rels = sorted({p for p, _, _ in triples})
+    erank = {e: i for i, e in enumerate(ents)}
+    rrank = {r: i for i, r in enumerate(rels)}
+    n = len(ents)
+    ea, eb, em = kge.ENT_INIT
+    ra, rb, rm = kge.REL_INIT
+    E = np.array(
+        [[((erank[e] * ea + d * eb) % em) / em - 0.5 for d in range(dim)] for e in ents]
+    )
+    R = np.array(
+        [[((rrank[r] * ra + d * rb) % rm) / rm - 0.5 for d in range(dim)] for r in rels]
+    )
+    trip = sorted({(p, s, o) for p, s, o in triples})
+    negs = {t: ents[(erank[t[2]] + neg_offset) % n] for t in trip}
+    for _ in range(iters):
+        gE = np.zeros_like(E)
+        gR = np.zeros_like(R)
+        for p, s, o in trip:
+            h, r, t = E[erank[s]], R[rrank[p]], E[erank[o]]
+            nv = E[erank[negs[(p, s, o)]]]
+            hr = h * r
+            sp, sn = (hr * t).sum(), (hr * nv).sum()
+            if round(margin - sp + sn, 9) > 0:
+                nmt = nv - t
+                gE[erank[s]] += r * nmt
+                gR[rrank[p]] += h * nmt
+                gE[erank[o]] += -hr
+                gE[erank[negs[(p, s, o)]]] += hr
+        E = np.vectorize(_round9)(E - lr * gE + kge.QUANT_EPS)
+        R = np.vectorize(_round9)(R - lr * gR + kge.QUANT_EPS)
+    return ents, rels, E, R
+
+
+def test_distmult_matches_numpy_reference(tiny_kg):
+    rows, df = tiny_kg
+    ent, rel, _ = kge.distmult_train(df, dim=4, iters=2)
+    ents, rels, E, R = _reference_distmult(rows, dim=4, iters=2)
+    got_e = {(r.name, r.d): r.val for r in ent.collect()}
+    got_r = {(r.name, r.d): r.val for r in rel.collect()}
+    assert len(got_e) == len(ents) * 4 and len(got_r) == len(rels) * 4
+    for i, e in enumerate(ents):
+        for d in range(4):
+            assert got_e[(e, d)] == pytest.approx(E[i, d], abs=1e-9), (e, d)
+    for i, r in enumerate(rels):
+        for d in range(4):
+            assert got_r[(r, d)] == pytest.approx(R[i, d], abs=1e-9), (r, d)
+
+
+def test_distmult_training_moves_weights(tiny_kg):
+    rows, _ = tiny_kg
+    _, _, E0, R0 = _reference_distmult(rows, iters=0)
+    _, _, E2, R2 = _reference_distmult(rows, iters=2)
+    assert not np.allclose(E0, E2)  # some hinge violations fired
+
+    def loss(E, R, ents, rels, margin=1.0, neg_offset=7):
+        erank = {e: i for i, e in enumerate(ents)}
+        rrank = {r: i for i, r in enumerate(rels)}
+        n = len(ents)
+        tot = 0.0
+        for p, s, o in sorted({tuple(t) for t in rows}):
+            hr = E[erank[s]] * R[rrank[p]]
+            sp = (hr * E[erank[o]]).sum()
+            sn = (hr * E[(erank[o] + neg_offset) % n]).sum()
+            tot += max(0.0, margin - sp + sn)
+        return tot
+
+    ents, rels, _, _ = _reference_distmult(rows, iters=0)
+    assert loss(E2, R2, ents, rels) < loss(E0, R0, ents, rels)

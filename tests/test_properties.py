@@ -198,6 +198,8 @@ EXPECTED_PLAN_COUNTS = {
     # final update joins: prev ent/rel checkpoints + the violated-triple
     # checkpoint once per gradient-union branch (3 ent + 1 rel)
     "kg_transe": (0, 6, 0),
+    # same final-plan shape as kg_transe (second score fn, same trainer)
+    "kg_distmult": (0, 6, 0),
     # the scored table is checkpointed and read twice (scores + argmin)
     "kg_link_predict": (0, 2, 0),
     # ann: ent-vec ckpt ×2 (cand gen + scoring) + query-point ckpt ×2 +
