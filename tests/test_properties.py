@@ -275,3 +275,39 @@ def test_plan_scan_counts_do_not_regress(spark, sf_dir):
         if any(g > m for g, m in zip(counts, EXPECTED_PLAN_COUNTS[name]))
     }
     assert not bad, f"plan-shape regressions (recompute bug?): {bad}"
+
+
+def test_full_sweep_artifact_matches_queries():
+    """The committed full-sweep correctness artifact (r4-verdict item 1:
+    the driver's gate samples only 50 queries per round, and the sampled
+    set rotated by 31 queries between r3 and r4 — a regression in a
+    rotated-out query could ride along unnoticed) must exist, must cover
+    EXACTLY the current ``queries()`` surface, and must be all-green.
+    Regenerate with ``python scripts/check_oracle.py --json-out
+    CORRECTNESS_full_r5.json`` after adding or changing a query."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_full_r5.json"
+    )
+    assert os.path.exists(path), (
+        "CORRECTNESS_full_r5.json missing — run scripts/check_oracle.py "
+        "--json-out CORRECTNESS_full_r5.json at HEAD and commit it"
+    )
+    with open(path) as fh:
+        artifact = json.load(fh)
+    got = set(artifact["queries"])
+    want = set(entrymod.queries())
+    assert got == want, (
+        "full-sweep artifact is stale vs queries(): "
+        f"missing={sorted(want - got)} extra={sorted(got - want)}"
+    )
+    bad = {
+        name: rec
+        for name, rec in artifact["queries"].items()
+        if rec["status"] not in ("ok", "rows_only")
+    }
+    assert not bad, f"full-sweep artifact records failures: {bad}"
