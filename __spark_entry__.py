@@ -27,7 +27,7 @@ from autoextraction_spark.operators import (  # noqa: E402
     nested, output, rl_train, similarity, slot_fill, textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
-from autoextraction_spark.pipeline import salted_host_counts  # noqa: E402
+from autoextraction_spark.pipeline import salted_host_counts, url_dedup  # noqa: E402
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -392,6 +392,17 @@ def q_kg_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kge.distmult_embeddings(_pipeline_triples(spark, sf_dir))
 
 
+def q_kg_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplEx KG-embedding training (r5): the THIRD score function
+    through the same model-as-DataFrame trainer — complex-valued
+    embeddings packed as 2·dim real coordinates, asymmetric score
+    Re(Σ h·r·conj(t)) (what DistMult can't express: antisymmetric web
+    predicates like founded/acquired), same rank-shift negatives, rounded
+    hinge, QUANT_EPS re-quantization. The oracle unrolls the packed
+    layout as paired re/im joins."""
+    return kge.complex_embeddings(_pipeline_triples(spark, sf_dir))
+
+
 def q_kg_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG completion over the trained TransE embeddings: brute-force
     candidate scoring (the exact baseline; ANN over the embedding table is
@@ -693,6 +704,29 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span removal (Lee et al. 2022): every
+    corpus-order-repeated run of 8 consecutive word tokens loses all but
+    its first occurrence, token-wise. The wrapper appends a fixed
+    boilerplate sentence to every third document (both engines synthesize
+    the identical input — the pii_scrub injection precedent) so the corpus
+    contains cross-document duplicated runs; natural in-corpus repeats
+    dedup too."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    boiled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % oracle.SUBSTR_BOILER_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + oracle.SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.substring_dedup(boiled, length=8).select(
+        "doc_id", "text_dedup", "n_tokens", "n_dup_tokens"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 10 == 7 act as the
     eval set; every other doc is scored by the fraction of its distinct
@@ -778,6 +812,45 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over the skewed host key."""
     pages = corpus.web_pages(spark, sf_dir)
     return salted_host_counts(pages, salt_buckets=16)
+
+
+BM25_QUERY = ["stream", "vector", "join", "customer", "slow"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed domain
+    query — the targeted-data-selection primitive (score the corpus,
+    keep the top mass). Token explode filters to the query terms before
+    any shuffle; idf/N/avgdl are broadcast scalars; ln and the tf
+    saturation stay in codegen."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.bm25_score(docs, BM25_QUERY)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the first dedup pass of CCNet/C4-class pipelines):
+    canonicalize crawl URLs (fragment / utm_* / dangling '?' / default
+    port / host case / trailing slash) and keep the lowest-doc_id page per
+    canonical URL. The wrapper synthesizes messy URLs from doc_id
+    arithmetic (host-case, port, tracking-param, fragment and trailing
+    slash variants of the same resources) so both engines see identical
+    inputs — the pii_scrub injection precedent."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("https://WWW.Example.COM"))
+        .when(d % 3 == 1, F.lit("https://www.example.com"))
+        .otherwise(F.lit("http://news.site.org")),
+        F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Article/"),
+        (d % 40).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(d % 4 == 1, F.lit("?utm_medium=a&ref=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    pages = _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(pages)
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1292,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
         "kg_distmult": q_kg_distmult,
+        "kg_complex": q_kg_complex,
         "kg_link_predict": q_kg_link_predict,
         "kg_link_predict_ann": q_kg_link_predict_ann,
         "kg_export": q_kg_export,
@@ -1315,6 +1389,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "latest_event": q_latest_event,
         "paragraph_dedup": q_paragraph_dedup,
+        "substring_dedup": q_substring_dedup,
+        "url_dedup": q_url_dedup,
+        "bm25_select": q_bm25,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
@@ -1395,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
         "kg_distmult": oracle.distmult_sql(),
+        "kg_complex": oracle.complex_sql(),
         "kg_link_predict": oracle.link_predict_sql(query_pred="founded"),
         "kg_link_predict_ann": oracle.link_predict_ann_sql(query_pred="founded"),
         "kg_export": oracle.export_ids_sql(),
@@ -1422,6 +1500,9 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.9, "val": 0.05, "test": 0.05}),
         "latest_event": oracle.latest_event_sql(),
         "paragraph_dedup": oracle.paragraph_dedup_sql(chunk=8),
+        "substring_dedup": oracle.substring_dedup_sql(length=8),
+        "url_dedup": oracle.url_dedup_sql(),
+        "bm25_select": oracle.bm25_sql(BM25_QUERY),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),
         "lang_id": oracle.lang_id_sql(),

@@ -572,3 +572,179 @@ def link_predict(
         .agg(F.min("predicted").alias("predicted"))
         .select("subj", "pred", "predicted", "score")
     )
+
+
+def complex_train(
+    triples: DataFrame,
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """ComplEx KG embedding (Trouillon et al., *Complex Embeddings for
+    Simple Link Prediction*, ICML 2016) — the third score function through
+    the shared model-as-DataFrame trainer layout (TransE, DistMult, this):
+    complex-valued embeddings packed as 2·dim real coordinates per name
+    (d < dim = real part, d ≥ dim = imaginary part), score(h, r, t) =
+    Re(Σ_j h_j·r_j·conj(t_j)) — higher is better — margin-ranking hinge
+    against the same rank-shift corrupted tails, full-batch SGD.
+
+    ComplEx's asymmetric score (conjugation breaks s/o symmetry) is what
+    DistMult cannot express; web-scale KGs are full of antisymmetric
+    predicates (founded, acquired, parent_of), which is why this is the
+    standard production score function.
+
+    Determinism story shared with the siblings: violation test on
+    ``round(margin − s_pos + s_neg, 9) > 0``; gradients written from the
+    identical expression trees the SQL oracle computes (per-coordinate
+    products in fixed order, per-j terms parenthesized before the fold);
+    updates re-quantize with QUANT_EPS + round(·, 9) each iteration so the
+    trajectory is engine-independent.
+    """
+    D = int(dim)
+    t = _eager(triples.select("pred", "subj", "obj").distinct())
+    ent_names = (
+        t.select(F.col("subj").alias("name"))
+        .union(t.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    ents = _eager(
+        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
+    )
+    rels = _eager(
+        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
+        .select("name", F.col("_rn").alias("rank"))
+    )
+    n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
+    tr = _eager(
+        t.join(ents.select(F.col("name").alias("obj"), F.col("rank").alias("t_rank")), "obj")
+        .crossJoin(F.broadcast(n_ent))
+        .withColumn("n_rank", (F.col("t_rank") + F.lit(neg_offset)) % F.col("n_ent"))
+        .join(
+            ents.select(F.col("rank").alias("n_rank"), F.col("name").alias("neg")),
+            "n_rank",
+        )
+        .select("pred", "subj", "obj", "neg")
+    )
+
+    ent_emb = _init_emb(ents, 2 * D, ENT_INIT)
+    rel_emb = _init_emb(rels, 2 * D, REL_INIT)
+
+    for _ in range(iters):
+        ent_emb = _eager(ent_emb)
+        rel_emb = _eager(rel_emb)
+        ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
+        j = (
+            tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
+            .join(rv.select(F.col("name").alias("pred"), F.col("vec").alias("rv")), "pred")
+            .join(ev.select(F.col("name").alias("obj"), F.col("vec").alias("tv")), "obj")
+            .join(ev.select(F.col("name").alias("neg"), F.col("vec").alias("nv")), "neg")
+        )
+        # Re/Im split by index arithmetic on the packed arrays; hr = the
+        # complex product h·r, whose components are the t/n gradients.
+        j = (
+            j.withColumn(
+                "hr_re",
+                F.expr(
+                    f"transform(sequence(0, {D - 1}),"
+                    f" i -> hv[i]*rv[i] - hv[i+{D}]*rv[i+{D}])"
+                ),
+            )
+            .withColumn(
+                "hr_im",
+                F.expr(
+                    f"transform(sequence(0, {D - 1}),"
+                    f" i -> hv[i+{D}]*rv[i] + hv[i]*rv[i+{D}])"
+                ),
+            )
+            .withColumn(
+                "sp",
+                F.expr(
+                    f"aggregate(sequence(0, {D - 1}), cast(0.0 as double),"
+                    f" (acc, i) -> acc + (hr_re[i]*tv[i] + hr_im[i]*tv[i+{D}]))"
+                ),
+            )
+            .withColumn(
+                "sn",
+                F.expr(
+                    f"aggregate(sequence(0, {D - 1}), cast(0.0 as double),"
+                    f" (acc, i) -> acc + (hr_re[i]*nv[i] + hr_im[i]*nv[i+{D}]))"
+                ),
+            )
+            .filter(F.round(F.lit(float(margin)) - F.col("sp") + F.col("sn"), 9) > 0)
+        )
+        # gradients from shared intermediates (nmt = n − t over the packed
+        # layout); each branch is the EXACT tree the oracle writes per part
+        j = (
+            j.withColumn("nmt", F.expr("zip_with(nv, tv, (a,b) -> a - b)"))
+            .withColumn(
+                "g_h",
+                F.expr(
+                    f"transform(sequence(0, {2 * D - 1}), i -> IF(i < {D},"
+                    f" rv[i]*nmt[i] + rv[i+{D}]*nmt[i+{D}],"
+                    f" rv[i-{D}]*nmt[i] - rv[i]*nmt[i-{D}]))"
+                ),
+            )
+            .withColumn(
+                "g_r",
+                F.expr(
+                    f"transform(sequence(0, {2 * D - 1}), i -> IF(i < {D},"
+                    f" hv[i]*nmt[i] + hv[i+{D}]*nmt[i+{D}],"
+                    f" hv[i-{D}]*nmt[i] - hv[i]*nmt[i-{D}]))"
+                ),
+            )
+            .withColumn(
+                "g_n",
+                F.expr(
+                    f"transform(sequence(0, {2 * D - 1}), i -> IF(i < {D},"
+                    f" hv[i]*rv[i] - hv[i+{D}]*rv[i+{D}],"
+                    f" hv[i]*rv[i-{D}] + hv[i-{D}]*rv[i]))"
+                ),
+            )
+            .withColumn("g_t", F.expr("transform(g_n, x -> -x)"))
+        )
+        j = _eager(j.select("pred", "subj", "obj", "neg", "g_h", "g_r", "g_t", "g_n"))
+
+        def _contrib(df: DataFrame, key: str, grad: str) -> DataFrame:
+            return df.select(
+                F.col(key).alias("name"), F.posexplode(grad).alias("d", "g")
+            )
+
+        ent_grad = (
+            _contrib(j, "subj", "g_h")
+            .union(_contrib(j, "obj", "g_t"))
+            .union(_contrib(j, "neg", "g_n"))
+            .groupBy("name", "d")
+            .agg(F.sum("g").alias("g"))
+        )
+        rel_grad = _contrib(j, "pred", "g_r").groupBy("name", "d").agg(
+            F.sum("g").alias("g")
+        )
+
+        def _update(emb: DataFrame, grad: DataFrame) -> DataFrame:
+            return emb.join(grad, ["name", "d"], "left").select(
+                "name",
+                "d",
+                F.round(
+                    F.col("val")
+                    - F.lit(float(lr)) * F.coalesce(F.col("g"), F.lit(0.0))
+                    + F.lit(QUANT_EPS),
+                    9,
+                ).alias("val"),
+            )
+
+        ent_emb = _update(ent_emb, ent_grad)
+        rel_emb = _update(rel_emb, rel_grad)
+
+    return ent_emb, rel_emb, tr
+
+
+def complex_embeddings(triples: DataFrame, **kw) -> DataFrame:
+    """Trained ComplEx (kind, name, d, val) table, rounded to 6 — same
+    output contract as transe_embeddings/distmult_embeddings (d < dim is
+    the real part, d ≥ dim the imaginary part)."""
+    ent, rel, _ = complex_train(triples, **kw)
+    return ent.select(F.lit("ent").alias("kind"), "name", "d", F.round("val", 6).alias("val")).union(
+        rel.select(F.lit("rel").alias("kind"), "name", "d", F.round("val", 6).alias("val"))
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # BPE-ish tokenization: letter runs | digit runs | single non-space symbol
 BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -359,3 +360,85 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("long"))
         cur = F.regexp_replace(cur, pat, rep)
     return out.withColumn("text_redacted", cur)
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (Robertson et al., TREC-3; the Lucene ``1 +`` idf form, always
+    positive) — the standard targeted-data-selection primitive: score a
+    web corpus against a domain query and keep the top mass (the
+    "importance resampling" selection of DSIR-style pipelines, with BM25
+    standing in for the importance weight).
+
+    Returns (id_col, score, n_matched) — one row per input document, 0.0
+    for documents matching no query term.
+
+    Scale shape (100 TB): the token explode filters to QUERY TERMS ONLY
+    before any shuffle, so the per-(doc, term) tf aggregation moves a few
+    rows per document regardless of document length; per-term document
+    frequencies are a tiny broadcast; N and avgdl are a 1-row crossJoined
+    aggregate (the no-collect scalar idiom); the final per-doc sum groups
+    on the id. No UDF anywhere — ln/arithmetic stay in codegen, and the
+    oracle reproduces the exact expression trees.
+    """
+    k1, b = float(k1), float(b)
+    docs = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
+    ).withColumn("dl", F.size("w"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = docs.select("id", "dl", F.explode("w").alias("term")).filter(
+        F.col("term").isin([str(t) for t in query_terms])
+    )
+    # The per-(doc, query-term) tf table feeds BOTH the df_t aggregation
+    # and the scoring join; materialize it once so the documents scan +
+    # explode is not replayed (it is tiny — a few rows per matching doc).
+    tf = (
+        toks.groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.round(F.sum("contrib"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return (
+        docs.select("id")
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+    )

@@ -1332,6 +1332,121 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
 FROM agg"""
 
 
+# Deterministic boilerplate the substring_dedup query wrapper appends to
+# every (doc_id % SUBSTR_BOILER_MOD == 0) document so the corpus contains
+# cross-document duplicated >=L-token runs (the driver corpus's natural
+# texts rarely share exact 8-grams at sf0.01). Both engines see the SAME
+# synthesized input — the wrapper builds it with concat, this module
+# mirrors it in SQL (the pii_scrub injection precedent).
+SUBSTR_BOILER = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "all rights reserved"
+)
+SUBSTR_BOILER_MOD = 3
+
+
+def substring_dedup_sql(length: int = 8) -> str:
+    """Replicates operators.dedup.substring_dedup over documents with the
+    query wrapper's boilerplate injection: every corpus-order-repeated run
+    of ``length`` consecutive word tokens is removed token-wise except its
+    first (doc_id, pos) occurrence; documents reassemble from surviving
+    tokens."""
+    ln = int(length)
+    return f"""WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SUBSTR_BOILER_MOD} = 0
+              THEN text || ' {SUBSTR_BOILER}' ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, str_split(text, ' ') AS w FROM base),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+        FROM toks),
+g AS (SELECT doc_id, i AS pos,
+             md5(array_to_string(w[i+1:i+{ln}], ' ')) AS key
+      FROM (SELECT doc_id, w, unnest(range(len(w) - {ln - 1})) AS i
+            FROM toks WHERE len(w) >= {ln})),
+r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+      FROM g),
+cov AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(range(pos, pos + {ln})) AS tok
+           FROM r WHERE rn > 1)),
+m AS (SELECT t.doc_id, t.pos, t.word, cov.tok IS NOT NULL AS dup
+      FROM tok t LEFT JOIN cov
+        ON cov.doc_id = t.doc_id AND cov.tok = t.pos)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dup THEN word END, ' ' ORDER BY pos),
+                '') AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens
+FROM m GROUP BY doc_id"""
+
+
+def bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Replicates operators.textstats.bm25_score over documents: Okapi
+    BM25 with the Lucene ``1 +`` idf, identical expression trees (the
+    constants are pre-folded the same way the Spark plan folds them)."""
+    terms = ", ".join(sql_str(t) for t in query_terms)
+    return f"""WITH d AS (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+              str_split(text, ' ') AS w FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              ln(1.0 + (s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+              * (tf.tf * {float(k1) + 1.0!r})
+              / (tf.tf + {float(k1)!r} * ({1.0 - float(b)!r}
+                 + {float(b)!r} * tf.dl / s.avgdl)) AS contrib
+       FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+agg AS (SELECT doc_id, round(sum(contrib), 6) AS score,
+               count(*) AS n_matched FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.score, 0.0) AS score,
+       CAST(coalesce(agg.n_matched, 0) AS BIGINT) AS n_matched
+FROM d LEFT JOIN agg USING (doc_id)"""
+
+
+def url_dedup_sql() -> str:
+    """Replicates pipeline.canonical_url + pipeline.url_dedup over the
+    q_url_dedup wrapper's synthesized messy URLs: the identical fixed-order
+    normalization chain (fragment, utm_*, orphaned '&', dangling '?',
+    default ports, host lowercasing, trailing slash), then lowest-doc_id
+    winner per canonical URL."""
+    return r"""WITH p AS (SELECT doc_id,
+  (CASE doc_id % 3 WHEN 0 THEN 'https://WWW.Example.COM'
+                   WHEN 1 THEN 'https://www.example.com'
+                   ELSE 'http://news.site.org' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+  || '/Article/' || CAST(doc_id % 40 AS VARCHAR)
+  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+  || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN 1 THEN '?utm_medium=a&ref=2' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+ FROM documents),
+c1 AS (SELECT doc_id, url,
+              regexp_replace(url, '#.*$', '') AS u FROM p),
+c2 AS (SELECT doc_id, url,
+              regexp_replace(u, '[?&]utm_[^&]*', '', 'g') AS u FROM c1),
+c3 AS (SELECT doc_id, url,
+              regexp_replace(u, '^([^?&]*)&', '\1?') AS u FROM c2),
+c4 AS (SELECT doc_id, url,
+              regexp_replace(u, '\?$', '') AS u FROM c3),
+c5 AS (SELECT doc_id, url,
+              regexp_replace(u, '^(https?://[^/:]+):(?:80|443)([/?]|$)',
+                             '\1\2') AS u FROM c4),
+c6 AS (SELECT doc_id, url,
+              CASE WHEN regexp_extract(u, '^(https?://[^/]+)', 1) = ''
+                   THEN u
+                   ELSE lower(regexp_extract(u, '^(https?://[^/]+)', 1))
+                        || regexp_replace(u, '^https?://[^/]+', '')
+              END AS u FROM c5),
+c AS (SELECT doc_id, url,
+             regexp_replace(u, '/$', '') AS url_canonical FROM c6)
+SELECT doc_id, url, url_canonical,
+       doc_id = min(doc_id) OVER (PARTITION BY url_canonical) AS keep
+FROM c"""
+
+
 def pii_scrub_sql() -> str:
     """Replicates operators.textstats.pii_scrub over documents with the
     query wrapper's deterministic PII injection: sequential
@@ -1635,6 +1750,83 @@ de{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(
 dr{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
          FROM {pr} e LEFT JOIN dgr{k} gg ON e.name = gg.name AND e.d = gg.d)"""
         pe, pr = f"de{k}", f"dr{k}"
+    return f"""WITH {ctes}
+SELECT 'ent' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pe}
+UNION ALL
+SELECT 'rel' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pr}"""
+
+
+def complex_sql(
+    dim: int = 4,
+    iters: int = 2,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    neg_offset: int = 7,
+) -> str:
+    """CTE chain replicating operators.kge.complex_train term-for-term:
+    the packed 2·dim layout is unrolled as two joins per role (re at j,
+    im at j + dim), score sum((hre·rre − him·rim)·tre + (him·rre +
+    hre·rim)·tim), hinge on round(margin − sp + sn, 9), gradients from the
+    identical per-part expression trees the Spark transform() lambdas
+    write."""
+    D = int(dim)
+    ea, eb, em = 37, 101, 97
+    ra, rb, rm = 53, 67, 89
+    ctes = f"""{_gold_graph_ctes()},
+enames AS (SELECT DISTINCT subj AS name FROM g UNION SELECT obj FROM g),
+ents AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM enames),
+nent AS (SELECT count(*) AS n FROM ents),
+rnames AS (SELECT DISTINCT pred AS name FROM g),
+rels AS MATERIALIZED (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rank FROM rnames),
+dims AS (SELECT unnest(range({2 * D})) AS d),
+e0 AS MATERIALIZED (SELECT name, d, ((rank*{ea} + d*{eb}) % {em})/{float(em)!r} - 0.5 AS val
+       FROM ents CROSS JOIN dims),
+r0 AS MATERIALIZED (SELECT name, d, ((rank*{ra} + d*{rb}) % {rm})/{float(rm)!r} - 0.5 AS val
+       FROM rels CROSS JOIN dims),
+tq AS (SELECT DISTINCT pred, subj, obj FROM g),
+tr AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, e2.name AS neg
+       FROM tq t JOIN ents et ON t.obj = et.name
+       JOIN ents e2 ON e2.rank = (et.rank + {neg_offset}) % (SELECT n FROM nent))"""
+    pe, pr = "e0", "r0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+cd{k} AS MATERIALIZED (SELECT t.pred, t.subj, t.obj, t.neg, jj.j,
+                 hre.val AS hre, him.val AS him, rre.val AS rre, rim.val AS rim,
+                 tre.val AS tre, tim.val AS tim, nre.val AS nre, nim.val AS nim
+          FROM tr t CROSS JOIN (SELECT unnest(range({D})) AS j) jj
+          JOIN {pe} hre ON hre.name = t.subj AND hre.d = jj.j
+          JOIN {pe} him ON him.name = t.subj AND him.d = jj.j + {D}
+          JOIN {pr} rre ON rre.name = t.pred AND rre.d = jj.j
+          JOIN {pr} rim ON rim.name = t.pred AND rim.d = jj.j + {D}
+          JOIN {pe} tre ON tre.name = t.obj AND tre.d = jj.j
+          JOIN {pe} tim ON tim.name = t.obj AND tim.d = jj.j + {D}
+          JOIN {pe} nre ON nre.name = t.neg AND nre.d = jj.j
+          JOIN {pe} nim ON nim.name = t.neg AND nim.d = jj.j + {D}),
+cs{k} AS (SELECT pred, subj, obj, neg,
+                 sum((hre*rre - him*rim)*tre + (him*rre + hre*rim)*tim) AS sp,
+                 sum((hre*rre - him*rim)*nre + (him*rre + hre*rim)*nim) AS sn
+          FROM cd{k} GROUP BY pred, subj, obj, neg),
+cv{k} AS MATERIALIZED (SELECT d.* FROM cd{k} d
+            JOIN cs{k} s ON d.pred = s.pred AND d.subj = s.subj
+                        AND d.obj = s.obj AND d.neg = s.neg
+            WHERE round({float(margin)!r} - s.sp + s.sn, 9) > 0),
+cge{k} AS (SELECT name, d, sum(gv) AS g FROM (
+              SELECT subj AS name, j AS d, rre*(nre - tre) + rim*(nim - tim) AS gv FROM cv{k}
+              UNION ALL SELECT subj, j + {D}, rre*(nim - tim) - rim*(nre - tre) FROM cv{k}
+              UNION ALL SELECT obj, j, -(hre*rre - him*rim) FROM cv{k}
+              UNION ALL SELECT obj, j + {D}, -(him*rre + hre*rim) FROM cv{k}
+              UNION ALL SELECT neg, j, hre*rre - him*rim FROM cv{k}
+              UNION ALL SELECT neg, j + {D}, him*rre + hre*rim FROM cv{k}) u
+            GROUP BY name, d),
+cgr{k} AS (SELECT name, d, sum(gv) AS g FROM (
+              SELECT pred AS name, j AS d, hre*(nre - tre) + him*(nim - tim) AS gv FROM cv{k}
+              UNION ALL SELECT pred, j + {D}, hre*(nim - tim) - him*(nre - tre) FROM cv{k}) u
+            GROUP BY name, d),
+ce{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
+         FROM {pe} e LEFT JOIN cge{k} gg ON e.name = gg.name AND e.d = gg.d),
+cr{k} AS MATERIALIZED (SELECT e.name, e.d, round(e.val - {float(lr)!r}*coalesce(gg.g, 0.0) + 2e-11, 9) AS val
+         FROM {pr} e LEFT JOIN cgr{k} gg ON e.name = gg.name AND e.d = gg.d)"""
+        pe, pr = f"ce{k}", f"cr{k}"
     return f"""WITH {ctes}
 SELECT 'ent' AS kind, name, CAST(d AS INT) AS d, round(val, 6) AS val FROM {pe}
 UNION ALL

@@ -50,6 +50,53 @@ def salted_host_counts(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
     return partial.groupBy("host").agg(F.sum("c").cast("long").alias("n_pages"))
 
 
+def canonical_url(url: F.Column) -> F.Column:
+    """Canonical form of a crawl URL — the normalization that precedes
+    URL-level dedup (the first dedup pass of CCNet/C4-class pipelines,
+    before any content hashing): strip fragment, strip utm_* tracking
+    params (re-anchoring an orphaned '&' to '?'), strip a dangling '?',
+    strip default :80/:443 ports, lowercase the scheme+host (paths stay
+    case-sensitive), strip a trailing slash. Fixed rule order; every rule
+    is in the RE2∩Java regex subset (no backrefs in patterns, no
+    lookaround) so the DuckDB oracle applies the identical chain. Pure
+    codegen — no UDF."""
+    u = F.regexp_replace(url, "#.*$", "")
+    u = F.regexp_replace(u, "[?&]utm_[^&]*", "")
+    u = F.regexp_replace(u, "^([^?&]*)&", "$1?")
+    u = F.regexp_replace(u, "\\?$", "")
+    u = F.regexp_replace(u, "^(https?://[^/:]+):(?:80|443)([/?]|$)", "$1$2")
+    head = F.lower(F.regexp_extract(u, "^(https?://[^/]+)", 1))
+    rest = F.regexp_replace(u, "^https?://[^/]+", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, rest))
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_dedup(pages: DataFrame, url: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: one row per input page with its canonical URL and
+    a ``keep`` flag — true only for the lowest-``id_col`` page of each
+    canonical URL (re-crawls, tracking-tagged shares, and http/https+port
+    variants of the same resource collapse).
+
+    Scale shape: winner per canonical URL is a groupBy(min) — map-side
+    combinable, so a hot URL recrawled 10^6 times partial-aggregates
+    before the shuffle — and the join-back probes the same key
+    (AQE-splittable). Page bodies never enter the shuffle; only
+    (canonical, id) pairs move."""
+    withc = pages.select(
+        F.col(id_col), F.col(url), canonical_url(F.col(url)).alias("url_canonical")
+    )
+    winners = withc.groupBy("url_canonical").agg(F.min(id_col).alias("_w"))
+    return (
+        withc.join(winners, "url_canonical")
+        .select(
+            id_col,
+            url,
+            "url_canonical",
+            (F.col(id_col) == F.col("_w")).alias("keep"),
+        )
+    )
+
+
 def incremental_delta(new_triples: DataFrame, kg_snapshot: DataFrame) -> DataFrame:
     """Incremental KG maintenance: triples extracted from a NEW crawl batch
     that are novel w.r.t. the existing KG snapshot — the per-crawl merge step

@@ -223,3 +223,32 @@ def test_latest_by_key_struct_max(spark):
     plan = latest_by_key(df, ["k"], "ts", "eid", ["v"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Window" not in plan and "partial_max(struct" in plan
+
+
+def test_substring_dedup_removes_repeated_runs(spark):
+    # L=3: "a b c d" repeats verbatim across docs 1 and 2 -> all four of
+    # doc 2's tokens are covered by its duplicated 3-grams; doc 3 shares
+    # no 3-gram; doc 4 is shorter than L (no grams, kept whole); doc 5
+    # repeats a run INSIDE itself (first occurrence wins, second removed).
+    rows = [
+        (1, "a b c d unique tail one"),
+        (2, "a b c d"),
+        (3, "totally different words here"),
+        (4, "x y"),
+        (5, "p q r filler p q r"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup.substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), length=3
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].text_dedup == "a b c d unique tail one"  # winner keeps all
+    assert out[1].n_dup_tokens == 0
+    assert out[2].text_dedup == ""  # every token inside a duplicated run
+    assert (out[2].n_tokens, out[2].n_dup_tokens) == (4, 4)
+    assert out[3].text_dedup == "totally different words here"
+    assert out[4].text_dedup == "x y"  # shorter than L: no grams, untouched
+    assert out[5].text_dedup == "p q r filler"
+    assert (out[5].n_tokens, out[5].n_dup_tokens) == (7, 3)

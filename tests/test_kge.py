@@ -283,3 +283,109 @@ def test_distmult_training_moves_weights(tiny_kg):
 
     ents, rels, _, _ = _reference_distmult(rows, iters=0)
     assert loss(E2, R2, ents, rels) < loss(E0, R0, ents, rels)
+
+
+def _reference_complex(triples, dim=4, iters=2, lr=0.05, margin=1.0, neg_offset=7):
+    """Plain-numpy replay of complex_train (packed 2*dim layout) —
+    independent of both engines."""
+    ents = sorted({s for _, s, _ in triples} | {o for _, _, o in triples})
+    rels = sorted({p for p, _, _ in triples})
+    erank = {e: i for i, e in enumerate(ents)}
+    rrank = {r: i for i, r in enumerate(rels)}
+    n = len(ents)
+    ea, eb, em = kge.ENT_INIT
+    ra, rb, rm = kge.REL_INIT
+    E = np.array(
+        [[((erank[e] * ea + d * eb) % em) / em - 0.5 for d in range(2 * dim)]
+         for e in ents]
+    )
+    R = np.array(
+        [[((rrank[r] * ra + d * rb) % rm) / rm - 0.5 for d in range(2 * dim)]
+         for r in rels]
+    )
+    trip = sorted({(p, s, o) for p, s, o in triples})
+    negs = {t: ents[(erank[t[2]] + neg_offset) % n] for t in trip}
+    for _ in range(iters):
+        gE = np.zeros_like(E)
+        gR = np.zeros_like(R)
+        for p, s, o in trip:
+            h, r, t = E[erank[s]], R[rrank[p]], E[erank[o]]
+            nv = E[erank[negs[(p, s, o)]]]
+            hre, him = h[:dim], h[dim:]
+            rre, rim = r[:dim], r[dim:]
+            tre, tim = t[:dim], t[dim:]
+            nre, nim = nv[:dim], nv[dim:]
+            hr_re = hre * rre - him * rim
+            hr_im = him * rre + hre * rim
+            sp = (hr_re * tre + hr_im * tim).sum()
+            sn = (hr_re * nre + hr_im * nim).sum()
+            if round(margin - sp + sn, 9) > 0:
+                nmt_re, nmt_im = nre - tre, nim - tim
+                gE[erank[s], :dim] += rre * nmt_re + rim * nmt_im
+                gE[erank[s], dim:] += rre * nmt_im - rim * nmt_re
+                gR[rrank[p], :dim] += hre * nmt_re + him * nmt_im
+                gR[rrank[p], dim:] += hre * nmt_im - him * nmt_re
+                gE[erank[o], :dim] += -hr_re
+                gE[erank[o], dim:] += -hr_im
+                gE[erank[negs[(p, s, o)]], :dim] += hr_re
+                gE[erank[negs[(p, s, o)]], dim:] += hr_im
+        E = np.vectorize(_round9)(E - lr * gE + kge.QUANT_EPS)
+        R = np.vectorize(_round9)(R - lr * gR + kge.QUANT_EPS)
+    return ents, rels, E, R
+
+
+def test_complex_matches_numpy_reference(tiny_kg):
+    rows, df = tiny_kg
+    ent, rel, _ = kge.complex_train(df, dim=4, iters=2)
+    ents, rels, E, R = _reference_complex(rows, dim=4, iters=2)
+    got_e = {(r.name, r.d): r.val for r in ent.collect()}
+    got_r = {(r.name, r.d): r.val for r in rel.collect()}
+    assert len(got_e) == len(ents) * 8 and len(got_r) == len(rels) * 8
+    for i, e in enumerate(ents):
+        for d in range(8):
+            assert got_e[(e, d)] == pytest.approx(E[i, d], abs=1e-9), (e, d)
+    for i, r in enumerate(rels):
+        for d in range(8):
+            assert got_r[(r, d)] == pytest.approx(R[i, d], abs=1e-9), (r, d)
+
+
+def test_complex_training_moves_weights_and_reduces_loss(tiny_kg):
+    rows, _ = tiny_kg
+    ents, rels, E0, R0 = _reference_complex(rows, iters=0)
+    _, _, E2, R2 = _reference_complex(rows, iters=2)
+    assert not np.allclose(E0, E2)  # some hinge violations fired
+
+    def loss(E, R, dim=4, margin=1.0, neg_offset=7):
+        erank = {e: i for i, e in enumerate(ents)}
+        rrank = {r: i for i, r in enumerate(rels)}
+        n = len(ents)
+        tot = 0.0
+        for p, s, o in sorted({tuple(t) for t in rows}):
+            h, r, t = E[erank[s]], R[rrank[p]], E[erank[o]]
+            nv = E[(erank[o] + neg_offset) % n]
+            hr_re = h[:dim] * r[:dim] - h[dim:] * r[dim:]
+            hr_im = h[dim:] * r[:dim] + h[:dim] * r[dim:]
+            sp = (hr_re * t[:dim] + hr_im * t[dim:]).sum()
+            sn = (hr_re * nv[:dim] + hr_im * nv[dim:]).sum()
+            tot += max(0.0, margin - sp + sn)
+        return tot
+
+    assert loss(E2, R2) < loss(E0, R0)
+
+
+def test_complex_score_is_asymmetric(tiny_kg):
+    """The reason ComplEx exists: score(h, r, t) != score(t, r, h) in
+    general (DistMult is symmetric by construction)."""
+    rows, _ = tiny_kg
+    ents, rels, E, R = _reference_complex(rows, iters=2)
+    dim = 4
+    erank = {e: i for i, e in enumerate(ents)}
+
+    def score(s, p, o):
+        h, r, t = E[erank[s]], R[rels.index(p)], E[erank[o]]
+        hr_re = h[:dim] * r[:dim] - h[dim:] * r[dim:]
+        hr_im = h[dim:] * r[:dim] + h[:dim] * r[dim:]
+        return (hr_re * t[:dim] + hr_im * t[dim:]).sum()
+
+    p, s, o = sorted({tuple(t) for t in rows})[0]
+    assert score(s, p, o) != pytest.approx(score(o, p, s), abs=1e-12)

@@ -137,3 +137,46 @@ def test_incremental_delta_emits_only_novel_facts(spark):
         ("u9", "based_in", "acme", "oslo"),
         ("u8", "based_in", "acme", "oslo"),
     }
+
+
+def test_canonical_url_rules(spark):
+    from autoextraction_spark.pipeline import url_dedup
+
+    cases = [
+        # (input, expected canonical)
+        (1, "https://WWW.Example.COM:443/Article/3#frag",
+         "https://www.example.com/Article/3"),
+        (2, "https://www.example.com/Article/3?utm_source=a&utm_campaign=b",
+         "https://www.example.com/Article/3"),
+        # utm strip leaves an orphaned '&' -> re-anchored to '?'
+        (3, "http://news.site.org/p?utm_medium=a&ref=2",
+         "http://news.site.org/p?ref=2"),
+        (4, "http://news.site.org:80/p/", "http://news.site.org/p"),
+        # path case preserved; non-default port preserved
+        (5, "https://Host.Org:8080/CaseSensitive/Path",
+         "https://host.org:8080/CaseSensitive/Path"),
+        (6, "not-a-url/", "not-a-url"),
+        (7, "https://a.b/p?", "https://a.b/p"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.url_canonical for r in url_dedup(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_keeps_lowest_id(spark):
+    from autoextraction_spark.pipeline import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://A.com/x?utm_source=1"),
+            (11, "https://a.com:443/x#top"),
+            (12, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert rows[10].url_canonical == rows[11].url_canonical == "https://a.com/x"
+    assert rows[10].keep and not rows[11].keep and rows[12].keep

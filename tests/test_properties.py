@@ -147,6 +147,16 @@ EXPECTED_PLAN_COUNTS = {
     # paragraph dedup checkpoints its exploded-lines plan once; the winner
     # agg and the probe side each read the checkpoint (2 ckpt, 0 parquet)
     "paragraph_dedup": (0, 2, 0),
+    # gram ckpt feeds winner agg + probe side (2); token ckpt feeds the
+    # reassembly leg (1)
+    "substring_dedup": (0, 3, 0),
+    # winner agg branch + probe branch: two inherent reads of the source
+    "url_dedup": (2, 0, 0),
+    # N/avgdl scalar + the all-docs left side are two inherent pruned
+    # scans; the tiny per-(doc, query-term) tf table is checkpointed once
+    # (post-aggregation, a few rows per matching doc — NOT the corpus-size
+    # split-array) and read by both the df_t agg and the scoring join
+    "bm25_select": (2, 2, 0),
     # two parquet branches are inherent: the benchmark filter and the
     # training filter are different subsets of the same source
     "decontaminate": (2, 0, 0),
@@ -200,6 +210,7 @@ EXPECTED_PLAN_COUNTS = {
     "kg_transe": (0, 6, 0),
     # same final-plan shape as kg_transe (second score fn, same trainer)
     "kg_distmult": (0, 6, 0),
+    "kg_complex": (0, 6, 0),
     # the scored table is checkpointed and read twice (scores + argmin)
     "kg_link_predict": (0, 2, 0),
     # ann: ent-vec ckpt ×2 (cand gen + scoring) + query-point ckpt ×2 +

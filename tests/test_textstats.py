@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 from autoextraction_spark.operators import textstats
 
 
@@ -191,3 +193,33 @@ def test_pii_scrub_sequential_redaction(spark):
     assert out[4].text_redacted == "<EMAIL> then <PHONE> then <IP>"
     assert (out[5].n_email, out[5].n_phone, out[5].n_ipv4) == (0, 0, 0)
     assert out[5].text_redacted == out[5].text
+
+
+def test_bm25_score_matches_hand_computation(spark):
+    import math
+
+    rows = [
+        (1, "spark joins data with data"),   # dl=5, tf(data)=2
+        (2, "pandas is slow"),               # dl=3, tf(slow)=1
+        (3, "data data data data"),          # dl=4, tf(data)=4
+        (4, "nothing relevant here at all"), # dl=5, no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.bm25_score(df, ["data", "slow"]).collect()
+    }
+    n, avgdl = 4, (5 + 3 + 4 + 5) / 4.0
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl, df_t):
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    assert got[1].score == pytest.approx(bm25(2, 5, 2), abs=1e-6)
+    assert got[1].n_matched == 1
+    assert got[2].score == pytest.approx(bm25(1, 3, 1), abs=1e-6)
+    assert got[3].score == pytest.approx(bm25(4, 4, 2), abs=1e-6)
+    assert got[4].score == 0.0 and got[4].n_matched == 0
+    # saturation: 2x the tf does NOT double the contribution
+    assert got[3].score < 2 * bm25(2, 4, 2)
