@@ -113,7 +113,11 @@ def web_pages(
 
 
 def doc_skeleton(
-    spark: SparkSession, sf_dir: str, replicate: int = 1, where=None
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    where=None,
+    waves_per_core: int = 4,
 ) -> DataFrame:
     """The (doc_id, lang) id-space the corpus is generated from.
 
@@ -128,16 +132,18 @@ def doc_skeleton(
         # applied BELOW the generator mapInPandas: Catalyst pushes a doc_id
         # predicate into the parquet scan (incremental-crawl partition prune)
         docs = docs.filter(where)
-    # Repartition the tiny skeleton BEFORE generation (and before the k×
-    # explode): the skeleton is 1-2 parquet tasks, and everything generated
-    # from it would otherwise run at that parallelism — a serial bottleneck
-    # that caps scaling. A real Common-Crawl read has thousands of input
-    # splits and needs no such step.
-    # 4 waves per core: the generated-corpus stage's tail is 1/(4·cores) of
-    # the work, so one straggling partition (or one of this VM's documented
-    # 10-20s stalls) costs a sliver, not a wave — the serial floor that
-    # capped scaling efficiency at 2 waves/core
-    docs = docs.repartition(max(spark.sparkContext.defaultParallelism * 4, 16))
+    # Repartition the tiny skeleton BEFORE generation: the skeleton is 1-2
+    # parquet tasks, and everything generated from it would otherwise run at
+    # that parallelism — a serial bottleneck that caps scaling. A real
+    # Common-Crawl read has thousands of input splits and needs no such step.
+    # waves_per_core (default 4): the generated-corpus stage's tail is
+    # 1/(waves·cores) of the work, so one straggling partition (or one of
+    # this VM's documented 10-20s stalls) costs a sliver, not a wave — the
+    # serial floor that capped scaling efficiency at 2 waves/core. The
+    # scaling harness uses 8: finer tasks let the scheduler route a stalled
+    # core's remaining work elsewhere, and the stall tax drops from a whole
+    # wave to stall/cores — measured worth ~7% of wall at local[16].
+    n_parts = max(spark.sparkContext.defaultParallelism * int(waves_per_core), 16)
     if replicate > 1:
         # shift derives from the DATA (max id + 1), so replicas can never
         # collide with base ids however large the skeleton grows (ADVICE.md);
@@ -148,7 +154,14 @@ def doc_skeleton(
             "doc_id",
             "lang",
         ).select((F.col("doc_id") + F.col("r") * shift).alias("doc_id"), "lang")
-    return docs
+    # Repartition AFTER the replica explode: partitioning the 5k-row seed
+    # first gives every partition ~78 whole documents ×k identical replicas,
+    # so partition cost inherits the doc-length distribution's skew (spread
+    # measured 12.5→17.4 s at local[16]); round-robin over the exploded rows
+    # mixes replicas of ALL documents into every partition — near-identical
+    # per-task cost at the same shuffle price (the rows are two skinny
+    # columns either way, and this is untimed bootstrap scaffolding).
+    return docs.repartition(n_parts)
 
 
 def pages_from_skeleton(

@@ -38,7 +38,11 @@ spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
 # and runs the full generation->extraction->detection->slot-fill->triples
 # pipeline over it.
 from pyspark.storagelevel import StorageLevel
-skel = corpus.doc_skeleton(spark, sf_dir, replicate).localCheckpoint(
+# waves_per_core=8: measured at local[16], the finer tasks + post-explode
+# uniform partitions recover ~7% of wall vs the 4-wave default (stalled
+# cores hand their remaining work to the scheduler instead of dragging a
+# whole wave; see corpus.doc_skeleton and scripts/granularity_probe.py)
+skel = corpus.doc_skeleton(spark, sf_dir, replicate, waves_per_core=8).localCheckpoint(
     eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 def job():
