@@ -372,6 +372,14 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(graph.triple_edges(_pipeline_triples(spark, sf_dir)))
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the undirected extracted-entity graph
+    — the KG-quality backbone: entities that survive iterative peeling of
+    degree-<3 nodes, with their in-core degree. The oracle unrolls the
+    peeling rounds (post-fixpoint rounds are no-ops)."""
+    return graph.k_core(graph.triple_edges(_pipeline_triples(spark, sf_dir)), k=3)
+
+
 def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransE KG-embedding TRAINING as a distributed job (operators/kge.py):
     the model is a (name, d, val) DataFrame, every full-batch hinge
@@ -549,6 +557,52 @@ def q_kg_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test set from the checkpointed train table (see q_kg_link_predict)
     test = tr.filter(F.col("pred") == "born_in").select("subj", "pred", "obj")
     return kge.rank_eval(ent, rel, test)
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization of the extracted KG — the graph-
+    materialize output a downstream triple store bulk-loads: subj/pred as
+    percent-encoded IRIs under a base namespace, obj as an ECHAR-escaped
+    literal. Pure-codegen string formatting over the KG's distinct
+    (subj, pred, obj) facts — the per-url extraction rows collapse:
+    N-Triples is the graph's interchange form, not the provenance log's."""
+    t = _pipeline_triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return output.to_ntriples(t)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the per-crawl-snapshot production loop:
+    docs with doc_id % 5 == 0 play the NEW batch, the rest the existing
+    index; each new doc is kept unless a band-colliding partner (index doc,
+    or smaller-id batch doc) verifies at Jaccard ≥ 0.8. The index side
+    never self-joins (the 100 TB index is never re-deduped)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_minhash_dedup(new, index, threshold=0.8)
+
+
+def q_kg_rank_eval_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED-setting KG-completion evaluation (the number KGC papers
+    actually report): same trained TransE model and born_in test set as
+    kg_rank_eval, but candidates that are themselves known-true tails for
+    the queried (subj, pred) — here, the full extracted KG — are excluded
+    from the ranking, so the model is not penalized for ranking another
+    correct answer above the queried one. Filtered metrics ≥ raw by
+    construction."""
+    ent, rel, tr = kge.transe_train(_pipeline_triples(spark, sf_dir))
+    test = tr.filter(F.col("pred") == "born_in").select("subj", "pred", "obj")
+    return kge.rank_eval(ent, rel, test, known=tr)
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    log-likelihood ratio of every document under a target-domain bucket
+    model (docs with doc_id % 10 == 7, the decontaminate convention) vs
+    the raw-corpus model — the importance-resampling data-selection
+    signal, complementing bm25_select's query-relevance signal."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.dsir_weights(docs, target=(F.col("doc_id") % 10 == 7))
 
 
 def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +837,49 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: normalized md5 + rolling polynomial hash."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.fingerprint(docs).select("doc_id", "fp_md5", "fp_rolling")
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table — the engine's
+    fifth trainer (model IS a DataFrame, no collect in the loop); output is
+    the final centroids exploded to (cluster, d, val) rows so the compare
+    is order-insensitive and exact. The oracle unrolls the iterations."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.kmeans_train(emb, k=8, iters=2)
+    return cents.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.posexplode("cv").alias("d0", "val"),
+    ).select("cluster", (F.col("d0") + 1).cast("long").alias("d"), "val")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding corpus,
+    compare pairs only within a cluster, suppress vectors with a smaller-id
+    cluster-mate at cosine ≥ 0.95. The wrapper plants deterministic
+    near-dups (vec_id % 7 == 3 becomes vec_id−3's embedding with +0.05 on
+    coordinate 1 — both engines synthesize identical inputs, the pii_scrub
+    precedent) because the natural synthetic embeddings top out at
+    intra-cluster cosine 0.51."""
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    donor = base.select(
+        (F.col("vec_id") + 3).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("_donor"),
+    )
+    inj = base.join(donor, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 7 == 3) & F.col("_donor").isNotNull(),
+            F.expr(
+                "transform(_donor, (x, i) ->"
+                " CASE WHEN i = 0 THEN x + 0.05 ELSE x END)"
+            ),
+        )
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    return similarity.semdedup(inj, k=8, iters=2, threshold=0.95).withColumn(
+        "cluster", F.col("cluster").cast("long")
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": q_kg_closure,
         "kg_reach": q_kg_reach,
         "kg_triangles": q_kg_triangles,
+        "kg_kcore": q_kg_kcore,
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
         "kg_distmult": q_kg_distmult,
@@ -1377,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve": q_kg_resolve,
         "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
+        "kg_rank_eval_filtered": q_kg_rank_eval_filtered,
+        "kg_ntriples": q_kg_ntriples,
         "kg_walks": q_kg_walks,
         "kg_infer_canonical": q_kg_infer_canonical,
         "quality_classifier": q_quality_classifier,
@@ -1392,6 +1492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "url_dedup": q_url_dedup,
         "bm25_select": q_bm25,
+        "dsir_select": q_dsir,
+        "incremental_dedup": q_incremental_dedup,
+        "kmeans_centroids": q_kmeans,
+        "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
@@ -1469,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closure": oracle.transitive_closure_sql(pred="acquired", max_depth=8),
         "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
         "kg_triangles": oracle.triangles_sql(),
+        "kg_kcore": oracle.k_core_sql(k=3),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
         "kg_distmult": oracle.distmult_sql(),
@@ -1484,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
+        "kg_rank_eval_filtered": oracle.rank_eval_sql(test_pred="born_in", filtered=True),
+        "kg_ntriples": oracle.ntriples_sql(),
         "kg_walks": oracle.hash_walks_sql(steps=3),
         "kg_infer_canonical": oracle.rule_inference_sql(
             INFERENCE_RULES, canonical=True),
@@ -1503,6 +1610,10 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": oracle.substring_dedup_sql(length=8),
         "url_dedup": oracle.url_dedup_sql(),
         "bm25_select": oracle.bm25_sql(BM25_QUERY),
+        "dsir_select": oracle.dsir_sql(),
+        "incremental_dedup": oracle.incremental_minhash_sql(),
+        "kmeans_centroids": oracle.kmeans_sql(),
+        "semdedup": oracle.semdedup_sql(),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),
         "lang_id": oracle.lang_id_sql(),

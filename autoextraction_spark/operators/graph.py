@@ -627,3 +627,46 @@ def entity_pagerank(
         "in_deg",
         F.round(F.col("rank"), 6).alias("pagerank"),
     )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 8) -> DataFrame:
+    """k-core decomposition (Seidman 1983; the distributed peeling form of
+    Montresor et al. 2013): the maximal subgraph in which every node has
+    degree ≥ ``k`` over the UNDIRECTED version of the (src, dst) edge list.
+    Returns ``(node, degree)`` for the surviving nodes, degree measured
+    inside the core. The standard KG-quality primitive: low-core entities
+    are extraction noise; the dense core is the trustworthy backbone.
+
+    Peeling loop: drop nodes with degree < k, drop their incident edges,
+    repeat to fixpoint. Each round is one map-side-combinable degree
+    aggregation + two semi-joins keyed by entity id; per-round eager
+    DISK_ONLY checkpoints cut lineage and provide the convergence probe
+    (one count job per round — the transitive_closure cadence). Raises on
+    non-convergence within ``max_iter`` instead of returning a non-core
+    (the connected_components rule); the SQL oracle unrolls exactly
+    ``max_iter`` rounds, which agrees because post-fixpoint rounds are
+    no-ops.
+    """
+    sym = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    e = _eager(
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        new_e = _eager(
+            e.join(keep, "src", "left_semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+        )
+        if new_e.count() == e.count():
+            return deg.filter(F.col("degree") >= k).select(
+                F.col("src").alias("node"), F.col("degree")
+            )
+        e = new_e
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} iterations — raise "
+        "max_iter (and extend the oracle's unroll to match)"
+    )

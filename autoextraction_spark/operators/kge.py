@@ -224,13 +224,24 @@ def rank_eval(
     rel_emb: DataFrame,
     test: DataFrame,
     ks: tuple[int, ...] = (1, 3, 10),
+    known: DataFrame | None = None,
 ) -> DataFrame:
-    """Link-prediction evaluation: filtered-nothing (raw) tail ranking of
-    each test triple against the FULL entity vocabulary — MRR and hits@k,
-    the standard KG-completion metrics (Bordes et al. 2013 protocol, raw
-    setting). One output row: (n_test, mrr, hits_1, hits_3, hits_10,
-    n_dropped) where n_dropped counts test triples excluded because their
-    subj/pred/obj has no trained embedding (out-of-vocabulary).
+    """Link-prediction evaluation: tail ranking of each test triple against
+    the FULL entity vocabulary — MRR and hits@k, the standard KG-completion
+    metrics (Bordes et al. 2013 protocol). One output row: (n_test, mrr,
+    hits_1, hits_3, hits_10, n_dropped) where n_dropped counts test triples
+    excluded because their subj/pred/obj has no trained embedding
+    (out-of-vocabulary).
+
+    ``known=None`` is the RAW setting. Passing ``known`` (a (subj, pred,
+    obj) DataFrame of all triples known true — conventionally train ∪
+    valid ∪ test) switches to the FILTERED setting, the number every KGC
+    paper actually reports: candidates c ≠ true-tail with (h, r, c) ∈
+    known are excluded from the ranking, so a model is not penalized for
+    ranking another correct answer above the queried one. Physical shape:
+    one extra equi-join of the scored candidates against the known set
+    (entity-keyed, AQE-splittable — the known set is the KG itself and is
+    never broadcast).
 
     rank(h, r, t) = 1 + |{c : (score_c, c) < (score_t, t)}| under the
     rounded score with name tie-break — the same total order link_predict
@@ -259,6 +270,21 @@ def rank_eval(
         ),
     ).select("subj", "pred", "obj", "cand", "score")
     scored = scored.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    if known is not None:
+        # FILTERED setting: drop candidates that are themselves known-true
+        # answers for this (subj, pred) query — except the queried tail,
+        # which must stay rankable. Left-join marker instead of anti-join so
+        # the true tail survives even though (subj, pred, obj) ∈ known.
+        kn = (
+            known.select("subj", "pred", F.col("obj").alias("cand"))
+            .distinct()
+            .withColumn("_kn", F.lit(1))
+        )
+        scored = (
+            scored.join(kn, ["subj", "pred", "cand"], "left")
+            .filter(F.col("_kn").isNull() | (F.col("cand") == F.col("obj")))
+            .drop("_kn")
+        )
     true_s = scored.filter(F.col("cand") == F.col("obj")).select(
         "subj", "pred", "obj", F.col("score").alias("ts")
     )

@@ -276,3 +276,47 @@ def metric_f1(pred: DataFrame, gold: DataFrame, keys: list[str] | None = None) -
         rec.alias("recall"),
         (2 * prec * rec / F.greatest(prec + rec, F.lit(1e-9))).alias("f1"),
     )
+
+
+def to_ntriples(triples: DataFrame, base: str = "http://kg.example/") -> DataFrame:
+    """Serialize (subj, pred, obj) triples as RDF N-Triples lines — the
+    interchange form of the north-rule's "graph materialize" stage: the
+    output a downstream triple store (Jena/Virtuoso/Blazegraph bulk
+    loaders) ingests directly.
+
+    Subjects and predicates become ``<base + percent-encoded-name>`` IRIs;
+    objects are emitted as plain literals with the N-Triples string escapes
+    (backslash, quote, newline, CR, tab — W3C N-Triples §2.3 ECHAR set).
+    IRI encoding percent-escapes the characters N-Triples forbids inside
+    ``<>`` (space, quote, angle brackets, backslash, %) — enough for this
+    engine's entity vocabulary; a full RFC 3987 encoder is a drop-in.
+
+    Pure codegen (fixed regexp_replace chains, RE2∩Java subset) — string
+    formatting at scan speed, no UDF, one output row per input triple.
+    """
+
+    def iri(col: F.Column) -> F.Column:
+        c = F.regexp_replace(col, "%", "%25")  # first: % itself
+        for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"),
+                        (">", "%3E"), ("\\\\", "%5C")):
+            c = F.regexp_replace(c, ch if ch != "\\\\" else "\\\\", F.lit(enc))
+        return c
+
+    def lit_esc(col: F.Column) -> F.Column:
+        c = F.regexp_replace(col, "\\\\", "\\\\\\\\")  # backslash first
+        c = F.regexp_replace(c, '"', '\\\\"')
+        c = F.regexp_replace(c, "\n", "\\\\n")
+        c = F.regexp_replace(c, "\r", "\\\\r")
+        c = F.regexp_replace(c, "\t", "\\\\t")
+        return c
+
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat(
+            F.lit("<" + base), iri(F.col("subj")), F.lit("> "),
+            F.lit("<" + base), iri(F.col("pred")), F.lit("> \""),
+            lit_esc(F.col("obj")), F.lit('" .'),
+        ).alias("ntriple"),
+    )

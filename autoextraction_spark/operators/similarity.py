@@ -354,3 +354,168 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def kmeans_train(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the engine's
+    fifth trainer, in the same no-collect layout as the others (logreg GD,
+    fitted-Q, TransE/DistMult/ComplEx): the model IS a (cluster, cv)
+    DataFrame, never driver-side weights.
+
+    Deterministic and engine-independent: init = the first ``k`` vectors by
+    id (the IVF precedent); per iteration, assignment = argmin over
+    ``round(‖v−c‖² + QUANT_EPS, 9)`` with cluster-id tie-break (the KGE
+    total-order rule), update = per-dimension mean re-quantized with the
+    same rule, and a cluster that loses all members keeps its previous
+    centroid (standard Lloyd). The SQL oracle unrolls the iterations
+    term-for-term.
+
+    Scale shape (10^9 vectors, k ~ 10^4): the k-row centroid table
+    broadcasts to the assignment join; argmin is a map-side-combinable
+    min(struct) — one row per vector reaches the shuffle; the update
+    explodes only (cluster, d, val) rows — k·dim after partial aggregation.
+    No driver collect anywhere in the loop.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .kge import QUANT_EPS
+
+    v = (
+        vecs.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    cents = v.filter(F.col("id") < k).select(
+        F.col("id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        + F.lit(QUANT_EPS),
+        9,
+    )
+    for _ in range(iters):
+        cents = cents.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cluster", "v")).alias("w"))
+            .select(F.col("w.cluster").alias("cluster"), F.col("w.v").alias("v"))
+        )
+        new = (
+            assigned.select("cluster", F.posexplode("v").alias("d", "val"))
+            .groupBy("cluster", "d")
+            .agg((F.round(F.avg("val") + F.lit(QUANT_EPS), 9)).alias("val"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "val"))),
+                    lambda s: s["val"],
+                ).alias("cv_new")
+            )
+        )
+        # empty clusters keep their previous centroid (standard Lloyd)
+        cents = cents.join(new, "cluster", "left").select(
+            "cluster", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    return cents
+
+
+def semdedup(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication*): cluster the corpus's
+    embeddings with k-means, then compare pairs ONLY within a cluster and
+    suppress every vector that has a smaller-id cluster-mate with cosine ≥
+    ``threshold`` (first-occurrence-wins, the engine's dedup convention;
+    the paper keeps the lowest-centroid-similarity member — same set size,
+    different representative choice).
+
+    Returns one row per vector: (id_col, cluster, keep, dup_of, cosine) —
+    ``dup_of`` the highest-cosine smaller-id cluster-mate over the
+    threshold (ties → min id), NULL when kept.
+
+    Scale shape: the quadratic comparison is confined to clusters (the
+    whole point — k ≈ N/√N keeps cells ~√N); the intra-cluster self-join
+    is an equi-join on cluster id, AQE-splittable under cluster-size skew.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .kge import QUANT_EPS
+
+    cents = kmeans_train(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = (
+        vecs.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        + F.lit(QUANT_EPS),
+        9,
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "cluster", "v")).alias("w"))
+        .select("id", F.col("w.cluster").alias("cluster"), F.col("w.v").alias("v"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("cluster"), F.col("v").alias("v_a")
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("cluster"), F.col("v").alias("v_b")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v_a"), F.col("v_b"))
+            / (_norm(F.col("v_a")) * _norm(F.col("v_b"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("id_b").alias("dup_of"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+    return (
+        assigned.select("id", "cluster")
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "cosine",
+        )
+    )

@@ -442,3 +442,106 @@ def bm25_score(
             F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    seed: str = "|dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., *Data Selection for Language
+    Models via Importance Resampling*, NeurIPS 2023): score every document
+    by the log-likelihood ratio of its hashed bigram bag under a target-
+    domain model vs the raw-corpus model,
+
+        logw(doc) = Σ_{bigrams} [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]
+
+    with add-``k`` smoothed hashed-bucket unigram models
+    p̂(b) = (c(b) + k) / (N + k·B). ``target`` is a boolean Column over
+    ``df``'s rows marking the target-domain subset (the paper trains the
+    target model on e.g. Wikipedia; here any in-corpus predicate works).
+    Documents with <2 tokens have no bigram and drop out, as in
+    :func:`~autoextraction_spark.operators.lm.lm_perplexity`. The paper
+    hashes unigrams+bigrams into 10k buckets; this uses bigrams only and a
+    configurable ``B`` (deviation noted, semantics identical).
+
+    Returns (id_col, n_grams, log_weight) — log_weight rounded to 6 so the
+    SQL oracle's float-sum ordering and 1-ulp libm-log differences are
+    absorbed (the lm_perplexity parity rule); ``k`` defaults to an exact
+    binary fraction so the smoothing literal is bit-identical.
+
+    Scale shape (100 TB): the (doc, bucket) explode is computed ONCE
+    (DISK_ONLY checkpoint) and feeds all three consumers — the raw bucket
+    counts, the target bucket counts, and the per-doc scoring sum. Both
+    count tables are ≤``n_buckets`` rows → broadcast joins; the only
+    corpus-size shuffle is the final map-side-combinable groupBy(id). The
+    hash is the md5-derived :func:`~.dedup.portable_hash64` (engine-
+    independent), not Murmur3.
+    """
+    from .dedup import portable_hash64  # local import avoids module cycle
+
+    kr, B = float(k), int(n_buckets)
+    w = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("is_target"),
+        F.split(F.col(text_col), " ").alias("w"),
+    ).filter(F.size("w") >= 2)
+    grams = w.select(
+        "id",
+        "is_target",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("gram"),
+    ).select(
+        "id",
+        "is_target",
+        F.pmod(portable_hash64(F.col("gram"), seed), F.lit(B)).alias("bucket"),
+    )
+    grams = grams.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+    raw = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        grams.filter("is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # scalar totals as GLOBAL-WINDOW sums over the joined ≤B-row count
+    # table (Σ bucket counts ≡ N, and raw ⊇ tgt buckets since the target
+    # is a corpus subset) — separate .agg() scalars would re-execute the
+    # raw/tgt aggregations and re-read the corpus-size gram checkpoint
+    # twice more; the single-partition window moves only B rows
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .withColumn("n_raw", F.sum("c_raw").over(w_all))
+        .withColumn("n_tgt", F.sum(F.coalesce(F.col("c_tgt"), F.lit(0))).over(w_all))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(kr))
+                    / (F.col("n_tgt") + F.lit(kr * B))
+                )
+                - F.log((F.col("c_raw") + F.lit(kr)) / (F.col("n_raw") + F.lit(kr * B)))
+            ).alias("logratio"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("logratio"), 6).alias("log_weight"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "log_weight",
+        )
+    )

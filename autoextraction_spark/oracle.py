@@ -206,9 +206,12 @@ WORD_SHINGLES_CTE = (
 )
 
 
-def _minhash_pairs_ctes(num_perm: int = 16, bands: int = 8) -> str:
+def _minhash_pairs_ctes(
+    num_perm: int = 16, bands: int = 8, cand_cond: str = "a.id < b.id"
+) -> str:
     """CTE chain ending in ``jac(id_a, id_b, jaccard)`` — shared by the
-    pair query and the dedup-cluster query."""
+    pair query, the dedup-cluster query, and (with an asymmetric
+    ``cand_cond``) the incremental batch-vs-index query."""
     from .operators.dedup import MINHASH_P, minhash_coeffs
 
     r = num_perm // bands
@@ -230,7 +233,7 @@ hs AS (SELECT id, {_portable_hash('sh')} % {MINHASH_P} AS h FROM sh),
 mh AS (SELECT id, {mh_cols} FROM hs GROUP BY id),
 bands AS ({band_rows}),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a JOIN bands b
-         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id),
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND ({cand_cond})),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
           FROM cand c JOIN sh a ON a.id = c.id_a
@@ -1406,6 +1409,41 @@ SELECT d.doc_id, coalesce(agg.score, 0.0) AS score,
 FROM d LEFT JOIN agg USING (doc_id)"""
 
 
+def dsir_sql(
+    n_buckets: int = 256, k: float = 0.5, target_mod: int = 10,
+    target_rem: int = 7, seed: str = "|dsir",
+) -> str:
+    """Replicates operators.textstats.dsir_weights over documents with the
+    ``doc_id % target_mod == target_rem`` subset as the target domain:
+    hashed-bigram (portable 60-bit md5 hash mod B) add-k bucket models,
+    per-doc sum of ln-ratio rounded to 6 (absorbs float-sum ordering and
+    1-ulp libm-log differences, the lm_perplexity parity rule)."""
+    kr, B = repr(float(k)), int(n_buckets)
+    return f"""WITH w AS (
+  SELECT doc_id, doc_id % {target_mod} = {target_rem} AS is_target,
+         str_split(text, ' ') AS ws
+  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+grams AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(
+            unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+            || '{seed}'), 1, 15))::BIGINT % {B} AS bucket
+  FROM w),
+raw AS (SELECT bucket, count(*) AS c_raw FROM grams GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c_tgt FROM grams WHERE is_target GROUP BY bucket),
+n_raw AS (SELECT count(*) AS n_raw FROM grams),
+n_tgt AS (SELECT count(*) AS n_tgt FROM grams WHERE is_target),
+ratio AS (
+  SELECT raw.bucket,
+         ln((coalesce(tgt.c_tgt, 0) + {kr}) / (n_tgt.n_tgt + {float(k) * B!r}))
+         - ln((raw.c_raw + {kr}) / (n_raw.n_raw + {float(k) * B!r})) AS logratio
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN n_raw CROSS JOIN n_tgt)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       round(sum(r.logratio), 6) AS log_weight
+FROM grams g JOIN ratio r USING (bucket)
+GROUP BY g.doc_id"""
+
+
 def url_dedup_sql() -> str:
     """Replicates pipeline.canonical_url + pipeline.url_dedup over the
     q_url_dedup wrapper's synthesized messy URLs: the identical fixed-order
@@ -2114,15 +2152,29 @@ FROM sight GROUP BY subj, pred, obj"""
 
 
 def rank_eval_sql(
-    test_pred: str = "born_in", ks: tuple[int, ...] = (1, 3, 10), **kw
+    test_pred: str = "born_in",
+    ks: tuple[int, ...] = (1, 3, 10),
+    filtered: bool = False,
+    **kw,
 ) -> str:
     """Replicates operators.kge.rank_eval over the trained TransE embeddings
-    for one predicate's facts as the test set (raw setting)."""
+    for one predicate's facts as the test set. ``filtered=False`` is the raw
+    setting; ``filtered=True`` mirrors the engine's ``known=`` path (the
+    Bordes-protocol filtered setting: known-true tails other than the
+    queried one are excluded from the candidate ranking, known = all gold
+    triples)."""
     ctes, pe, pr = _transe_ctes(**kw)
     hit_cols = ", ".join(
         f"round(avg(CASE WHEN rank <= {k} THEN 1.0 ELSE 0.0 END), 6) AS hits_{k}"
         for k in ks
     )
+    filter_cte = """,
+scored_f AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN (SELECT DISTINCT subj, pred, obj FROM g) k
+    ON k.subj = s.subj AND k.pred = s.pred AND k.obj = s.cand
+  WHERE k.subj IS NULL OR s.cand = s.obj)"""
+    rank_src = "scored_f" if filtered else "scored"
     return f"""WITH {ctes},
 q AS (SELECT DISTINCT subj, pred, obj FROM g WHERE pred = {sql_str(test_pred)}),
 scored AS MATERIALIZED (
@@ -2133,13 +2185,13 @@ scored AS MATERIALIZED (
   JOIN {pr} r ON r.name = q.pred AND r.d = h.d
   JOIN {pe} c ON c.d = h.d
   GROUP BY q.subj, q.pred, q.obj, c.name),
-true_s AS (SELECT subj, pred, obj, score AS ts FROM scored WHERE cand = obj),
+true_s AS (SELECT subj, pred, obj, score AS ts FROM scored WHERE cand = obj){filter_cte if filtered else ""},
 ranks AS (
   SELECT s.subj, s.pred, s.obj,
          1 + sum(CASE WHEN s.score < t.ts
                         OR (s.score = t.ts AND s.cand < s.obj)
                  THEN 1 ELSE 0 END) AS rank
-  FROM scored s JOIN true_s t
+  FROM {rank_src} s JOIN true_s t
     ON s.subj = t.subj AND s.pred = t.pred AND s.obj = t.obj
   GROUP BY s.subj, s.pred, s.obj)
 SELECT count(*) AS n_test, round(avg(1.0 / rank), 6) AS mrr, {hit_cols},
@@ -2489,3 +2541,187 @@ FROM (
                             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1"""
+
+
+def ntriples_sql(base: str = "http://kg.example/") -> str:
+    """Replicates operators.output.to_ntriples over the gold extraction
+    triples: percent-encoded IRIs for subj/pred, ECHAR-escaped literal for
+    obj, identical fixed-order replace chains (DuckDB needs the 'g' flag;
+    Spark's regexp_replace is global by default)."""
+
+    def iri(col: str) -> str:
+        c = f"regexp_replace({col}, '%', '%25', 'g')"
+        for ch, enc in ((" ", "%20"), ('"', "%22"), ("<", "%3C"),
+                        (">", "%3E"), ("\\\\", "%5C")):
+            c = f"regexp_replace({c}, '{ch}', '{enc}', 'g')"
+        return c
+
+    def lit_esc(col: str) -> str:
+        c = f"regexp_replace({col}, '\\\\', '\\\\\\\\', 'g')"
+        c = f"regexp_replace({c}, '\"', '\\\\\"', 'g')"
+        c = f"regexp_replace({c}, chr(10), '\\\\n', 'g')"
+        c = f"regexp_replace({c}, chr(13), '\\\\r', 'g')"
+        c = f"regexp_replace({c}, chr(9), '\\\\t', 'g')"
+        return c
+
+    return f"""WITH {_gold_graph_ctes()}
+SELECT subj, pred, obj,
+       '<{base}' || {iri("subj")} || '> <{base}' || {iri("pred")}
+       || '> "' || {lit_esc("obj")} || '" .' AS ntriple
+FROM g"""
+
+
+def incremental_minhash_sql(
+    threshold: float = 0.8, num_perm: int = 16, bands: int = 8,
+    new_mod: int = 5, new_rem: int = 0,
+) -> str:
+    """Replicates dedup.incremental_minhash_dedup with documents where
+    ``doc_id % new_mod == new_rem`` as the NEW batch and the rest as the
+    stored index: asymmetric banded candidates (batch probes index ∪
+    smaller-id batch rows; the index never self-joins), exact Jaccard ≥
+    threshold, best partner by (jaccard DESC, id)."""
+    cond = (
+        f"a.id % {new_mod} = {new_rem} AND "
+        f"(b.id % {new_mod} <> {new_rem} OR b.id < a.id)"
+    )
+    return f"""WITH {_minhash_pairs_ctes(num_perm, bands, cand_cond=cond)},
+best AS (
+  SELECT id_a, id_b, jaccard,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY jaccard DESC, id_b) AS rn
+  FROM jac WHERE jaccard >= {threshold})
+SELECT d.doc_id, b.id_b IS NULL AS keep, b.id_b AS dup_of,
+       round(b.jaccard, 6) AS jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_a = d.doc_id
+WHERE d.doc_id % {new_mod} = {new_rem}"""
+
+
+def _kmeans_ctes(k: int = 8, iters: int = 2, inject: bool = False) -> tuple[str, str]:
+    """Unrolled Lloyd's k-means over the embeddings table — mirrors
+    similarity.kmeans_train term-for-term (init = first k vectors by id;
+    assignment argmin over round(dist + QUANT_EPS, 9) with cluster-id
+    tie-break; per-dim mean re-quantized the same way; empty clusters keep
+    the previous centroid). Returns (ctes, final_centroid_cte_name); the
+    chain also defines ``v(id, v)``, ``vd(id, d, val)`` and
+    ``asg{iters}(id, cluster)``."""
+    from .operators.kge import QUANT_EPS
+
+    eps = repr(QUANT_EPS)
+    dist = (
+        "round(list_aggregate(list_transform(range(1, len(v.v) + 1),"
+        f" j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])), 'sum') + {eps}, 9)"
+    )
+    if inject:
+        # near-dup injection (the pii_scrub/url_dedup precedent — both
+        # engines synthesize the identical input): vec_id % 7 == 3 becomes
+        # a copy of vec_id−3's embedding with +0.05 on coordinate 1
+        v_cte = """v AS MATERIALIZED (
+  SELECT r.vec_id AS id,
+         CASE WHEN r.vec_id % 7 = 3 AND d.e IS NOT NULL
+              THEN list_transform(range(1, len(d.e) + 1),
+                     j -> CASE WHEN j = 1 THEN d.e[j] + 0.05 ELSE d.e[j] END)
+              ELSE r.e END AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) r
+  LEFT JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) d
+    ON d.vec_id = r.vec_id - 3),"""
+    else:
+        v_cte = """v AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"""
+    ctes = f"""{v_cte}
+vd AS MATERIALIZED (
+  SELECT id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS val FROM v),
+c0 AS (SELECT CAST(id AS INT) AS cluster, v AS cv FROM v WHERE id < {k})"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes += f""",
+asg{i} AS MATERIALIZED (
+  SELECT id, cluster FROM (
+    SELECT v.id, c.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM v CROSS JOIN {prev} c)
+  WHERE rn = 1),
+upd{i} AS (
+  SELECT a.cluster, vd.d, round(avg(vd.val) + {eps}, 9) AS val
+  FROM asg{i} a JOIN vd USING (id) GROUP BY a.cluster, vd.d),
+c{i} AS MATERIALIZED (
+  SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(val ORDER BY d) AS cv FROM upd{i} GROUP BY cluster
+  ) u USING (cluster))"""
+        prev = f"c{i}"
+    return ctes, prev
+
+
+def kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Final k-means centroids, exploded to (cluster, d, val) rows for an
+    order-insensitive exact compare."""
+    ctes, final = _kmeans_ctes(k, iters)
+    return f"""WITH {ctes}
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(unnest(range(1, len(cv) + 1)) AS BIGINT) AS d,
+       unnest(cv) AS val
+FROM {final}"""
+
+
+def semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.95,
+                 inject: bool = True) -> str:
+    """Replicates similarity.semdedup over the embeddings table (near-dup
+    injection on by default — the natural synthetic embeddings have no
+    high-cosine pairs, max intra-cluster cosine 0.51): final k-means
+    assignment, intra-cluster cosine vs every smaller id, suppress at
+    cosine ≥ threshold, best partner by (cosine DESC, id)."""
+    ctes, final = _kmeans_ctes(k, iters, inject=inject)
+    cos = (
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+    )
+    return f"""WITH {ctes},
+-- re-assign against the FINAL centroids (the engine scores membership once
+-- more at deploy, same argmin rule)
+fin AS MATERIALIZED (
+  SELECT id, cluster FROM (
+    SELECT v.id, c.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY round(list_aggregate(list_transform(
+                                  range(1, len(v.v) + 1),
+                                  j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])),
+                                  'sum') + 2e-11, 9), c.cluster) AS rn
+    FROM v CROSS JOIN {final} c)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  FROM fin a JOIN fin b ON a.cluster = b.cluster AND b.id < a.id
+  JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id),
+best AS (
+  SELECT id_a, id_b, cosine,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cosine DESC, id_b) AS rn
+  FROM pairs WHERE cosine >= {threshold})
+SELECT f.id AS vec_id, CAST(f.cluster AS BIGINT) AS cluster,
+       b.id_b IS NULL AS keep, b.id_b AS dup_of, round(b.cosine, 6) AS cosine
+FROM fin f LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_a = f.id"""
+
+
+def k_core_sql(k: int = 2, max_iter: int = 8) -> str:
+    """Replicates operators.graph.k_core over the gold entity graph:
+    unrolled peeling rounds (post-fixpoint rounds are no-ops, so a fixed
+    unroll agrees with the engine's converge-or-raise loop)."""
+    ctes = f"""e0 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT subj AS src, obj AS dst FROM g WHERE subj <> obj
+    UNION SELECT obj, subj FROM g WHERE subj <> obj))"""
+    prev = "e0"
+    for i in range(1, max_iter + 1):
+        ctes += f""",
+keep{i} AS (SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep{i} ka ON ka.src = e.src
+  JOIN keep{i} kb ON kb.src = e.dst)"""
+        prev = f"e{i}"
+    return f"""WITH {_gold_graph_ctes()},
+{ctes}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY src HAVING count(*) >= {k}"""

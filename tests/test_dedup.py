@@ -252,3 +252,46 @@ def test_substring_dedup_removes_repeated_runs(spark):
     assert out[4].text_dedup == "x y"  # shorter than L: no grams, untouched
     assert out[5].text_dedup == "p q r filler"
     assert (out[5].n_tokens, out[5].n_dup_tokens) == (7, 3)
+
+
+def test_incremental_minhash_dedup_batch_vs_index(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq = "completely different words about spark partitions and shuffles here"
+    docs = [
+        (1, base),                      # index
+        (2, uniq + " extra tail"),      # index
+        (10, base),                     # new: exact dup of index doc 1
+        (15, "nothing like anything else in this corpus at all whatsoever"),
+        (20, base),                     # new: dup of index 1 AND of new 10
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    new = df.filter("doc_id >= 10")
+    index = df.filter("doc_id < 10")
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_dedup(new, index, threshold=0.8).collect()
+    }
+    assert set(out) == {10, 15, 20}          # index docs never emitted
+    assert out[15].keep and out[15].dup_of is None
+    assert not out[10].keep and out[10].dup_of == 1
+    # doc 20 matches index doc 1 and batch doc 10 at equal jaccard (1.0):
+    # tie-break min partner id -> 1
+    assert not out[20].keep and out[20].dup_of == 1
+    assert out[20].jaccard == 1.0
+
+
+def test_incremental_minhash_dedup_batch_first_occurrence_wins(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(10, text), (20, text)], "doc_id long, text string"
+    )
+    index = spark.createDataFrame(
+        [(1, "unrelated content entirely about databases and query planners")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_dedup(df, index).collect()
+    }
+    assert out[10].keep                      # first occurrence in the batch
+    assert not out[20].keep and out[20].dup_of == 10

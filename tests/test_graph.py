@@ -320,3 +320,30 @@ def test_hash_random_walks_deterministic_and_sink_truncated(spark):
     assert w1[("b", 1)] == "d"
     assert ("b", 2) not in w1
     assert [s for (st, s) in w1 if st == "d"] == []  # d not a src: no walk
+
+
+def test_k_core_peels_iteratively(spark):
+    # triangle a-b-c (2-core) with a pendant chain c-d-e: d has degree 2
+    # BEFORE peeling but only via e (degree 1), so a single degree filter
+    # keeps d — only iterative peeling removes e THEN d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r.node: r.degree for r in graph.k_core(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_empty_when_overpeeled(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert graph.k_core(edges, k=2).count() == 0
+
+
+def test_k_core_raises_on_iteration_cap(spark):
+    # a 6-node path needs 3 peel rounds for k=2; cap at 1 must raise
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.k_core(edges, k=2, max_iter=1)

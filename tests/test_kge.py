@@ -389,3 +389,42 @@ def test_complex_score_is_asymmetric(tiny_kg):
 
     p, s, o = sorted({tuple(t) for t in rows})[0]
     assert score(s, p, o) != pytest.approx(score(o, p, s), abs=1e-12)
+
+
+def test_rank_eval_filtered_excludes_known_tails(spark):
+    # 1-d embeddings, r = 0: candidate scores are squared distances to h.
+    # True tail t (dist 1) is outranked raw by h itself (0) AND by known
+    # tail k (0.25): raw rank 3. Filtered removes k (known true answer for
+    # (h, r)) but keeps h (not a known tail): filtered rank 2.
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("t", 0, 1.0), ("k", 0, 0.5), ("v", 0, 3.0)],
+        "name string, d int, val double",
+    )
+    rel = spark.createDataFrame([("r", 0, 0.0)], "name string, d int, val double")
+    test = spark.createDataFrame(
+        [("h", "r", "t")], "subj string, pred string, obj string"
+    )
+    known = spark.createDataFrame(
+        [("h", "r", "t"), ("h", "r", "k")], "subj string, pred string, obj string"
+    )
+    raw = kge.rank_eval(ent, rel, test).collect()[0]
+    assert raw.mrr == pytest.approx(1 / 3, abs=1e-6)
+    filt = kge.rank_eval(ent, rel, test, known=known).collect()[0]
+    assert filt.n_test == 1 and filt.n_dropped == 0
+    assert filt.mrr == pytest.approx(1 / 2, abs=1e-6)
+
+
+def test_rank_eval_filtered_keeps_true_tail_rankable(spark):
+    # the queried tail is itself in `known` (test ⊆ known by convention) —
+    # it must survive the filter and still be ranked
+    ent = spark.createDataFrame(
+        [("h", 0, 0.0), ("t", 0, 1.0)], "name string, d int, val double"
+    )
+    rel = spark.createDataFrame([("r", 0, 0.0)], "name string, d int, val double")
+    test = spark.createDataFrame(
+        [("h", "r", "t")], "subj string, pred string, obj string"
+    )
+    row = kge.rank_eval(ent, rel, test, known=test).collect()[0]
+    assert row.n_test == 1
+    # only h (not a known tail) outranks t: rank 2
+    assert row.mrr == pytest.approx(1 / 2, abs=1e-6)

@@ -157,6 +157,22 @@ EXPECTED_PLAN_COUNTS = {
     # (post-aggregation, a few rows per matching doc — NOT the corpus-size
     # split-array) and read by both the df_t agg and the scoring join
     "bm25_select": (2, 2, 0),
+    # gram ckpt read by raw counts, target counts, and the scoring join;
+    # scalar totals fold from the <=B-row count tables, not the corpus
+    "dsir_select": (0, 3, 0),
+    # one corpus scan; sh_new/sh_idx ckpts feed signature + union-verify
+    # legs, per_id ckpt feeds the 4 size/array join builds
+    "incremental_dedup": (1, 7, 0),
+    # distinct (subj,pred,obj) + codegen string formatting over the A-D
+    # pipeline (1 scan, 1 ckpt, 2 python stages — same as kg_triples)
+    "kg_ntriples": (1, 1, 2),
+    # vector ckpt + per-iteration centroid ckpts (Lloyd's loop, no collect)
+    "kmeans_centroids": (0, 3, 0),
+    # final-assignment ckpt feeds both sides of the intra-cluster self-join
+    # + the all-rows left side; kmeans lineage sits behind its own ckpts
+    "semdedup": (0, 3, 0),
+    # peeling loop runs eagerly at build; final plan reads one edge ckpt
+    "kg_kcore": (0, 1, 0),
     # two parquet branches are inherent: the benchmark filter and the
     # training filter are different subsets of the same source
     "decontaminate": (2, 0, 0),
@@ -234,6 +250,8 @@ EXPECTED_PLAN_COUNTS = {
     # scored ckpt read by the true-score branch + the rank join; the
     # n_dropped input-count branch reads the train-table ckpt once more
     "kg_rank_eval": (0, 3, 0),
+    # + one entity-keyed join of scored candidates vs the known set
+    "kg_rank_eval_filtered": (0, 4, 0),
     # final union reads the step-0 frontier + each step's walk checkpoint
     "kg_walks": (0, 4, 0),
     # composed A-F + inference: canonical-triple ckpt ×2 per rule

@@ -111,3 +111,52 @@ def test_auto_n_planes_sizing():
     assert similarity.auto_n_planes(10**9, 1024) == 20
     assert similarity.auto_n_planes(500, 1024) == 1
     assert similarity.auto_n_planes(8192, 1024) == 3
+
+
+def test_kmeans_two_obvious_clusters(spark):
+    # ids 0,1 seed the two centroids; points cluster around (0,0) and (10,10)
+    pts = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+        (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+        (4, [10.2, 10.0]), (5, [10.0, 10.2]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = {
+        r.cluster: r.cv
+        for r in similarity.kmeans_train(df, k=2, iters=2).collect()
+    }
+    assert set(cents) == {0, 1}
+    # converged means: cluster 0 = mean of {0,2,3}, cluster 1 = mean of {1,4,5}
+    assert cents[0] == pytest.approx([0.2 / 3, 0.2 / 3], abs=1e-6)
+    assert cents[1] == pytest.approx([10 + 0.2 / 3, 10 + 0.2 / 3], abs=1e-6)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # centroid 1 (the id-1 point) is strictly closer to centroid 0's basin
+    # after one update and captures nothing: it must keep its coordinates
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.05, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = {
+        r.cluster: r.cv for r in similarity.kmeans_train(df, k=2, iters=2).collect()
+    }
+    assert set(cents) == {0, 1}  # no cluster vanished
+
+
+def test_semdedup_suppresses_planted_neardup(spark):
+    pts = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # near-dup of 0 (cosine ~0.9999)
+        (3, [0.0, 0.98, 0.05]),   # near-dup of 1
+        (4, [-1.0, -1.0, 0.0]),   # lone vector
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in similarity.semdedup(df, k=2, iters=2, threshold=0.95).collect()
+    }
+    assert not out[2].keep and out[2].dup_of == 0
+    assert out[0].keep and out[1].keep
+    assert out[4].keep
+    # suppressed rows carry the matched cosine; kept rows carry NULLs
+    assert out[2].cosine > 0.99 and out[0].cosine is None

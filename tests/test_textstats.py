@@ -3,6 +3,7 @@
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from autoextraction_spark.operators import textstats
 
@@ -223,3 +224,71 @@ def test_bm25_score_matches_hand_computation(spark):
     assert got[4].score == 0.0 and got[4].n_matched == 0
     # saturation: 2x the tf does NOT double the contribution
     assert got[3].score < 2 * bm25(2, 4, 2)
+
+
+def test_dsir_weights_hand_computed(spark):
+    # 2 docs, 1 bucket-collision-free toy: bucket model with B buckets and
+    # add-k smoothing; target = doc 1 only. Verify one doc's weight by hand.
+    import math
+
+    from autoextraction_spark.operators.dedup import portable_hash64
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in textstats.dsir_weights(
+            docs, target=(F.col("doc_id") == 1), n_buckets=64, k=0.5
+        ).collect()
+    }
+    # doc 1 grams: "a b","b a","a b" (3); doc 2: "a b","b c","c d" (3)
+    assert out[1].n_grams == 3 and out[2].n_grams == 3
+    # bucket counts: raw N=6, target N=3
+    buckets = {
+        g: spark.createDataFrame([(g,)], "g string")
+        .select(F.pmod(portable_hash64(F.col("g"), "|dsir"), F.lit(64)).alias("b"))
+        .collect()[0]
+        .b
+        for g in ["a b", "b a", "b c", "c d"]
+    }
+    from collections import Counter
+
+    raw = Counter(
+        [buckets["a b"]] * 3 + [buckets["b a"], buckets["b c"], buckets["c d"]]
+    )
+    tgt = Counter([buckets["a b"]] * 2 + [buckets["b a"]])
+
+    def lr(b):
+        return math.log((tgt.get(b, 0) + 0.5) / (3 + 0.5 * 64)) - math.log(
+            (raw[b] + 0.5) / (6 + 0.5 * 64)
+        )
+
+    want1 = round(2 * lr(buckets["a b"]) + lr(buckets["b a"]), 6)
+    want2 = round(lr(buckets["a b"]) + lr(buckets["b c"]) + lr(buckets["c d"]), 6)
+    assert out[1].log_weight == pytest.approx(want1, abs=1e-6)
+    assert out[2].log_weight == pytest.approx(want2, abs=1e-6)
+
+
+def test_dsir_weights_target_docs_score_higher(spark):
+    # target docs share vocabulary; off-target doc uses disjoint words ->
+    # its grams live in buckets the target model never saw -> lower weight
+    docs = spark.createDataFrame(
+        [(1, "x y x y x"), (2, "x y x y z"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.log_weight
+        for r in textstats.dsir_weights(
+            docs, target=(F.col("doc_id") == 1), n_buckets=128
+        ).collect()
+    }
+    assert out[2] > out[3]
+
+
+def test_dsir_weights_short_docs_drop(spark):
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    rows = textstats.dsir_weights(docs, target=(F.col("doc_id") == 2)).collect()
+    assert [r.doc_id for r in rows] == [2]
