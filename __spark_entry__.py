@@ -380,6 +380,16 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_core(graph.triple_edges(_pipeline_triples(spark, sf_dir)), k=3)
 
 
+def q_kg_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming harmonic centrality over the full extracted-entity graph
+    (hop-bounded 1/d sum — well-defined on disconnected KGs): the entity-
+    importance ranking next to kg_pagerank, built on the semi-naive
+    transitive closure so every pair carries its BFS-minimal depth."""
+    return graph.harmonic_centrality(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), max_depth=4
+    )
+
+
 def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransE KG-embedding TRAINING as a distributed job (operators/kge.py):
     the model is a (name, d, val) DataFrame, every full-batch hinge
@@ -1460,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach": q_kg_reach,
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
+        "kg_centrality": q_kg_centrality,
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
         "kg_distmult": q_kg_distmult,
@@ -1574,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
         "kg_triangles": oracle.triangles_sql(),
         "kg_kcore": oracle.k_core_sql(k=3),
+        "kg_centrality": oracle.harmonic_centrality_sql(max_depth=4),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
         "kg_distmult": oracle.distmult_sql(),

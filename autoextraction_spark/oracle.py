@@ -2725,3 +2725,22 @@ e{i} AS MATERIALIZED (
 {ctes}
 SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
 FROM {prev} GROUP BY src HAVING count(*) >= {k}"""
+
+
+def harmonic_centrality_sql(max_depth: int = 4) -> str:
+    """Replicates operators.graph.harmonic_centrality over the full gold
+    entity graph: recursive closure with min-depth per pair, then
+    Σ 1/depth grouped by target."""
+    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT p.src, q.dst, p.depth + 1
+  FROM paths p JOIN e q ON p.dst = q.src
+  WHERE p.depth < {max_depth}
+),
+md AS (SELECT src, dst, min(depth) AS depth FROM paths GROUP BY src, dst)
+SELECT dst AS node, round(sum(1.0 / depth), 6) AS centrality,
+       count(*) AS n_reaching
+FROM md GROUP BY dst"""

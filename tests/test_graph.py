@@ -347,3 +347,15 @@ def test_k_core_raises_on_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.k_core(edges, k=2, max_iter=1)
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    # chain a->b->c: C(b) = 1 (from a at d=1); C(c) = 1 + 1/2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.node: (r.centrality, r.n_reaching)
+        for r in graph.harmonic_centrality(edges, max_depth=4).collect()
+    }
+    assert got == {"b": (1.0, 1), "c": (1.5, 2)}

@@ -173,6 +173,8 @@ EXPECTED_PLAN_COUNTS = {
     "semdedup": (0, 3, 0),
     # peeling loop runs eagerly at build; final plan reads one edge ckpt
     "kg_kcore": (0, 1, 0),
+    # closure union reads the base-edge ckpt + <=3 frontier ckpts (depth 4)
+    "kg_centrality": (0, 4, 0),
     # two parquet branches are inherent: the benchmark filter and the
     # training filter are different subsets of the same source
     "decontaminate": (2, 0, 0),
