@@ -766,8 +766,11 @@ def incremental_minhash_dedup(
         .distinct()
     )
     # exact verify over the union shingle set (partner may be new or index;
-    # exact_jaccard's semi-joins pull only colliding ids' arrays)
-    sh_all = sh_new.unionByName(sh_idx).distinct()
+    # exact_jaccard's semi-joins pull only colliding ids' arrays). No
+    # distinct: each side is already one row per (id, DISTINCT shingle) and
+    # the id spaces are disjoint — a distinct here would be a wasted
+    # corpus-size shuffle.
+    sh_all = sh_new.unionByName(sh_idx)
     jac = exact_jaccard(cands, sh_all, threshold, materialize).filter(
         F.col("jaccard") >= threshold
     )

@@ -76,7 +76,11 @@ def build_pages(spark, n_docs: int):
                 rows.append((d, url, "\n".join(paras), "en"))
             yield pd.DataFrame(rows, columns=["doc_id", "url", "text", "lang"])
 
-    return spark.range(n_docs, numPartitions=64).mapInPandas(
+    # 8 waves/core (the scaling-harness lesson, BENCH/BASELINE.md): finer
+    # tasks let the scheduler route around a stalled core instead of
+    # dragging a whole wave — a fixed 64 gave local[16] only 4 waves
+    n_parts = max(spark.sparkContext.defaultParallelism * 8, 64)
+    return spark.range(n_docs, numPartitions=n_parts).mapInPandas(
         gen, schema="doc_id long, url string, text string, lang string"
     )
 
