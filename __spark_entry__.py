@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -934,16 +935,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bm25_score(docs, BM25_QUERY)
 
 
-def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-level dedup (the first dedup pass of CCNet/C4-class pipelines):
-    canonicalize crawl URLs (fragment / utm_* / dangling '?' / default
-    port / host case / trailing slash) and keep the lowest-doc_id page per
-    canonical URL. The wrapper synthesizes messy URLs from doc_id
-    arithmetic (host-case, port, tracking-param, fragment and trailing
-    slash variants of the same resources) so both engines see identical
-    inputs — the pii_scrub injection precedent."""
+def _messy_url() -> F.Column:
+    """Deterministic messy-URL synthesis from doc_id arithmetic (host-case,
+    port, tracking-param, fragment, trailing-slash variants of the same
+    resources) — shared by q_url_dedup and q_curation_pipeline so the
+    injection exists exactly once (the oracle mirrors it in
+    oracle._url_chain_ctes)."""
     d = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(d % 3 == 0, F.lit("https://WWW.Example.COM"))
         .when(d % 3 == 1, F.lit("https://www.example.com"))
         .otherwise(F.lit("http://news.site.org")),
@@ -956,8 +955,45 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(d % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
     )
-    pages = _read(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the first dedup pass of CCNet/C4-class pipelines):
+    canonicalize crawl URLs (fragment / utm_* / dangling '?' / default
+    port / host case / trailing slash) and keep the lowest-doc_id page per
+    canonical URL. The wrapper synthesizes messy URLs from doc_id
+    arithmetic so both engines see identical inputs — the pii_scrub
+    injection precedent."""
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id", _messy_url().alias("url")
+    )
     return url_dedup(pages)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ROUND-5 curation pipeline, end-to-end in ONE lazy plan
+    over this round's new operators: URL-canonical dedup winners (the
+    first pass of a crawl pipeline) → DSIR importance weights over the
+    survivors → keep reference-like mass (log_weight > 0) →
+    concat-and-chunk sequence packing. The oracle recomputes the whole
+    composition from the shared CTE fragments, so the stage interfaces are
+    verified jointly — the training_pipeline precedent, for the r5 ops."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select("doc_id", _messy_url().alias("url"))
+    winners = (
+        url_dedup(pages).filter(F.col("keep")).select("doc_id")
+    )
+    # survivors feed BOTH the dsir gram explode and the final text join —
+    # materialize once (the bm25/dsir checkpoint rule)
+    dk = (
+        docs.join(winners, "doc_id")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    w = textstats.dsir_weights(dk, target=(F.col("doc_id") % 10 == 7))
+    sel = dk.join(
+        w.filter(F.col("log_weight") > 0).select("doc_id"), "doc_id"
+    )
+    return compose.pack_sequences(sel, budget=128, n_shards=4)
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "training_pipeline": q_training_pipeline,
+        "curation_pipeline": q_curation_pipeline,
         "domain_cap": q_domain_cap,
         "hash_split": q_hash_split,
         "latest_event": q_latest_event,
@@ -1611,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": oracle.lm_perplexity_sql(k=0.5, ref_lang="en"),
         "mixture_sample": oracle.mixture_sample_sql(MIXTURE_RATES),
         "pack_sequences": oracle.pack_sequences_sql(budget=512, n_shards=8),
+        "curation_pipeline": oracle.curation_pipeline_sql(),
         "training_pipeline": oracle.training_pipeline_sql(
             CLASSIFIER_WEIGHTS, MIXTURE_RATES, threshold=0.4377,
             budget=256, n_shards=4),

@@ -1409,20 +1409,18 @@ SELECT d.doc_id, coalesce(agg.score, 0.0) AS score,
 FROM d LEFT JOIN agg USING (doc_id)"""
 
 
-def dsir_sql(
-    n_buckets: int = 256, k: float = 0.5, target_mod: int = 10,
-    target_rem: int = 7, seed: str = "|dsir",
+def _dsir_ctes(
+    source: str = "documents", n_buckets: int = 256, k: float = 0.5,
+    target_mod: int = 10, target_rem: int = 7, seed: str = "|dsir",
 ) -> str:
-    """Replicates operators.textstats.dsir_weights over documents with the
-    ``doc_id % target_mod == target_rem`` subset as the target domain:
-    hashed-bigram (portable 60-bit md5 hash mod B) add-k bucket models,
-    per-doc sum of ln-ratio rounded to 6 (absorbs float-sum ordering and
-    1-ulp libm-log differences, the lm_perplexity parity rule)."""
+    """CTE chain ending in ``dweights(doc_id, n_grams, log_weight)`` over a
+    (doc_id, text) CTE/table named ``source`` — shared by the standalone
+    dsir oracle and the composed curation-pipeline oracle."""
     kr, B = repr(float(k)), int(n_buckets)
-    return f"""WITH w AS (
+    return f"""w AS (
   SELECT doc_id, doc_id % {target_mod} = {target_rem} AS is_target,
          str_split(text, ' ') AS ws
-  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+  FROM {source} WHERE len(str_split(text, ' ')) >= 2),
 grams AS MATERIALIZED (
   SELECT doc_id, is_target,
          ('0x' || substr(md5(
@@ -1437,20 +1435,53 @@ ratio AS (
   SELECT raw.bucket,
          ln((coalesce(tgt.c_tgt, 0) + {kr}) / (n_tgt.n_tgt + {float(k) * B!r}))
          - ln((raw.c_raw + {kr}) / (n_raw.n_raw + {float(k) * B!r})) AS logratio
-  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN n_raw CROSS JOIN n_tgt)
-SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-       round(sum(r.logratio), 6) AS log_weight
-FROM grams g JOIN ratio r USING (bucket)
-GROUP BY g.doc_id"""
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN n_raw CROSS JOIN n_tgt),
+dweights AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(r.logratio), 6) AS log_weight
+  FROM grams g JOIN ratio r USING (bucket)
+  GROUP BY g.doc_id)"""
 
 
-def url_dedup_sql() -> str:
-    """Replicates pipeline.canonical_url + pipeline.url_dedup over the
-    q_url_dedup wrapper's synthesized messy URLs: the identical fixed-order
-    normalization chain (fragment, utm_*, orphaned '&', dangling '?',
-    default ports, host lowercasing, trailing slash), then lowest-doc_id
-    winner per canonical URL."""
-    return r"""WITH p AS (SELECT doc_id,
+def dsir_sql(
+    n_buckets: int = 256, k: float = 0.5, target_mod: int = 10,
+    target_rem: int = 7, seed: str = "|dsir",
+) -> str:
+    """Replicates operators.textstats.dsir_weights over documents with the
+    ``doc_id % target_mod == target_rem`` subset as the target domain:
+    hashed-bigram (portable 60-bit md5 hash mod B) add-k bucket models,
+    per-doc sum of ln-ratio rounded to 6 (absorbs float-sum ordering and
+    1-ulp libm-log differences, the lm_perplexity parity rule)."""
+    ctes = _dsir_ctes("documents", n_buckets, k, target_mod, target_rem, seed)
+    return f"""WITH {ctes}
+SELECT doc_id, n_grams, log_weight FROM dweights"""
+
+
+def curation_pipeline_sql(
+    n_buckets: int = 256, budget: int = 128, n_shards: int = 4,
+) -> str:
+    """The composed round-5 curation pipeline: URL-canonical dedup winners
+    → DSIR importance weights over the survivors → keep log_weight > 0 →
+    concat-and-chunk packing. Recomputes the WHOLE composition from the
+    shared CTE fragments (_url_chain_ctes, _dsir_ctes, _pack_sql), so the
+    stage interfaces are verified jointly."""
+    return f"""WITH {_url_chain_ctes()},
+uwin AS (SELECT min(doc_id) AS doc_id FROM curl GROUP BY url_canonical),
+dk AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN uwin USING (doc_id)),
+{_dsir_ctes("dk", n_buckets)},
+sel AS (
+  SELECT dk.doc_id, dk.text FROM dk JOIN dweights USING (doc_id)
+  WHERE log_weight > 0),
+{_pack_sql("sel", budget, n_shards)}"""
+
+
+def _url_chain_ctes() -> str:
+    """CTE chain ending in ``curl(doc_id, url, url_canonical)`` — the
+    synthesized messy URLs + the canonical_url normalization chain, shared
+    by the standalone url_dedup oracle and the composed curation-pipeline
+    oracle so the rule order exists exactly once."""
+    return r"""p AS (SELECT doc_id,
   (CASE doc_id % 3 WHEN 0 THEN 'https://WWW.Example.COM'
                    WHEN 1 THEN 'https://www.example.com'
                    ELSE 'http://news.site.org' END)
@@ -1478,11 +1509,20 @@ c6 AS (SELECT doc_id, url,
                    ELSE lower(regexp_extract(u, '^(https?://[^/]+)', 1))
                         || regexp_replace(u, '^https?://[^/]+', '')
               END AS u FROM c5),
-c AS (SELECT doc_id, url,
-             regexp_replace(u, '/$', '') AS url_canonical FROM c6)
+curl AS (SELECT doc_id, url,
+               regexp_replace(u, '/$', '') AS url_canonical FROM c6)"""
+
+
+def url_dedup_sql() -> str:
+    """Replicates pipeline.canonical_url + pipeline.url_dedup over the
+    q_url_dedup wrapper's synthesized messy URLs: the identical fixed-order
+    normalization chain (fragment, utm_*, orphaned '&', dangling '?',
+    default ports, host lowercasing, trailing slash), then lowest-doc_id
+    winner per canonical URL."""
+    return f"""WITH {_url_chain_ctes()}
 SELECT doc_id, url, url_canonical,
        doc_id = min(doc_id) OVER (PARTITION BY url_canonical) AS keep
-FROM c"""
+FROM curl"""
 
 
 def pii_scrub_sql() -> str:

@@ -175,6 +175,10 @@ EXPECTED_PLAN_COUNTS = {
     "kg_kcore": (0, 1, 0),
     # closure union reads the base-edge ckpt + <=3 frontier ckpts (depth 4)
     "kg_centrality": (0, 4, 0),
+    # survivor ckpt feeds gram explode + final text join; gram ckpt feeds
+    # count tables + scoring (url-winner lineage sits behind the survivor
+    # ckpt; packing is one window, no extra scan)
+    "curation_pipeline": (0, 4, 0),
     # two parquet branches are inherent: the benchmark filter and the
     # training filter are different subsets of the same source
     "decontaminate": (2, 0, 0),
