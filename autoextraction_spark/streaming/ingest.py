@@ -144,3 +144,25 @@ def windowed_page_counts(pages_stream: DataFrame) -> DataFrame:
         .groupBy(F.window("warc_ts", "7 days"), "lang")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def streaming_url_dedup(pages_stream: DataFrame, url_col: str = "url") -> DataFrame:
+    """Cross-micro-batch URL-level dedup — the streaming form of
+    ``pipeline.url_dedup``, the FIRST dedup pass a live crawl ingest runs:
+    canonicalize each arriving URL (``pipeline.canonical_url``: fragment /
+    utm_* / dangling '?' / default ports / host case / trailing slash)
+    and keep the first page per canonical URL across the whole stream via
+    ``dropDuplicates`` state (re-crawls and tracking-tagged shares of a
+    page already ingested are dropped, in this or any later micro-batch).
+
+    Scale shape: the state store holds one row per DISTINCT canonical URL
+    (the key only — Spark keeps dedup state as keys), partitioned by the
+    canonical hash; page bodies flow through without shuffling beyond the
+    dedup exchange. Pair with a watermark on ``warc_ts`` upstream when the
+    crawl horizon allows state eviction.
+    """
+    from ..pipeline import canonical_url
+
+    return pages_stream.withColumn(
+        "url_canonical", canonical_url(F.col(url_col))
+    ).dropDuplicates(["url_canonical"])

@@ -342,3 +342,48 @@ def test_streaming_kg_maintenance_retry_idempotent(spark, sf_dir, tmp_path):
     run(pages, 0)  # simulated foreachBatch retry with the same epoch id
     second = {tuple(r) for r in spark.read.parquet(store).collect()}
     assert first == second and len(first) > 0
+
+
+def test_streaming_url_dedup_across_batches(spark, sf_dir, tmp_path):
+    # batch 2 lands tracking-param/host-case variants of batch-1 URLs:
+    # the canonical-URL dedup state must drop them across micro-batches
+    in_dir = str(tmp_path / "landing_url")
+    out_dir = str(tmp_path / "url_survivors")
+    ckpt = str(tmp_path / "ckpt_url")
+    pages = corpus.web_pages(spark, sf_dir, with_text=True).filter(
+        F.col("doc_id") < 20
+    ).cache()
+    b1 = pages.withColumn(
+        "url", F.concat(F.lit("https://www.example.com/a/"), F.col("doc_id"))
+    )
+    b1.write.mode("append").parquet(in_dir)
+
+    def drain():
+        q = (
+            ingest.streaming_url_dedup(ingest.stream_pages(spark, in_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 20
+    # variants of the SAME resources: host case + utm params + fragment
+    b2 = pages.filter(F.col("doc_id") < 10).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW.Example.COM/a/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=feed#top"),
+        ),
+    )
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+    surv = spark.read.parquet(out_dir)
+    assert surv.count() == 20  # all variants deduped
+    assert surv.select("url_canonical").distinct().count() == 20
