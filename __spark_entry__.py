@@ -24,8 +24,9 @@ from autoextraction_spark import corpus, oracle  # noqa: E402
 from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
-    classifier, compose, dedup, detect, graph, kge, linking, lm, multimodal,
-    nested, output, rl_train, similarity, slot_fill, textstats, tokenize,
+    bpe, classifier, compose, dedup, detect, graph, kge, linking, lm,
+    multimodal, nested, output, rl_train, similarity, slot_fill, textstats,
+    tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts, url_dedup  # noqa: E402
@@ -356,6 +357,18 @@ def q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     return graph.transitive_closure(edges, max_depth=8)
+
+
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the ``acquired`` org→org graph
+    (hop-bounded mutual reachability over the semi-naive closure): each
+    scc_size > 1 component is an acquisition CYCLE the reasoner must
+    collapse — the directed complement to connected_components."""
+    t = _pipeline_triples(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return graph.strongly_connected(edges, max_depth=8)
 
 
 def q_kg_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +874,62 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cluster"),
         F.posexplode("cv").alias("d0", "val"),
     ).select("cluster", (F.col("d0") + 1).cast("long").alias("d"), "val")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web link graph: parse href attributes out of page html
+    (regexp_extract_all, pure codegen) and aggregate the (src_host,
+    dst_host) multigraph — the crawl-frontier / host-authority table. The
+    pages carry deterministic injected anchors (targets from doc_id
+    arithmetic, the pii_scrub identical-inputs precedent; the synthetic
+    corpus html has no links) plus a relative link every 4th doc to
+    exercise same-host resolution; the oracle builds byte-identical html."""
+    from autoextraction_spark.operators import text_extract
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def host_of(t):  # schema.host_id rule: 1 in 5 pages on host 0
+        return F.when(t % 5 == 0, F.lit(0)).otherwise(t % 97).cast("string")
+
+    src_url = F.concat(
+        F.lit("https://site"), host_of(d), F.lit(".example.com/page/"),
+        d.cast("string"),
+    )
+    anchors = F.expr(
+        "array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), j -> "
+        "concat('<a href=\"https://site', CAST(CASE WHEN (doc_id*31 + j*17) % 9973 % 5 = 0 "
+        "THEN 0 ELSE ((doc_id*31 + j*17) % 9973) % 97 END AS STRING), "
+        "'.example.com/page/', CAST((doc_id*31 + j*17) % 9973 AS STRING), "
+        "'\">ref</a>')), '')"
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        anchors,
+        F.when(d % 4 == 0, F.lit('<a href="/about">about</a>')).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(src_url.alias("url"), html.alias("html"))
+    return text_extract.host_link_graph(pages)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BPE tokenizer training (Sennrich et al. 2016) — the
+    engine's sixth distributed trainer: 8 merge rounds of weighted adjacent-
+    pair counting + codegen string rewrite over the word vocabulary; output
+    is the learned merge table in learning order. Integer/string-exact, so
+    the unrolled DuckDB oracle matches bitwise."""
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return bpe.bpe_train(docs, n_merges=8)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy view of the trained BPE model: the subword inventory after
+    applying the 8 learned merges to the word vocabulary — (token,
+    corpus-frequency, distinct-words-containing) — i.e. the tokenizer's
+    ``vocab.json`` materialized distributedly."""
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return bpe.bpe_subword_vocab(docs, n_merges=8)
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reach": q_kg_reach,
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
+        "kg_scc": q_kg_scc,
         "kg_centrality": q_kg_centrality,
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
@@ -1543,6 +1613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir,
         "incremental_dedup": q_incremental_dedup,
         "kmeans_centroids": q_kmeans,
+        "link_graph": q_link_graph,
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1622,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reach": oracle.bfs_sql(REACH_SEEDS, max_depth=6),
         "kg_triangles": oracle.triangles_sql(),
         "kg_kcore": oracle.k_core_sql(k=3),
+        "kg_scc": oracle.scc_sql(pred="acquired", max_depth=8),
         "kg_centrality": oracle.harmonic_centrality_sql(max_depth=4),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
@@ -1663,6 +1737,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": oracle.dsir_sql(),
         "incremental_dedup": oracle.incremental_minhash_sql(),
         "kmeans_centroids": oracle.kmeans_sql(),
+        "link_graph": oracle.link_graph_sql(),
+        "bpe_train": oracle.bpe_train_sql(n_merges=8),
+        "bpe_vocab": oracle.bpe_vocab_sql(n_merges=8),
         "semdedup": oracle.semdedup_sql(),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

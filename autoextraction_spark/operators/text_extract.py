@@ -64,3 +64,60 @@ def with_extracted_text(pages: DataFrame) -> DataFrame:
     carried through shuffles.
     """
     return pages.withColumn("text", extract_text_udf(F.col("html"))).drop("html")
+
+
+def host_link_graph(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Hyperlink extraction + host-level web-graph aggregation (engine-new;
+    the crawl-side complement to the KG entity graph).
+
+    Parses ``href="..."`` attributes out of the raw html with
+    ``regexp_extract_all`` (pure codegen — no Python in the path; the
+    pattern is in the RE2∩Java dialect subset, the pii_scrub rule),
+    resolves each link to a destination host (relative links resolve to the
+    page's own host — the host is what the graph aggregates, so path-level
+    resolution is unnecessary), and aggregates the (src_host, dst_host)
+    multigraph. This is the table crawl scheduling, host-authority ranking
+    and spam/link-farm detection all start from.
+
+    Output: (src_host, dst_host, is_intra, n_links, n_pages) — total links
+    and distinct linking pages per directed host pair.
+
+    Scale shape (100 TB): the html column is consumed in the SAME projection
+    that discards it — only (url, href) survive the explode, so the page
+    payload never enters the shuffle; the aggregation is a map-side-
+    combinable groupBy keyed by host pair. Host-level skew (a hub host
+    linked from everywhere) is the classic AQE-splittable aggregate, same
+    as ``pipeline.salted_host_counts``.
+    """
+    href_re = r'href="([^"]+)"'
+    host_re = r"^https?://([^/]+)"
+    links = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col).cast("string"), F.lit(href_re), F.lit(1))
+        ).alias("href"),
+    )
+    src_host = F.regexp_extract(F.col("url"), host_re, 1)
+    dst_host = F.when(
+        F.col("href").rlike("^https?://"),
+        F.regexp_extract(F.col("href"), host_re, 1),
+    ).otherwise(src_host)
+    edges = links.select(
+        src_host.alias("src_host"), dst_host.alias("dst_host"), "url"
+    )
+    return (
+        edges.groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct(F.col("url")).alias("n_pages"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            (F.col("src_host") == F.col("dst_host")).alias("is_intra"),
+            "n_links",
+            "n_pages",
+        )
+    )

@@ -2784,3 +2784,115 @@ md AS (SELECT src, dst, min(depth) AS depth FROM paths GROUP BY src, dst)
 SELECT dst AS node, round(sum(1.0 / depth), 6) AS centrality,
        count(*) AS n_reaching
 FROM md GROUP BY dst"""
+
+
+def _bpe_ctes(n_merges: int, table: str = "documents") -> tuple[str, str]:
+    """CTE chain replicating operators.bpe._bpe_loop: word vocab ->
+    symbolize -> n_merges unrolled rounds of (pair count, argmax, 3-pass
+    string rewrite). Integer/string-exact — no rounding anywhere."""
+    ctes = f"""w AS (SELECT word, count(*) AS freq
+     FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+     WHERE word <> '' GROUP BY word),
+v0 AS MATERIALIZED (
+  SELECT concat(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' </w>') AS r,
+         freq
+  FROM w)"""
+    prev = "v0"
+    for i in range(1, n_merges + 1):
+        pat = "' ' || b.pair || ' '"
+        rep = "' ' || replace(b.pair, ' ', '') || ' '"
+        rewritten = f"' ' || v.r || ' '"
+        for _ in range(3):  # operators.bpe._REWRITE_PASSES
+            rewritten = f"replace({rewritten}, {pat}, {rep})"
+        ctes += f""",
+p{i} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(string_split(r, ' '))),
+             i -> string_split(r, ' ')[i] || ' ' || string_split(r, ' ')[i+1]
+           )) AS pair
+    FROM {prev}) GROUP BY pair),
+b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+v{i} AS MATERIALIZED (
+  SELECT trim({rewritten}) AS r, v.freq FROM {prev} v, b{i} b)"""
+        prev = f"v{i}"
+    return ctes, prev
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """Replicates operators.bpe.bpe_train: the learned merge table."""
+    ctes, _ = _bpe_ctes(n_merges)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, pair,"
+        f" replace(pair, ' ', '') AS merged, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {ctes}\n{unions}"
+
+
+def bpe_vocab_sql(n_merges: int = 8) -> str:
+    """Replicates operators.bpe.bpe_subword_vocab: the deployed subword
+    inventory after applying the learned merges."""
+    ctes, final = _bpe_ctes(n_merges)
+    return f"""WITH {ctes}
+SELECT token, CAST(sum(freq) AS BIGINT) AS freq, count(*) AS n_words
+FROM (SELECT freq, unnest(string_split(r, ' ')) AS token FROM {final})
+GROUP BY token"""
+
+
+def scc_sql(pred: str = "acquired", max_depth: int = 8) -> str:
+    """Replicates operators.graph.strongly_connected over the gold
+    ``pred`` edges: hop-bounded mutual reachability, min-node SCC labels."""
+    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = {sql_str(pred)}),
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT p.src, q.dst, p.depth + 1
+  FROM paths p JOIN e q ON p.dst = q.src
+  WHERE p.depth < {max_depth}
+),
+cl AS (SELECT DISTINCT src, dst FROM paths),
+mutual AS (SELECT a.src AS node, a.dst AS peer
+           FROM cl a JOIN cl b ON a.src = b.dst AND a.dst = b.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+pairs AS (SELECT node, peer FROM mutual
+          UNION ALL SELECT node, node FROM nodes),
+scc AS (SELECT node, min(peer) AS scc_id FROM pairs GROUP BY node),
+sizes AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+SELECT s.node, s.scc_id, sz.scc_size
+FROM scc s JOIN sizes sz USING (scc_id)"""
+
+
+def link_graph_sql() -> str:
+    """Replicates __spark_entry__.q_link_graph +
+    operators.text_extract.host_link_graph: byte-identical injected html,
+    regexp href extraction, host-pair aggregation."""
+    host = lambda t: (  # noqa: E731 - schema.host_id rule in SQL
+        f"CAST(CASE WHEN ({t}) % 5 = 0 THEN 0 ELSE ({t}) % 97 END AS VARCHAR)"
+    )
+    return f"""WITH pages AS (
+  SELECT 'https://site' || {host('doc_id')} || '.example.com/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body>'
+           || array_to_string(list_transform(range(0, CAST(doc_id % 3 AS INT) + 1),
+                j -> '<a href="https://site' || {host('(doc_id*31 + j*17) % 9973')}
+                     || '.example.com/page/'
+                     || CAST((doc_id*31 + j*17) % 9973 AS VARCHAR) || '">ref</a>'),
+              '')
+           || CASE WHEN doc_id % 4 = 0
+                   THEN '<a href="/about">about</a>' ELSE '' END
+           || '</body></html>' AS html
+  FROM documents),
+links AS (
+  SELECT url, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+  FROM pages),
+e AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
+         CASE WHEN regexp_matches(href, '^https?://')
+              THEN regexp_extract(href, '^https?://([^/]+)', 1)
+              ELSE regexp_extract(url, '^https?://([^/]+)', 1) END AS dst_host,
+         url
+  FROM links)
+SELECT src_host, dst_host, src_host = dst_host AS is_intra,
+       count(*) AS n_links, count(DISTINCT url) AS n_pages
+FROM e GROUP BY src_host, dst_host"""

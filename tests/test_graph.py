@@ -359,3 +359,46 @@ def test_harmonic_centrality_hand_computed(spark):
         for r in graph.harmonic_centrality(edges, max_depth=4).collect()
     }
     assert got == {"b": (1.0, 1), "c": (1.5, 2)}
+
+
+def test_strongly_connected_labels_cycles(spark):
+    # cycle a->b->c->a; d feeds the cycle but is not in it; e->f acyclic;
+    # g<->h a 2-cycle
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("e", "f"),
+         ("g", "h"), ("h", "g")],
+        "src string, dst string",
+    )
+    got = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in graph.strongly_connected(df, max_depth=8).collect()
+    }
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 1), "e": ("e", 1), "f": ("f", 1),
+        "g": ("g", 2), "h": ("g", 2),
+    }
+
+
+def test_strongly_connected_hop_cap_splits_long_cycles(spark):
+    # a 4-cycle under a 3-hop cap: mutual reachability needs <=3 hops each
+    # way, which holds for every pair in a 4-cycle EXCEPT none — each pair
+    # has one direction <=3 — so the component survives; at cap 2 the
+    # opposite-corner pairs (2 hops each way) still pair, but adjacent
+    # pairs need 1 + 3 and split
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    full = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in graph.strongly_connected(df, max_depth=4).collect()
+    }
+    assert full == {n: ("a", 4) for n in "abcd"}
+    capped = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in graph.strongly_connected(df, max_depth=2).collect()
+    }
+    assert capped == {
+        "a": ("a", 2), "c": ("a", 2), "b": ("b", 2), "d": ("b", 2),
+    }

@@ -140,6 +140,10 @@ EXPECTED_PLAN_COUNTS = {
     "cond_roundtrip": (1, 0, 1),
     "embed_neardup": (2, 2, 0),
     "semantic_dedup": (1, 1, 0),
+    "kg_scc": (0, 2, 0),
+    "link_graph": (1, 0, 0),
+    "bpe_train": (0, 8, 0),
+    "bpe_vocab": (0, 1, 0),
     "token_stats": (1, 0, 0),
     "quality": (1, 0, 0),
     "repetition": (1, 0, 0),

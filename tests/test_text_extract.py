@@ -43,3 +43,31 @@ def test_html_column_dropped_after_extraction(spark, sf_dir):
     # column-pruning discipline: downstream stages must not carry the binary
     out = with_extracted_text(corpus.web_pages(spark, sf_dir))
     assert "html" not in out.columns
+
+
+def test_host_link_graph_extracts_and_aggregates(spark):
+    from autoextraction_spark.operators.text_extract import host_link_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p1",
+             b'<p><a href="https://b.com/x">t</a><a href="https://b.com/y">u'
+             b'</a><a href="/rel">r</a></p>'),
+            ("https://a.com/p2", b'<a href="https://b.com/z">v</a>'),
+            ("http://b.com/q", b'<a href="https://a.com/">w</a>no links here'),
+            ("https://c.com/r", b"<p>no anchors at all</p>"),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r.src_host, r.dst_host): (r.is_intra, r.n_links, r.n_pages)
+        for r in host_link_graph(pages).collect()
+    }
+    assert got == {
+        # 3 links from 2 distinct a.com pages to b.com
+        ("a.com", "b.com"): (False, 3, 2),
+        # the relative link resolves to the page's own host
+        ("a.com", "a.com"): (True, 1, 1),
+        ("b.com", "a.com"): (False, 1, 1),
+        # c.com page has no hrefs -> no edge rows at all
+    }
