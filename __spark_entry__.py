@@ -876,26 +876,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cluster", (F.col("d0") + 1).cast("long").alias("d"), "val")
 
 
-def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level web link graph: parse href attributes out of page html
-    (regexp_extract_all, pure codegen) and aggregate the (src_host,
-    dst_host) multigraph — the crawl-frontier / host-authority table. The
-    pages carry deterministic injected anchors (targets from doc_id
-    arithmetic, the pii_scrub identical-inputs precedent; the synthetic
-    corpus html has no links) plus a relative link every 4th doc to
-    exercise same-host resolution; the oracle builds byte-identical html."""
-    from autoextraction_spark.operators import text_extract
+def _page_url_col(t) -> F.Column:
+    """page_url(t) as a codegen column (schema.host_id rule: 1 in 5 pages
+    on host 0)."""
+    host = F.when(t % 5 == 0, F.lit(0)).otherwise(t % 97).cast("string")
+    return F.concat(
+        F.lit("https://site"), host, F.lit(".example.com/page/"),
+        t.cast("string"),
+    )
 
+
+def _injected_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, html) pages with deterministic injected anchors (targets from
+    doc_id arithmetic, the pii_scrub identical-inputs precedent; the
+    synthetic corpus html has no links) plus a relative link every 4th doc
+    to exercise same-host resolution. oracle._link_edges_ctes builds the
+    byte-identical html."""
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
-
-    def host_of(t):  # schema.host_id rule: 1 in 5 pages on host 0
-        return F.when(t % 5 == 0, F.lit(0)).otherwise(t % 97).cast("string")
-
-    src_url = F.concat(
-        F.lit("https://site"), host_of(d), F.lit(".example.com/page/"),
-        d.cast("string"),
-    )
     anchors = F.expr(
         "array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), j -> "
         "concat('<a href=\"https://site', CAST(CASE WHEN (doc_id*31 + j*17) % 9973 % 5 = 0 "
@@ -909,8 +907,96 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 4 == 0, F.lit('<a href="/about">about</a>')).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
-    pages = docs.select(src_url.alias("url"), html.alias("html"))
-    return text_extract.host_link_graph(pages)
+    return docs.select(_page_url_col(d).alias("url"), html.alias("html"))
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web link graph: parse href attributes out of page html
+    (regexp_extract_all, pure codegen) and aggregate the (src_host,
+    dst_host) multigraph — the crawl-frontier / host-authority table."""
+    from autoextraction_spark.operators import text_extract
+
+    return text_extract.host_link_graph(_injected_link_pages(spark, sf_dir))
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier, authority-ranked: link targets not yet in the corpus
+    (left_anti against the known page urls), aggregated per target url with
+    referrer counts, then joined with the host_authority PageRank so the
+    scheduler can fetch high-authority hosts first — the composed
+    link_graph → host_authority → frontier decision the link family exists
+    for. Output: (url, host, n_links, n_referrers, authority)."""
+    from autoextraction_spark.operators import text_extract
+
+    pages = _injected_link_pages(spark, sf_dir)
+    links = text_extract.page_links(pages)
+    known = _read(spark, sf_dir, "documents").select(
+        _page_url_col(F.col("doc_id")).alias("target_url")
+    )
+    fr = (
+        links.join(known, "target_url", "left_anti")
+        .select(
+            "target_url",
+            F.col("dst_host").alias("host"),
+            F.col("url").alias("referrer"),
+        )
+        .groupBy("target_url", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct(F.col("referrer")).alias("n_referrers"),
+        )
+        .withColumnRenamed("target_url", "url")
+    )
+    auth = q_host_authority(spark, sf_dir).select(
+        "host", F.col("pagerank").alias("authority")
+    )
+    return fr.join(auth, "host", "left").select(
+        "url", "host", "n_links", "n_referrers",
+        F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+    )
+
+
+def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority: damped PageRank (3 unrolled iterations — the same
+    no-collect entity_pagerank machinery as kg_pagerank) over the distinct
+    cross-host edges of the link graph. Intra-host links are excluded, the
+    standard convention for host-level authority; output is (host, out_deg,
+    in_deg, pagerank). This is the crawl-prioritization signal the
+    link_graph table exists to feed."""
+    lg = q_link_graph(spark, sf_dir)
+    edges = lg.filter(~F.col("is_intra")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    pr = graph.entity_pagerank(edges, damping=0.85, iters=3)
+    return pr.select(
+        F.col("entity").alias("host"), "out_deg", "in_deg", "pagerank"
+    )
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl scheduling over the frontier: within each
+    host, urls are assigned fetch waves (row_number ordered by referrer
+    count desc, then url — a deterministic total order), so wave w fetches
+    at most ONE url per host (the per-host rate limit) and high-evidence
+    urls go first. Output adds the authority-ranked cross-host fetch
+    priority: (url, host, wave, n_referrers, authority).
+
+    Scale shape: ONE window keyed by host. Host skew is real (host 0 owns
+    ~20% of the synthetic corpus, mirroring crawl reality) — but a
+    politeness schedule is inherently sequential PER HOST, so the per-host
+    rank is the minimal possible computation; the window carries only
+    (url, host, n_referrers), never page payloads."""
+    fr = q_crawl_frontier(spark, sf_dir)
+    w = W.partitionBy("host").orderBy(
+        F.col("n_referrers").desc(), F.col("url").asc()
+    )
+    return fr.select(
+        "url",
+        "host",
+        F.row_number().over(w).cast("long").alias("wave"),
+        "n_referrers",
+        "authority",
+    )
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,6 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "kmeans_centroids": q_kmeans,
         "link_graph": q_link_graph,
+        "host_authority": q_host_authority,
+        "crawl_frontier": q_crawl_frontier,
+        "crawl_schedule": q_crawl_schedule,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "semdedup": q_semdedup,
@@ -1738,6 +1827,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": oracle.incremental_minhash_sql(),
         "kmeans_centroids": oracle.kmeans_sql(),
         "link_graph": oracle.link_graph_sql(),
+        "host_authority": oracle.host_authority_sql(damping=0.85, iters=3),
+        "crawl_frontier": oracle.crawl_frontier_sql(damping=0.85, iters=3),
+        "crawl_schedule": oracle.crawl_schedule_sql(damping=0.85, iters=3),
         "bpe_train": oracle.bpe_train_sql(n_merges=8),
         "bpe_vocab": oracle.bpe_vocab_sql(n_merges=8),
         "semdedup": oracle.semdedup_sql(),

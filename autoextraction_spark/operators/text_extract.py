@@ -8,6 +8,12 @@ Implementation: one Arrow-vectorized scalar pandas UDF (no per-row Python
 round-trips through the JVM). The extraction function is a frozen pure
 function — any change to it invalidates the committed golden fixtures, which
 is exactly the regression the fixtures exist to catch.
+
+Also home to the crawl-side html consumers (engine-new): hyperlink
+extraction (``page_links``), the host-level web graph
+(``host_link_graph``), and their downstream crawl-frontier composition in
+``__spark_entry__`` — the tables crawl scheduling, host-authority ranking
+and spam/link-farm detection start from.
 """
 
 from __future__ import annotations
@@ -66,46 +72,67 @@ def with_extracted_text(pages: DataFrame) -> DataFrame:
     return pages.withColumn("text", extract_text_udf(F.col("html"))).drop("html")
 
 
-def host_link_graph(
+def page_links(
     pages: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
-    """Hyperlink extraction + host-level web-graph aggregation (engine-new;
-    the crawl-side complement to the KG entity graph).
+    """Per-link hyperlink extraction from raw page html (engine-new).
 
-    Parses ``href="..."`` attributes out of the raw html with
-    ``regexp_extract_all`` (pure codegen — no Python in the path; the
-    pattern is in the RE2∩Java dialect subset, the pii_scrub rule),
-    resolves each link to a destination host (relative links resolve to the
-    page's own host — the host is what the graph aggregates, so path-level
-    resolution is unnecessary), and aggregates the (src_host, dst_host)
-    multigraph. This is the table crawl scheduling, host-authority ranking
-    and spam/link-farm detection all start from.
+    Parses ``href="..."`` attributes with ``regexp_extract_all`` (pure
+    codegen — no Python in the path; the pattern is in the RE2∩Java
+    dialect subset, the pii_scrub rule) and resolves each link: absolute
+    links keep their own host, relative links resolve against the page's
+    host (``target_url`` = scheme-https + page host + the relative path —
+    path-level base-href resolution is out of scope and documented so).
 
-    Output: (src_host, dst_host, is_intra, n_links, n_pages) — total links
-    and distinct linking pages per directed host pair.
+    Output: one row per extracted link —
+    (url, src_host, href, dst_host, target_url).
 
-    Scale shape (100 TB): the html column is consumed in the SAME projection
-    that discards it — only (url, href) survive the explode, so the page
-    payload never enters the shuffle; the aggregation is a map-side-
-    combinable groupBy keyed by host pair. Host-level skew (a hub host
-    linked from everywhere) is the classic AQE-splittable aggregate, same
-    as ``pipeline.salted_host_counts``.
+    Scale shape (100 TB): the html column is consumed in the SAME
+    projection that discards it — only (url, href) survive the explode, so
+    the page payload never enters any shuffle.
     """
     href_re = r'href="([^"]+)"'
     host_re = r"^https?://([^/]+)"
     links = pages.select(
         F.col(url_col).alias("url"),
         F.explode(
-            F.regexp_extract_all(F.col(html_col).cast("string"), F.lit(href_re), F.lit(1))
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(href_re), F.lit(1)
+            )
         ).alias("href"),
     )
     src_host = F.regexp_extract(F.col("url"), host_re, 1)
+    is_abs = F.col("href").rlike("^https?://")
     dst_host = F.when(
-        F.col("href").rlike("^https?://"),
-        F.regexp_extract(F.col("href"), host_re, 1),
+        is_abs, F.regexp_extract(F.col("href"), host_re, 1)
     ).otherwise(src_host)
-    edges = links.select(
-        src_host.alias("src_host"), dst_host.alias("dst_host"), "url"
+    target_url = F.when(is_abs, F.col("href")).otherwise(
+        F.concat(F.lit("https://"), src_host, F.col("href"))
+    )
+    return links.select(
+        "url",
+        src_host.alias("src_host"),
+        "href",
+        dst_host.alias("dst_host"),
+        target_url.alias("target_url"),
+    )
+
+
+def host_link_graph(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Host-level web-graph aggregation over :func:`page_links` (the
+    crawl-side complement to the KG entity graph).
+
+    Output: (src_host, dst_host, is_intra, n_links, n_pages) — total links
+    and distinct linking pages per directed host pair.
+
+    Scale shape: map-side-combinable groupBy keyed by host pair. Host-level
+    skew (a hub host linked from everywhere) is the classic AQE-splittable
+    aggregate, same as ``pipeline.salted_host_counts``.
+    """
+    edges = page_links(pages, html_col, url_col).select(
+        "src_host", "dst_host", "url"
     )
     return (
         edges.groupBy("src_host", "dst_host")

@@ -1562,13 +1562,17 @@ def pii_scrub_sql() -> str:
     return sql
 
 
-def pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
-    """Replicates operators.graph.entity_pagerank over the gold triple
-    graph: fixed-depth damped PageRank with uniform dangling redistribution,
-    unrolled one CTE per iteration. Float literals are embedded via repr()
-    of the SAME python values the Spark plan uses, and the expression tree
-    mirrors the Spark column expression term-for-term, so the only drift
-    source is float-sum ordering — absorbed by round(…, 6) on both sides."""
+def _pagerank_parts(
+    setup: str, damping: float, iters: int, alias: str = "entity"
+) -> tuple[str, str, str]:
+    """Shared damped-PageRank unroller: ``setup`` is a WITH-body fragment
+    whose LAST CTE must be ``e(src, dst)`` (the distinct edge list). The
+    recurrence mirrors operators.graph.entity_pagerank term-for-term
+    (uniform dangling redistribution, round(…, 6)); float literals are
+    embedded via repr() of the SAME python values the Spark plan uses, so
+    the only drift source is float-sum ordering — absorbed by the round.
+    Returns (complete query, WITH-body for composition, final rank CTE
+    name)."""
     d = float(damping)
     omd = 1.0 - d
     prev = "r0"
@@ -1587,9 +1591,7 @@ r{k} AS (
              WHERE r.out_deg > 0 GROUP BY e.dst) c ON b.node = c.dst
 )"""
         prev = f"r{k}"
-    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
-g AS (SELECT DISTINCT {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
-e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+    body = f"""{setup},
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
 idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst),
@@ -1598,10 +1600,27 @@ base AS (SELECT node, coalesce(od.out_deg, 0) AS out_deg,
          FROM nodes LEFT JOIN od ON node = od.src
                     LEFT JOIN idg ON node = idg.dst),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
-r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ctes}
-SELECT b.node AS entity, CAST(b.out_deg AS BIGINT) AS out_deg,
+r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ctes}"""
+    return f"""WITH {body}
+SELECT b.node AS {alias}, CAST(b.out_deg AS BIGINT) AS out_deg,
        CAST(b.in_deg AS BIGINT) AS in_deg, round(r.rank, 6) AS pagerank
-FROM base b JOIN {prev} r ON b.node = r.node"""
+FROM base b JOIN {prev} r ON b.node = r.node""", body, prev
+
+
+def _pagerank_unrolled(
+    setup: str, damping: float, iters: int, alias: str = "entity"
+) -> str:
+    return _pagerank_parts(setup, damping, iters, alias)[0]
+
+
+def pagerank_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates operators.graph.entity_pagerank over the gold triple
+    graph: fixed-depth damped PageRank with uniform dangling redistribution,
+    unrolled one CTE per iteration (see _pagerank_unrolled)."""
+    setup = f"""{_DOCS_CTE}, {_FACTS_CTE},
+g AS (SELECT DISTINCT {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g)"""
+    return _pagerank_unrolled(setup, damping, iters, "entity")
 
 
 def _gold_graph_ctes(canonical: bool = False) -> str:
@@ -2863,14 +2882,14 @@ SELECT s.node, s.scc_id, sz.scc_size
 FROM scc s JOIN sizes sz USING (scc_id)"""
 
 
-def link_graph_sql() -> str:
-    """Replicates __spark_entry__.q_link_graph +
-    operators.text_extract.host_link_graph: byte-identical injected html,
-    regexp href extraction, host-pair aggregation."""
+def _link_edges_ctes() -> str:
+    """WITH-body fragment shared by the link-graph family: byte-identical
+    injected html per doc, href extraction, per-link host resolution —
+    ends with CTE ``le(src_host, dst_host, url)``."""
     host = lambda t: (  # noqa: E731 - schema.host_id rule in SQL
         f"CAST(CASE WHEN ({t}) % 5 = 0 THEN 0 ELSE ({t}) % 97 END AS VARCHAR)"
     )
-    return f"""WITH pages AS (
+    return f"""pages AS (
   SELECT 'https://site' || {host('doc_id')} || '.example.com/page/'
            || CAST(doc_id AS VARCHAR) AS url,
          '<html><body>'
@@ -2886,13 +2905,74 @@ def link_graph_sql() -> str:
 links AS (
   SELECT url, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
   FROM pages),
-e AS (
+le AS (
   SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
          CASE WHEN regexp_matches(href, '^https?://')
               THEN regexp_extract(href, '^https?://([^/]+)', 1)
               ELSE regexp_extract(url, '^https?://([^/]+)', 1) END AS dst_host,
+         CASE WHEN regexp_matches(href, '^https?://')
+              THEN href
+              ELSE 'https://' || regexp_extract(url, '^https?://([^/]+)', 1)
+                   || href END AS target_url,
          url
-  FROM links)
+  FROM links)"""
+
+
+def link_graph_sql() -> str:
+    """Replicates __spark_entry__.q_link_graph +
+    operators.text_extract.host_link_graph: byte-identical injected html,
+    regexp href extraction, host-pair aggregation."""
+    return f"""WITH {_link_edges_ctes()}
 SELECT src_host, dst_host, src_host = dst_host AS is_intra,
        count(*) AS n_links, count(DISTINCT url) AS n_pages
-FROM e GROUP BY src_host, dst_host"""
+FROM le GROUP BY src_host, dst_host"""
+
+
+def host_authority_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates __spark_entry__.q_host_authority: damped PageRank over
+    the DISTINCT cross-host link-graph edges (intra-host links excluded,
+    the standard host-authority convention)."""
+    setup = f"""{_link_edges_ctes()},
+e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM le
+      WHERE src_host <> dst_host)"""
+    return _pagerank_unrolled(setup, damping, iters, "host")
+
+
+def crawl_frontier_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates __spark_entry__.q_crawl_frontier: link targets absent
+    from the corpus urls, per-target referrer counts, host-authority join
+    (composes _link_edges_ctes with the _pagerank_parts WITH body — the
+    stage interfaces verify jointly, the training_pipeline precedent)."""
+    setup = f"""{_link_edges_ctes()},
+e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM le
+      WHERE src_host <> dst_host)"""
+    _, body, prev = _pagerank_parts(setup, damping, iters)
+    return f"""WITH {body},
+auth AS (SELECT b.node AS host, round(r.rank, 6) AS pagerank
+         FROM base b JOIN {prev} r ON b.node = r.node),
+corp AS (SELECT 'https://site'
+                || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                        ELSE doc_id % 97 END AS VARCHAR)
+                || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents),
+fr AS (SELECT l.target_url AS url, l.dst_host AS host,
+              count(*) AS n_links, count(DISTINCT l.url) AS n_referrers
+       FROM le l
+       WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.url = l.target_url)
+       GROUP BY l.target_url, l.dst_host)
+SELECT f.url, f.host, f.n_links, f.n_referrers,
+       coalesce(a.pagerank, 0.0) AS authority
+FROM fr f LEFT JOIN auth a ON f.host = a.host"""
+
+
+def crawl_schedule_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates __spark_entry__.q_crawl_schedule: per-host fetch waves
+    (row_number over a deterministic total order) on top of the frontier."""
+    frontier = crawl_frontier_sql(damping, iters)
+    return f"""WITH fr AS ({frontier})
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY n_referrers DESC, url) AS BIGINT)
+         AS wave,
+       n_referrers, authority
+FROM fr"""

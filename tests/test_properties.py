@@ -142,6 +142,9 @@ EXPECTED_PLAN_COUNTS = {
     "semantic_dedup": (1, 1, 0),
     "kg_scc": (0, 2, 0),
     "link_graph": (1, 0, 0),
+    "host_authority": (0, 4, 0),
+    "crawl_frontier": (2, 4, 0),
+    "crawl_schedule": (2, 4, 0),
     "bpe_train": (0, 8, 0),
     "bpe_vocab": (0, 1, 0),
     "token_stats": (1, 0, 0),

@@ -71,3 +71,22 @@ def test_host_link_graph_extracts_and_aggregates(spark):
         ("b.com", "a.com"): (False, 1, 1),
         # c.com page has no hrefs -> no edge rows at all
     }
+
+
+def test_page_links_resolves_targets(spark):
+    from autoextraction_spark.operators.text_extract import page_links
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p1",
+          b'<a href="https://b.com/x">t</a><a href="/rel">r</a>')],
+        "url string, html binary",
+    )
+    got = {
+        r.href: (r.src_host, r.dst_host, r.target_url)
+        for r in page_links(pages).collect()
+    }
+    assert got == {
+        "https://b.com/x": ("a.com", "b.com", "https://b.com/x"),
+        # relative links resolve against the page host, scheme https
+        "/rel": ("a.com", "a.com", "https://a.com/rel"),
+    }
