@@ -371,6 +371,40 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.strongly_connected(edges, max_depth=8)
 
 
+def q_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical evidence paths for every hop-bounded closure pair of the
+    ``acquired`` graph: ONE deterministic minimal-depth witness path per
+    (src, dst), chosen by the per-hop greedy-min rule — the explanation
+    shown next to each inferred transitive-control fact."""
+    t = _pipeline_triples(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return graph.canonical_paths(edges, max_depth=8)
+
+
+def q_kg_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level entity co-occurrence PMI over the extracted triples —
+    the distributional association table (high-PMI pairs WITHOUT an
+    explicit edge are relation-discovery candidates). One checkpointed
+    (page, entity) projection feeds N, the marginals, and the page-keyed
+    pair join."""
+    t = _pipeline_triples(spark, sf_dir)
+    return graph.entity_pmi(t)
+
+
+def q_kg_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation + longest-path topological levels of the
+    ``acquired`` graph — the parallel rule-evaluation schedule over a
+    cyclic KG (level L runs after all levels < L). Composes
+    strongly_connected with the condensation BFS-layer walk."""
+    t = _pipeline_triples(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return graph.condensation_levels(edges, max_depth=8)
+
+
 def q_kg_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distances from a 2-entity seed set over the full directed
     entity graph (all predicates) — the n-hop evidence-subgraph primitive."""
@@ -973,6 +1007,52 @@ def q_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (CCNet/XLM-R/LLaMA rule,
+    tau=0.5): keep rates DERIVED from the corpus lang distribution —
+    q ∝ p^0.5 realized as subsample-only — applied via the portable-hash
+    threshold. en (44% of the corpus) is downsampled to ≈0.54, the rarest
+    language keeps every row."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return compose.temperature_mixture(docs, tau=0.5, stratum_col="lang")
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection over content digests: every 10th page
+    (doc_id % 10 == 3) serves a COPY of page doc_id-3's text — a planted
+    cross-host mirror (deterministic self-join injection; the corpus has
+    no natural cross-host duplicates, measured) — then host pairs sharing
+    exact-content digests are scored by digest-set Jaccard, with the
+    stop-digest skew rule bounding viral boilerplate. Hosts derive from
+    the schema.host_id arithmetic."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    mir = (
+        docs.filter(d % 10 == 3)
+        .select("doc_id", (d - 3).alias("src_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+        )
+        .select("doc_id", "text")
+    )
+    both = docs.filter(~(d % 10 == 3)).select("doc_id", "text").union(mir)
+    host = F.concat(
+        F.lit("site"),
+        F.when(d % 5 == 0, F.lit(0)).otherwise(d % 97).cast("string"),
+    )
+    pages = both.select(host.alias("host"), "text")
+    return dedup.host_mirror_pairs(pages, max_hosts_per_digest=20)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24 — 8-token
+    overlap): the RAG-ingestion / long-document training split. Pure
+    codegen, zero shuffles; every token covered, last chunk short but
+    never empty."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return compose.chunk_tokens(docs, window=32, stride=24)
+
+
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl scheduling over the frontier: within each
     host, urls are assigned fetch waves (row_number ordered by referrer
@@ -1016,6 +1096,16 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vocab.json`` materialized distributedly."""
     docs = _read(spark, sf_dir, "documents").select("text")
     return bpe.bpe_subword_vocab(docs, n_merges=8)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language under the corpus-trained BPE
+    merges — avg subword segments per word, the diagnostic that shows
+    which languages a shared tokenizer under-serves (they pay more
+    sequence length per word). Trains corpus-wide, evaluates per lang via
+    ONE word-keyed join against the trained vocabulary."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    return bpe.bpe_fertility(docs, n_merges=8, stratum_col="lang")
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,6 +1752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
+        "kg_toposort": q_kg_toposort,
+        "kg_pmi": q_kg_pmi,
+        "kg_paths": q_kg_paths,
         "kg_centrality": q_kg_centrality,
         "kg_delta": q_kg_delta,
         "kg_transe": q_kg_transe,
@@ -1703,8 +1796,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_authority": q_host_authority,
         "crawl_frontier": q_crawl_frontier,
         "crawl_schedule": q_crawl_schedule,
+        "temperature_mix": q_temperature_mix,
+        "chunk_docs": q_chunk_docs,
+        "mirror_hosts": q_mirror_hosts,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        "bpe_fertility": q_bpe_fertility,
         "semdedup": q_semdedup,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1785,6 +1882,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracle.triangles_sql(),
         "kg_kcore": oracle.k_core_sql(k=3),
         "kg_scc": oracle.scc_sql(pred="acquired", max_depth=8),
+        "kg_toposort": oracle.toposort_sql(pred="acquired", max_depth=8),
+        "kg_pmi": oracle.entity_pmi_sql(),
+        "kg_paths": oracle.canonical_paths_sql(pred="acquired", max_depth=8),
         "kg_centrality": oracle.harmonic_centrality_sql(max_depth=4),
         "kg_delta": oracle.incremental_delta_sql(mod=10),
         "kg_transe": oracle.transe_sql(),
@@ -1830,8 +1930,12 @@ def oracle_sql() -> dict[str, str]:
         "host_authority": oracle.host_authority_sql(damping=0.85, iters=3),
         "crawl_frontier": oracle.crawl_frontier_sql(damping=0.85, iters=3),
         "crawl_schedule": oracle.crawl_schedule_sql(damping=0.85, iters=3),
+        "temperature_mix": oracle.temperature_mixture_sql(tau=0.5),
+        "chunk_docs": oracle.chunk_tokens_sql(window=32, stride=24),
+        "mirror_hosts": oracle.mirror_hosts_sql(max_hosts_per_digest=20),
         "bpe_train": oracle.bpe_train_sql(n_merges=8),
         "bpe_vocab": oracle.bpe_vocab_sql(n_merges=8),
+        "bpe_fertility": oracle.bpe_fertility_sql(n_merges=8),
         "semdedup": oracle.semdedup_sql(),
         "decontaminate": oracle.decontaminate_sql(n=5, threshold=0.05),
         "pii_scrub": oracle.pii_scrub_sql(),

@@ -126,7 +126,7 @@ def _bpe_loop(
     """Run the merge loop; return (per-step 1-row best DFs, final vocab)."""
     vocab = _ckpt(
         word_vocab(df, text_col).select(
-            _symbolize(F.col("word")).alias("r"), "freq"
+            "word", _symbolize(F.col("word")).alias("r"), "freq"
         )
     )
     steps: list[DataFrame] = []
@@ -146,7 +146,7 @@ def _bpe_loop(
             vocab.crossJoin(
                 F.broadcast(best.select(F.col("pair").alias("_p")))
             ).select(
-                _apply_merge(F.col("r"), F.col("_p")).alias("r"), "freq"
+                "word", _apply_merge(F.col("r"), F.col("_p")).alias("r"), "freq"
             )
         )
     return steps, vocab
@@ -182,4 +182,47 @@ def bpe_subword_vocab(
     )
     return toks.groupBy("token").agg(
         F.sum("freq").alias("freq"), F.count(F.lit(1)).alias("n_words")
+    )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per stratum — THE tokenizer-quality diagnostic
+    for multilingual corpora (avg subword tokens per whitespace word;
+    fertility ≫ 1 for a language means the merges under-serve it and its
+    documents cost proportionally more sequence length). Trains the merges
+    on the WHOLE corpus, then evaluates per stratum:
+
+        fertility(s) = Σ_w n_s(w) · |segments(w)|  /  Σ_w n_s(w)
+
+    ``|segments(w)|`` counts the symbols of the word's final representation
+    (an unmerged terminal ``</w>`` counts as a symbol — documented
+    convention, identical in both engines). Output: (stratum, n_words,
+    n_subwords, fertility), fertility rounded to 6.
+
+    Scale shape: the word→segment-count mapping is the (already
+    checkpointed) trained vocabulary — evaluation is ONE word-keyed
+    equi-join of the per-stratum word counts against it plus a k-row
+    aggregation; the corpus is scanned once more for the stratum counts.
+    """
+    _, vocab = _bpe_loop(df, n_merges, text_col)
+    mapping = vocab.select(
+        "word", F.size(F.split(F.col("r"), " ")).cast("long").alias("n_sub")
+    )
+    words = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    per = words.groupBy("stratum", "word").agg(F.count(F.lit(1)).alias("n"))
+    j = per.join(mapping, "word")
+    return j.groupBy("stratum").agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_sub")).alias("n_subwords"),
+        F.round(
+            F.sum(F.col("n") * F.col("n_sub")) / F.sum("n"), 6
+        ).alias("fertility"),
     )

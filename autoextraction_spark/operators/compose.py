@@ -169,3 +169,122 @@ def hash_split(
     for name, b in list(zip(names[:-1], bounds))[::-1]:
         expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+#: boundary-avoiding offset added to data-derived keep rates AFTER the
+#: round(·, 9) quantization: an exact binary fraction (2^-36 ≈ 1.46e-11)
+#: far above cross-engine float-sum noise and far below the 1e-9 grid
+#: pitch, so hash-threshold comparisons never land on a value the two
+#: engines could quantize apart (the kge.QUANT_EPS rationale).
+RATE_EPS = 2.0 ** -36
+
+
+def temperature_mixture(
+    df: DataFrame,
+    tau: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "|tmix",
+) -> DataFrame:
+    """Temperature-based mixture sampling: rebalance strata toward
+    q_s ∝ p_s^tau (the multilingual/domain rebalancing rule of
+    CCNet / XLM-R / the LLaMA data mixture; tau < 1 upsamples the tail),
+    realized as SUBSAMPLING ONLY — per-stratum keep rate
+
+        r_s = (q_s / p_s) / max_t (q_t / p_t)
+
+    so the stratum with the highest boost keeps every row (rate 1) and no
+    row is ever duplicated. Unlike :func:`mixture_sample` (caller-fixed
+    rate literals), the rates here are DERIVED FROM THE CORPUS — the
+    stratum-count aggregation, normalizations and the max are all computed
+    as tiny DataFrames and broadcast back; no driver collect.
+
+    The per-row keep decision reuses the portable 60-bit hash:
+    keep iff hash60(id) < r_s·2^60, with r_s quantized to 9 decimals plus
+    :data:`RATE_EPS` in BOTH engines. pow/float-sum 1-ulp engine
+    differences are absorbed by the quantization except exactly on a
+    0.5e-9 rounding boundary (the kge trajectory caveat — a mitigation,
+    not a guarantee; observed exact at the tested scale factors).
+
+    Returns the kept rows as (id, stratum, rate), rate rounded to 6.
+
+    Scale shape (100 TB): one map-side-combinable stratum count over the
+    corpus; everything derived from it is k rows (k = #strata), combined
+    via broadcast crossJoins of 1-row aggregates (the no-collect loop
+    idiom); the keep filter is a broadcast equi-join + codegen comparison —
+    the corpus is never shuffled.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # the stratum counts feed FIVE derivations (total, shares, Z, max,
+    # rates) — checkpoint the k-row table once so none of them replays the
+    # corpus aggregation (the recompute-bug class the plan pins exist for)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    tot = counts.agg(F.sum("n").cast("double").alias("n_tot"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, (F.col("n") / F.col("n_tot")).alias("p")
+    )
+    w = shares.select(
+        stratum_col, "p", F.pow(F.col("p"), F.lit(float(tau))).alias("w")
+    )
+    z = w.agg(F.sum("w").alias("w_tot"))
+    ratio = w.crossJoin(F.broadcast(z)).select(
+        stratum_col, (F.col("w") / F.col("w_tot") / F.col("p")).alias("ratio")
+    )
+    mx = ratio.agg(F.max("ratio").alias("mr"))
+    rates = ratio.crossJoin(F.broadcast(mx)).select(
+        stratum_col,
+        (F.round(F.col("ratio") / F.col("mr"), 9) + F.lit(RATE_EPS)).alias("rate"),
+    )
+    h = portable_hash64(F.col(id_col).cast("string"), seed).cast("double")
+    kept = df.join(F.broadcast(rates), stratum_col).filter(
+        h < F.col("rate") * F.lit(float(HASH_SPACE))
+    )
+    return kept.select(
+        id_col, stratum_col, F.round(F.col("rate"), 6).alias("rate")
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-ingestion / long-document
+    training split: chunk k of a document covers whitespace tokens
+    [k·stride, k·stride + window), for k = 0 .. floor((n-1)/stride), so
+    every token is covered, consecutive chunks overlap by
+    ``window - stride`` tokens, and the last chunk may be short (never
+    empty). stride == window gives :func:`pack_sequences`-style disjoint
+    chunks; stride < window is the retrieval-friendly overlap.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk) — one row per chunk,
+    chunk re-joined with single spaces.
+
+    Scale shape: pure codegen (split / sequence / slice / posexplode) —
+    a zero-shuffle map operator; output size is input tokens ×
+    window/stride, the caller's knob.
+    """
+    if not 1 <= stride <= window:
+        raise ValueError(f"need 1 <= stride <= window, got {stride}/{window}")
+    t = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    return t.select(
+        id_col,
+        F.size("toks").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(toks) - 1) div {stride}),"
+                f" k -> array_join(slice(toks, k * {stride} + 1, {window}), ' '))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(window), F.col("n") - F.col("chunk_id") * stride)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        "chunk",
+    )

@@ -737,3 +737,175 @@ def strongly_connected(edges: DataFrame, max_depth: int = 8) -> DataFrame:
     scc = _ckpt(pairs.groupBy("node").agg(F.min("peer").alias("scc_id")))
     sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
     return scc.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+def condensation_levels(
+    edges: DataFrame, max_depth: int = 8, max_levels: int = 32
+) -> DataFrame:
+    """SCC condensation + topological levels — the scheduling table a
+    reasoner derives from :func:`strongly_connected`: collapse each SCC to
+    one node, then assign every condensation node its LONGEST-path depth
+    from any root (a node with no incoming cross-SCC edge). Level L can be
+    processed once levels < L are done, so the output is the parallel
+    evaluation schedule for rule application over a cyclic KG.
+
+    Method: map both edge endpoints through the SCC labels, drop intra-SCC
+    edges, distinct — the condensation is a DAG by construction. Then BFS
+    layers WITHOUT an anti-join: frontier_d = nodes with an incoming path
+    of length exactly d from a root, so max d per node IS the longest-path
+    level (re-visits at deeper depths are the point, unlike
+    transitive_closure's minimal-depth semi-naive rule). The frontier
+    drains in ≤ (longest path) rounds because the DAG has no cycles;
+    ``max_levels`` is the converge-or-raise guard (k_core rule).
+
+    Output: (node, scc_id, level) for every entity in the edge set.
+
+    Scale shape: the SCC labeling is checkpointed once and both mapping
+    joins are entity-keyed; each level round is ONE equi-join + distinct
+    over the (small) condensation; per-round eager checkpoints provide the
+    convergence probe.
+    """
+    scc = _eager(strongly_connected(edges, max_depth).select("node", "scc_id"))
+    ce = _eager(
+        edges.join(scc.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("scc_id", "c_src")
+        .join(
+            scc.withColumnRenamed("node", "dst").withColumnRenamed("scc_id", "c_dst"),
+            "dst",
+        )
+        .filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    nodes = scc.select(F.col("scc_id").alias("c")).distinct()
+    roots = nodes.join(
+        ce.select(F.col("dst").alias("c")).distinct(), "c", "left_anti"
+    )
+    arrivals = roots.withColumn("d", F.lit(0))
+    frontier = arrivals
+    for d in range(1, max_levels + 1):
+        nxt = _eager(
+            frontier.join(ce, frontier["c"] == ce["src"])
+            .select(F.col("dst").alias("c"))
+            .distinct()
+            .withColumn("d", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        arrivals = arrivals.union(nxt)
+        frontier = nxt
+    else:
+        raise ValueError(
+            f"condensation deeper than max_levels={max_levels} "
+            "(should be impossible on a DAG of this size — raise the cap)"
+        )
+    levels = arrivals.groupBy("c").agg(F.max("d").alias("level"))
+    return scc.join(levels, scc["scc_id"] == levels["c"]).select(
+        "node", "scc_id", "level"
+    )
+
+
+def entity_pmi(triples: DataFrame, url_col: str = "url") -> DataFrame:
+    """Pointwise mutual information of entity pairs co-occurring on the
+    same page — the distributional association signal next to the explicit
+    KG edges (entities that co-occur far above chance but share no
+    extracted triple are the relation-discovery / KG-completion candidates
+    a curation team reviews).
+
+        pmi(x, y) = ln( N · c_xy / (c_x · c_y) )
+
+    over page-level co-occurrence counts: N = pages with ≥1 entity,
+    c_x = pages mentioning x, c_xy = pages mentioning both. Output:
+    (e1, e2, c_pair, pmi) for each unordered pair (e1 < e2), pmi rounded
+    to 6 (ln is libm, the lm_perplexity 1-ulp rule).
+
+    Scale shape: ONE distinct (page, entity) projection, checkpointed,
+    feeds all three counts; the pair join is page-keyed, so its output is
+    quadratic only in entities-per-page (bounded by extraction), never in
+    corpus size; N is a 1-row broadcast crossJoin, the marginal joins are
+    entity-keyed.
+    """
+    ue = _ckpt(
+        triples.select(
+            F.col(url_col).alias("u"),
+            F.explode(F.array("subj", "obj")).alias("e"),
+        ).distinct()
+    )
+    nn = ue.agg(F.count_distinct("u").cast("double").alias("n_docs"))
+    cx = ue.groupBy("e").agg(F.count(F.lit(1)).alias("c"))
+    pr = (
+        ue.alias("a")
+        .join(
+            ue.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.e") < F.col("b.e")),
+        )
+        .groupBy(F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    return (
+        pr.join(cx.withColumnRenamed("e", "e1").withColumnRenamed("c", "c1"), "e1")
+        .join(cx.withColumnRenamed("e", "e2").withColumnRenamed("c", "c2"), "e2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "e1",
+            "e2",
+            "c_pair",
+            F.round(
+                F.log(
+                    F.col("n_docs") * F.col("c_pair")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def canonical_paths(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Evidence paths: for every (src, dst) of the hop-bounded closure,
+    ONE deterministic minimal-depth path rendered ``src->…->dst`` — the
+    explanation a KG consumer shows next to an inferred fact ("who
+    transitively controls whom, and through which chain").
+
+    Canonicalization rule: per-hop greedy minimum — each BFS round keeps,
+    per newly reached (src, node) pair, the lexicographically smallest
+    path string among that round's arrivals, and only those survivors are
+    extended. Deterministic and engine-independent by construction. (When
+    node names contain characters ordering below ``'-'`` — e.g. spaces —
+    the greedy choice is not always the GLOBAL lexicographic minimum over
+    all min-depth paths; documented: the contract is "a canonical
+    witness", chosen by a fixed rule, not a specific global extremum.)
+
+    Scale shape: the closure's semi-naive discipline (new pairs only via
+    anti-join against known pairs, per-round eager checkpoints, edge set
+    materialized once) with ONE extra per-round map-side-combinable
+    min(path) aggregation; path strings carried only for surviving pairs,
+    so state is O(closure), never O(all paths).
+    """
+    e = _eager(edges.select("src", "dst").distinct())
+    p = e.select(
+        "src", "dst", F.concat(F.col("src"), F.lit("->"), F.col("dst")).alias("path")
+    ).withColumn("depth", F.lit(1))
+    paths = p
+    known = e
+    frontier = p
+    for d in range(2, max_depth + 1):
+        nxt = _eager(
+            frontier.alias("p")
+            .join(e.alias("q"), F.col("p.dst") == F.col("q.src"))
+            .select(
+                F.col("p.src").alias("src"),
+                F.col("q.dst").alias("dst"),
+                F.concat(F.col("p.path"), F.lit("->"), F.col("q.dst")).alias("path"),
+            )
+            .join(known, ["src", "dst"], "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.min("path").alias("path"))
+            .withColumn("depth", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        paths = paths.union(nxt)
+        known = _ckpt(known.union(nxt.select("src", "dst")))
+        frontier = nxt
+    return paths.select("src", "dst", "depth", "path")

@@ -2813,7 +2813,8 @@ def _bpe_ctes(n_merges: int, table: str = "documents") -> tuple[str, str]:
      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
      WHERE word <> '' GROUP BY word),
 v0 AS MATERIALIZED (
-  SELECT concat(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' </w>') AS r,
+  SELECT word,
+         concat(trim(regexp_replace(word, '(.)', '\\1 ', 'g')), ' </w>') AS r,
          freq
   FROM w)"""
     prev = "v0"
@@ -2832,7 +2833,7 @@ p{i} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
     FROM {prev}) GROUP BY pair),
 b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
 v{i} AS MATERIALIZED (
-  SELECT trim({rewritten}) AS r, v.freq FROM {prev} v, b{i} b)"""
+  SELECT v.word, trim({rewritten}) AS r, v.freq FROM {prev} v, b{i} b)"""
         prev = f"v{i}"
     return ctes, prev
 
@@ -2858,10 +2859,12 @@ FROM (SELECT freq, unnest(string_split(r, ' ')) AS token FROM {final})
 GROUP BY token"""
 
 
-def scc_sql(pred: str = "acquired", max_depth: int = 8) -> str:
-    """Replicates operators.graph.strongly_connected over the gold
-    ``pred`` edges: hop-bounded mutual reachability, min-node SCC labels."""
-    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+def _scc_ctes(pred: str = "acquired", max_depth: int = 8) -> str:
+    """WITH-body fragment (requires WITH RECURSIVE) replicating
+    operators.graph.strongly_connected over the gold ``pred`` edges:
+    hop-bounded mutual reachability, min-node SCC labels. Defines
+    ``e(src, dst)``, ``scc(node, scc_id)`` and ``sizes``."""
+    return f"""{_gold_graph_ctes()},
 e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = {sql_str(pred)}),
 paths(src, dst, depth) AS (
   SELECT src, dst, 1 FROM e
@@ -2877,9 +2880,41 @@ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 pairs AS (SELECT node, peer FROM mutual
           UNION ALL SELECT node, node FROM nodes),
 scc AS (SELECT node, min(peer) AS scc_id FROM pairs GROUP BY node),
-sizes AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)
+sizes AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY scc_id)"""
+
+
+def scc_sql(pred: str = "acquired", max_depth: int = 8) -> str:
+    """Replicates operators.graph.strongly_connected over the gold
+    ``pred`` edges: hop-bounded mutual reachability, min-node SCC labels."""
+    return f"""WITH RECURSIVE {_scc_ctes(pred, max_depth)}
 SELECT s.node, s.scc_id, sz.scc_size
 FROM scc s JOIN sizes sz USING (scc_id)"""
+
+
+def toposort_sql(
+    pred: str = "acquired", max_depth: int = 8, max_levels: int = 32
+) -> str:
+    """Replicates operators.graph.condensation_levels: SCC condensation
+    (cross-SCC distinct edges) + longest-path levels from the roots,
+    enumerated by a depth-bounded recursive walk (the condensation is a
+    DAG, so max(d) per node is the longest-path level)."""
+    return f"""WITH RECURSIVE {_scc_ctes(pred, max_depth)},
+ce AS (SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+       FROM e JOIN scc s1 ON e.src = s1.node
+              JOIN scc s2 ON e.dst = s2.node
+       WHERE s1.scc_id <> s2.scc_id),
+cn AS (SELECT DISTINCT scc_id AS c FROM scc),
+roots AS (SELECT c FROM cn
+          WHERE c NOT IN (SELECT dst FROM ce)),
+walk(c, d) AS (
+  SELECT c, 0 FROM roots
+  UNION
+  SELECT ce.dst, w.d + 1 FROM walk w JOIN ce ON w.c = ce.src
+  WHERE w.d < {max_levels}
+),
+levels AS (SELECT c, max(d) AS level FROM walk GROUP BY c)
+SELECT s.node, s.scc_id, CAST(l.level AS INT) AS level
+FROM scc s JOIN levels l ON s.scc_id = l.c"""
 
 
 def _link_edges_ctes() -> str:
@@ -2976,3 +3011,141 @@ SELECT url, host,
          AS wave,
        n_referrers, authority
 FROM fr"""
+
+
+def temperature_mixture_sql(
+    tau: float = 0.5, seed: str = "|tmix", table: str = "documents",
+    stratum: str = "lang",
+) -> str:
+    """Replicates operators.compose.temperature_mixture: corpus-derived
+    q ∝ p^tau keep rates (subsample-only normalization), quantized to 9
+    decimals + RATE_EPS, portable-hash threshold keep decision."""
+    from .operators.compose import HASH_SPACE, RATE_EPS
+
+    h = _H60.format(seed=seed)
+    return f"""WITH cnt AS (
+  SELECT {stratum} AS s, count(*) AS n FROM {table} GROUP BY {stratum}),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS N FROM cnt),
+shares AS (SELECT s, n / (SELECT N FROM tot) AS p FROM cnt),
+w AS (SELECT s, p, power(p, {float(tau)!r}) AS w FROM shares),
+z AS (SELECT sum(w) AS Z FROM w),
+ratio AS (SELECT s, w / (SELECT Z FROM z) / p AS ratio FROM w),
+mx AS (SELECT max(ratio) AS mr FROM ratio),
+rates AS (SELECT s, round(ratio / (SELECT mr FROM mx), 9) + {RATE_EPS!r} AS rate
+          FROM ratio)
+SELECT d.doc_id, d.{stratum}, round(r.rate, 6) AS rate
+FROM {table} d JOIN rates r ON d.{stratum} = r.s
+WHERE CAST({h} AS DOUBLE) < r.rate * {float(HASH_SPACE)!r}"""
+
+
+def chunk_tokens_sql(
+    window: int = 32, stride: int = 24, table: str = "documents"
+) -> str:
+    """Replicates operators.compose.chunk_tokens: overlapping token-window
+    chunking via list slicing (DuckDB 1-based inclusive slices clamp
+    exactly like Spark's slice(start, length))."""
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_id,
+       CAST(least({window}, len(toks) - k * {stride}) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[k * {stride} + 1 : k * {stride} + {window}], ' ')
+         AS chunk
+FROM t, unnest(range(0, (len(toks) - 1) // {stride} + 1)) AS u(k)"""
+
+
+def mirror_hosts_sql(max_hosts_per_digest: int = 20) -> str:
+    """Replicates __spark_entry__.q_mirror_hosts +
+    operators.dedup.host_mirror_pairs: planted cross-host mirrors
+    (doc_id % 10 == 3 serves doc_id-3's text), digest-overlap host pairs,
+    stop-digest exclusion, digest-set Jaccard."""
+    return f"""WITH d0 AS (SELECT doc_id, text FROM documents),
+mir AS (SELECT a.doc_id, b.text FROM d0 a
+        JOIN d0 b ON b.doc_id = a.doc_id - 3
+        WHERE a.doc_id % 10 = 3),
+alld AS (SELECT doc_id, text FROM d0 WHERE doc_id % 10 <> 3
+         UNION ALL SELECT doc_id, text FROM mir),
+hd AS (SELECT DISTINCT
+         'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                        ELSE doc_id % 97 END AS VARCHAR) AS host,
+         md5(text) AS dg
+       FROM alld),
+hot AS (SELECT dg FROM hd GROUP BY dg
+        HAVING count(*) > {max_hosts_per_digest}),
+hd2 AS (SELECT * FROM hd WHERE dg NOT IN (SELECT dg FROM hot)),
+sz AS (SELECT host, count(*) AS n FROM hd2 GROUP BY host),
+sh AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+       FROM hd2 a JOIN hd2 b ON a.dg = b.dg AND a.host < b.host
+       GROUP BY a.host, b.host)
+SELECT host_a, host_b, shared, s1.n AS n_a, s2.n AS n_b,
+       round(shared * 1.0 / (s1.n + s2.n - shared), 6) AS jaccard
+FROM sh JOIN sz s1 ON host_a = s1.host JOIN sz s2 ON host_b = s2.host"""
+
+
+def bpe_fertility_sql(
+    n_merges: int = 8, table: str = "documents", stratum: str = "lang"
+) -> str:
+    """Replicates operators.bpe.bpe_fertility: merges trained corpus-wide,
+    fertility (avg segments per word) evaluated per stratum."""
+    ctes, final = _bpe_ctes(n_merges, table)
+    return f"""WITH {ctes},
+mapping AS (SELECT word, CAST(len(string_split(r, ' ')) AS BIGINT) AS n_sub
+            FROM {final}),
+pw AS (SELECT {stratum} AS stratum, word, count(*) AS n FROM (
+         SELECT {stratum}, unnest(string_split(text, ' ')) AS word
+         FROM {table}) WHERE word <> '' GROUP BY {stratum}, word)
+SELECT stratum,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * m.n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n * m.n_sub) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+         AS fertility
+FROM pw JOIN mapping m USING (word)
+GROUP BY stratum"""
+
+
+def entity_pmi_sql() -> str:
+    """Replicates operators.graph.entity_pmi over the per-document gold
+    facts: page-level entity co-occurrence PMI."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+gd AS (SELECT DISTINCT doc_id, {_subj_expr()} AS subj, {_obj_expr(False)} AS obj
+       FROM facts),
+ue AS (SELECT DISTINCT doc_id, e FROM (
+         SELECT doc_id, subj AS e FROM gd
+         UNION ALL SELECT doc_id, obj FROM gd)),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM ue),
+cx AS (SELECT e, count(*) AS c FROM ue GROUP BY e),
+pr AS (SELECT a.e AS e1, b.e AS e2, count(*) AS c_pair
+       FROM ue a JOIN ue b ON a.doc_id = b.doc_id AND a.e < b.e
+       GROUP BY a.e, b.e)
+SELECT e1, e2, c_pair,
+       round(ln((SELECT n_docs FROM nn) * c_pair / (c1.c * c2.c)), 6) AS pmi
+FROM pr JOIN cx c1 ON e1 = c1.e JOIN cx c2 ON e2 = c2.e"""
+
+
+def canonical_paths_sql(pred: str = "acquired", max_depth: int = 8) -> str:
+    """Replicates operators.graph.canonical_paths over the gold ``pred``
+    edges: per-round unrolled greedy-min BFS (new pairs via NOT EXISTS
+    against the accumulated known set, min(path) per pair per round —
+    post-fixpoint rounds are no-ops, the k_core unrolling rule)."""
+    ctes = f"""{_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g WHERE pred = {sql_str(pred)}),
+p1 AS (SELECT src, dst, src || '->' || dst AS path FROM e),
+k1 AS (SELECT src, dst FROM p1)"""
+    prev_p, prev_k = "p1", "k1"
+    for d in range(2, max_depth + 1):
+        ctes += f""",
+p{d} AS MATERIALIZED (
+  SELECT src, dst, min(path) AS path FROM (
+    SELECT p.src, q.dst, p.path || '->' || q.dst AS path
+    FROM {prev_p} p JOIN e q ON p.dst = q.src) n
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_k} k
+                    WHERE k.src = n.src AND k.dst = n.dst)
+  GROUP BY src, dst),
+k{d} AS (SELECT src, dst FROM {prev_k}
+         UNION ALL SELECT src, dst FROM p{d})"""
+        prev_p, prev_k = f"p{d}", f"k{d}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT src, dst, CAST({d} AS INT) AS depth, path FROM p{d}"
+        for d in range(1, max_depth + 1)
+    )
+    return f"WITH {ctes}\n{unions}"

@@ -123,3 +123,23 @@ def test_bpe_all_columns_integer_exact(spark):
     assert dict(out.dtypes) == {
         "step": "int", "pair": "string", "merged": "string", "cnt": "bigint"
     }
+
+
+def test_bpe_fertility_per_stratum(spark):
+    df = spark.createDataFrame(
+        [("en", "low low lower"), ("de", "lowest lowest")],
+        "lang string, text string",
+    )
+    got = {
+        r.stratum: (r.n_words, r.n_subwords, r.fertility)
+        for r in bpe.bpe_fertility(df, n_merges=3, stratum_col="lang").collect()
+    }
+    # independently recompute with the canonical reference
+    _, vocab = _py_bpe({"low": 2, "lower": 1, "lowest": 2}, 3)
+    segs = {"".join(s).replace(bpe.END_OF_WORD, ""): len(s) for s in vocab}
+    en = 2 * segs["low"] + segs["lower"]
+    de = 2 * segs["lowest"]
+    assert got == {
+        "en": (3, en, round(en / 3, 6)),
+        "de": (2, de, round(de / 2, 6)),
+    }

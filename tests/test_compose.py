@@ -118,3 +118,53 @@ def test_hash_split_partition_properties(strata):
     assert all(full_out[i] == s for i, s in half_out.items())
     with pytest.raises(ValueError):
         compose.hash_split(strata, {"a": 0.5, "b": 0.4})
+
+
+def test_temperature_mixture_rates_and_noop(spark):
+    from autoextraction_spark.operators.compose import temperature_mixture
+
+    rows = [(i, "a" if i < 80 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # tau=0.5 over p = (0.8, 0.2): ratio ∝ p^-0.5 → r_a = sqrt(0.2/0.8) = 0.5,
+    # r_b = 1 (the rarest stratum keeps every row)
+    out = temperature_mixture(df, tau=0.5).collect()
+    rates = {r.lang: r.rate for r in out}
+    assert rates == {"a": 0.5, "b": 1.0}
+    kept = {s: sum(1 for r in out if r.lang == s) for s in ("a", "b")}
+    assert kept["b"] == 20  # rate 1 keeps all
+    assert 25 <= kept["a"] <= 55  # hash-deterministic ≈ rate·n
+    # tau=1 is the identity mixture: every stratum at rate 1, nothing dropped
+    noop = temperature_mixture(df, tau=1.0).collect()
+    assert len(noop) == 100
+    assert {r.rate for r in noop} == {1.0}
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    from autoextraction_spark.operators.compose import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "solo")], "doc_id long, text string")
+    rows = sorted(
+        chunk_tokens(df, window=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    got = [(r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk) for r in rows]
+    # doc 1: starts 0,3,6,9 -> last chunk is the single trailing token
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+        (2, 0, 1, "solo"),
+    ]
+    # every token appears in some chunk; consecutive chunks overlap by 1
+    covered = set(" ".join(c for _, _, _, c in got[:4]).split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_tokens_rejects_bad_stride(spark):
+    from autoextraction_spark.operators.compose import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_tokens(df, window=4, stride=5)

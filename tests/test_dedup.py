@@ -295,3 +295,24 @@ def test_incremental_minhash_dedup_batch_first_occurrence_wins(spark):
     }
     assert out[10].keep                      # first occurrence in the batch
     assert not out[20].keep and out[20].dup_of == 10
+
+
+def test_host_mirror_pairs_jaccard_and_stop_digest(spark):
+    from autoextraction_spark.operators.dedup import host_mirror_pairs
+
+    rows = (
+        # hosts A and B mirror two pages; A has one unique page
+        [("A", "page one"), ("A", "page two"), ("A", "only on a"),
+         ("B", "page one"), ("B", "page two")]
+        # a boilerplate text on EVERY host must be stop-digest-excluded
+        + [(h, "cookie banner") for h in ("A", "B", "C", "D")]
+        # C and D share nothing real -> no pair row once boilerplate drops
+        + [("C", "c only"), ("D", "d only")]
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.n_a, r.n_b, r.jaccard)
+        for r in host_mirror_pairs(df, max_hosts_per_digest=3).collect()
+    }
+    # jaccard over digest sets WITHOUT the boilerplate: 2 / (3 + 2 - 2)
+    assert got == {("A", "B"): (2, 3, 2, round(2 / 3, 6))}

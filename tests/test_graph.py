@@ -402,3 +402,73 @@ def test_strongly_connected_hop_cap_splits_long_cycles(spark):
     assert capped == {
         "a": ("a", 2), "c": ("a", 2), "b": ("b", 2), "d": ("b", 2),
     }
+
+
+def test_condensation_levels_longest_path(spark):
+    # cycle {a,b,c} fed by root d, feeding e; plus a long alternative path
+    # d->x->y->e so e's LONGEST-path level (3) beats its shortest (2)
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "e"),
+         ("d", "x"), ("x", "y"), ("y", "e")],
+        "src string, dst string",
+    )
+    got = {
+        r.node: (r.scc_id, r.level)
+        for r in graph.condensation_levels(df, max_depth=8).collect()
+    }
+    assert got == {
+        "d": ("d", 0),
+        "a": ("a", 1), "b": ("a", 1), "c": ("a", 1),
+        "x": ("x", 1), "y": ("y", 2),
+        "e": ("e", 3),  # max(d->cycle->e = 2, d->x->y->e = 3)
+    }
+
+
+def test_entity_pmi_hand_computed(spark):
+    import math
+
+    # 4 pages: (a,b) together twice, (a,c) once, (b) alone once
+    triples = spark.createDataFrame(
+        [("u1", "p", "a", "b"), ("u2", "p", "a", "b"),
+         ("u3", "p", "a", "c"), ("u4", "p", "b", "b")],
+        "url string, pred string, subj string, obj string",
+    )
+    got = {
+        (r.e1, r.e2): (r.c_pair, r.pmi)
+        for r in graph.entity_pmi(triples).collect()
+    }
+    # N=4; c_a=3, c_b=3, c_c=1; pairs: (a,b)=2, (a,c)=1
+    assert got == {
+        ("a", "b"): (2, round(math.log(4 * 2 / (3 * 3)), 6)),
+        ("a", "c"): (1, round(math.log(4 * 1 / (3 * 1)), 6)),
+    }
+    # positive association for (a,c) (always together given c), negative
+    # for (a,b) (3/4 pages each but together only half the time)
+    assert got[("a", "c")][1] > 0 > got[("a", "b")][1]
+
+
+def test_canonical_paths_greedy_min_witness(spark):
+    # two 2-hop routes a->b->d and a->c->d: greedy keeps 'a->b->d';
+    # direct edge a->e stays depth 1; cycle path closes back to a
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "e"),
+         ("d", "a")],
+        "src string, dst string",
+    )
+    got = {
+        (r.src, r.dst): (r.depth, r.path)
+        for r in graph.canonical_paths(df, max_depth=8).collect()
+    }
+    assert got[("a", "d")] == (2, "a->b->d")
+    assert got[("a", "e")] == (1, "a->e")
+    assert got[("a", "a")] == (3, "a->b->d->a")  # min cycle witness
+    # pair universe == transitive closure's, depths match
+    cl = {
+        (r.src, r.dst): r.depth
+        for r in graph.transitive_closure(df, max_depth=8).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == cl
+    # every path is well-formed: starts at src, ends at dst, depth+1 nodes
+    for (s, t), (d, p) in got.items():
+        parts = p.split("->")
+        assert parts[0] == s and parts[-1] == t and len(parts) == d + 1

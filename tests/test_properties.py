@@ -141,12 +141,19 @@ EXPECTED_PLAN_COUNTS = {
     "embed_neardup": (2, 2, 0),
     "semantic_dedup": (1, 1, 0),
     "kg_scc": (0, 2, 0),
+    "kg_toposort": (0, 6, 0),
+    "kg_pmi": (0, 5, 0),
+    "kg_paths": (0, 5, 0),
     "link_graph": (1, 0, 0),
     "host_authority": (0, 4, 0),
     "crawl_frontier": (2, 4, 0),
     "crawl_schedule": (2, 4, 0),
+    "temperature_mix": (1, 8, 0),
+    "chunk_docs": (1, 0, 0),
+    "mirror_hosts": (0, 4, 0),
     "bpe_train": (0, 8, 0),
     "bpe_vocab": (0, 1, 0),
+    "bpe_fertility": (1, 1, 0),
     "token_stats": (1, 0, 0),
     "quality": (1, 0, 0),
     "repetition": (1, 0, 0),

@@ -387,3 +387,52 @@ def test_streaming_url_dedup_across_batches(spark, sf_dir, tmp_path):
     surv = spark.read.parquet(out_dir)
     assert surv.count() == 20  # all variants deduped
     assert surv.select("url_canonical").distinct().count() == 20
+
+
+def test_streaming_link_graph_accumulates(spark, tmp_path):
+    import datetime as dt
+
+    from autoextraction_spark.streaming import link_graph as lg
+    from autoextraction_spark.streaming.ingest import PAGES_DDL
+
+    in_dir = str(tmp_path / "lg_landing")
+    store = str(tmp_path / "lg_store")
+    ckpt = str(tmp_path / "lg_ckpt")
+    ts = dt.datetime(2024, 1, 1)
+
+    def page(i, url, html):
+        return (i, url, ts, html.encode(), None, "en")
+
+    b1 = spark.createDataFrame(
+        [page(1, "https://a.com/p1",
+              '<a href="https://b.com/x">t</a><a href="https://b.com/y">u</a>'),
+         page(2, "https://b.com/q", '<a href="https://a.com/">w</a>')],
+        PAGES_DDL,
+    )
+    b1.write.mode("append").parquet(in_dir)
+    lg.stream_link_graph(spark, in_dir, store, ckpt).awaitTermination(300)
+    got1 = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_pages)
+        for r in lg.current_link_graph(spark, store).collect()
+    }
+    assert got1 == {("a.com", "b.com"): (2, 1), ("b.com", "a.com"): (1, 1)}
+
+    # second drop: another a.com page linking b.com once
+    spark.createDataFrame(
+        [page(3, "https://a.com/p2", '<a href="https://b.com/z">v</a>')],
+        PAGES_DDL,
+    ).write.mode("append").parquet(in_dir)
+    lg.stream_link_graph(spark, in_dir, store, ckpt).awaitTermination(300)
+    got2 = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_pages)
+        for r in lg.current_link_graph(spark, store).collect()
+    }
+    assert got2 == {("a.com", "b.com"): (3, 2), ("b.com", "a.com"): (1, 1)}
+
+    # exactly-once: re-running with the same checkpoint must change nothing
+    lg.stream_link_graph(spark, in_dir, store, ckpt).awaitTermination(300)
+    got3 = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_pages)
+        for r in lg.current_link_graph(spark, store).collect()
+    }
+    assert got3 == got2
