@@ -953,6 +953,24 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_extract.host_link_graph(_injected_link_pages(spark, sf_dir))
 
 
+def q_host_authority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host authority: the production form — a surfer follows
+    u→v with probability n_links(u,v)/Σ n_links(u,·), so heavily-linked
+    host pairs carry proportionally more rank than the unweighted
+    distinct-edge variant. Same no-collect machinery via
+    entity_pagerank(weight_col=)."""
+    lg = q_link_graph(spark, sf_dir)
+    edges = lg.filter(~F.col("is_intra")).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    pr = graph.entity_pagerank(edges, damping=0.85, iters=3, weight_col="w")
+    return pr.select(
+        F.col("entity").alias("host"), "out_deg", "in_deg", "pagerank"
+    )
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl frontier, authority-ranked: link targets not yet in the corpus
     (left_anti against the known page urls), aggregated per target url with
@@ -1794,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans,
         "link_graph": q_link_graph,
         "host_authority": q_host_authority,
+        "host_authority_weighted": q_host_authority_weighted,
         "crawl_frontier": q_crawl_frontier,
         "crawl_schedule": q_crawl_schedule,
         "temperature_mix": q_temperature_mix,
@@ -1928,6 +1947,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": oracle.kmeans_sql(),
         "link_graph": oracle.link_graph_sql(),
         "host_authority": oracle.host_authority_sql(damping=0.85, iters=3),
+        "host_authority_weighted": oracle.host_authority_weighted_sql(
+            damping=0.85, iters=3
+        ),
         "crawl_frontier": oracle.crawl_frontier_sql(damping=0.85, iters=3),
         "crawl_schedule": oracle.crawl_schedule_sql(damping=0.85, iters=3),
         "temperature_mix": oracle.temperature_mixture_sql(tau=0.5),

@@ -554,6 +554,7 @@ def entity_pagerank(
     damping: float = 0.85,
     iters: int = 3,
     materialize: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(entity, out_deg, in_deg, pagerank) over a distinct (src, dst) edge
     list.
@@ -565,6 +566,14 @@ def entity_pagerank(
 
     ``r_0 = 1/N``; ``pagerank`` is rounded to 6 decimals so the SQL oracle's
     (order-insensitive) float sums compare exactly.
+
+    ``weight_col`` (optional, positive INTEGER weights — e.g. link
+    counts; the out-strength is carried as a long): weighted PageRank —
+    each edge carries a transition weight, a walker leaves u along u→v
+    with probability w(u,v)/W(u), W(u) = Σ out-weights. ``out_deg`` in
+    the output stays the plain edge count; dangling = no out-edges, same
+    as unweighted. The unweighted path is bit-identical to before the
+    parameter existed.
     """
     ck = _ckpt if materialize else (lambda df: df)
     edges = ck(edges)
@@ -573,16 +582,27 @@ def entity_pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    if weight_col is None:
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    else:
+        outdeg = edges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("out_deg"),
+            F.sum(weight_col).alias("out_w"),
+        )
     indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    base_cols = [
+        "node",
+        F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+        F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
+    ]
+    if weight_col is not None:
+        base_cols.append(
+            F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w")
+        )
     base = (
         nodes.join(outdeg, nodes.node == outdeg.src, "left")
         .join(indeg, nodes.node == indeg.dst, "left")
-        .select(
-            "node",
-            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
-            F.coalesce(F.col("in_deg"), F.lit(0)).cast("long").alias("in_deg"),
-        )
+        .select(*base_cols)
     )
     # N rides along as a column (1-row agg crossJoined once): the loop body
     # needs it in expressions and must not collect it to the driver
@@ -597,20 +617,25 @@ def entity_pagerank(
         dang = ranks.filter(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
+        share = (
+            F.col("rank") / F.col("out_deg")
+            if weight_col is None
+            else F.col("rank") * F.col(weight_col) / F.col("out_w")
+        )
         contrib = (
             ranks.filter(F.col("out_deg") > 0)
             .join(edges, ranks.node == edges.src)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("m"))
+            .agg(F.sum(share).alias("m"))
+        )
+        keep = ["node", "out_deg", "in_deg", "n"] + (
+            ["out_w"] if weight_col is not None else []
         )
         ranks = (
             base.join(contrib, base.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                "node",
-                "out_deg",
-                "in_deg",
-                "n",
+                *keep,
                 (
                     F.lit(one_minus_d) / F.col("n")
                     + F.lit(d)

@@ -1563,7 +1563,11 @@ def pii_scrub_sql() -> str:
 
 
 def _pagerank_parts(
-    setup: str, damping: float, iters: int, alias: str = "entity"
+    setup: str,
+    damping: float,
+    iters: int,
+    alias: str = "entity",
+    weighted: bool = False,
 ) -> tuple[str, str, str]:
     """Shared damped-PageRank unroller: ``setup`` is a WITH-body fragment
     whose LAST CTE must be ``e(src, dst)`` (the distinct edge list). The
@@ -1576,31 +1580,41 @@ def _pagerank_parts(
     d = float(damping)
     omd = 1.0 - d
     prev = "r0"
+    carry = ", b.out_w" if weighted else ""
+    share = "r.rank * e.w / r.out_w" if weighted else "r.rank / r.out_deg"
     iter_ctes = ""
     for k in range(1, iters + 1):
         iter_ctes += f""",
 r{k} AS (
-  SELECT b.node, b.out_deg,
+  SELECT b.node, b.out_deg{carry},
          {omd!r} / (SELECT n FROM nn)
          + {d!r} * (coalesce(c.m, 0.0)
                     + (SELECT coalesce(sum(rank), 0.0) FROM {prev} WHERE out_deg = 0)
                       / (SELECT n FROM nn)) AS rank
   FROM base b
-  LEFT JOIN (SELECT e.dst, sum(r.rank / r.out_deg) AS m
+  LEFT JOIN (SELECT e.dst, sum({share}) AS m
              FROM {prev} r JOIN e ON r.node = e.src
              WHERE r.out_deg > 0 GROUP BY e.dst) c ON b.node = c.dst
 )"""
         prev = f"r{k}"
+    od = (
+        "od AS (SELECT src, count(*) AS out_deg,"
+        " CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src)"
+        if weighted
+        else "od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)"
+    )
+    base_w = ", coalesce(od.out_w, 0) AS out_w" if weighted else ""
     body = f"""{setup},
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+{od},
 idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst),
 base AS (SELECT node, coalesce(od.out_deg, 0) AS out_deg,
-                coalesce(idg.in_deg, 0) AS in_deg
+                coalesce(idg.in_deg, 0) AS in_deg{base_w}
          FROM nodes LEFT JOIN od ON node = od.src
                     LEFT JOIN idg ON node = idg.dst),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
-r0 AS (SELECT node, out_deg, 1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ctes}"""
+r0 AS (SELECT node, out_deg{", out_w" if weighted else ""},
+       1.0 / (SELECT n FROM nn) AS rank FROM base){iter_ctes}"""
     return f"""WITH {body}
 SELECT b.node AS {alias}, CAST(b.out_deg AS BIGINT) AS out_deg,
        CAST(b.in_deg AS BIGINT) AS in_deg, round(r.rank, 6) AS pagerank
@@ -2971,6 +2985,15 @@ def host_authority_sql(damping: float = 0.85, iters: int = 3) -> str:
 e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM le
       WHERE src_host <> dst_host)"""
     return _pagerank_unrolled(setup, damping, iters, "host")
+
+
+def host_authority_weighted_sql(damping: float = 0.85, iters: int = 3) -> str:
+    """Replicates __spark_entry__.q_host_authority_weighted: PageRank with
+    link-count transition weights over the cross-host edges."""
+    setup = f"""{_link_edges_ctes()},
+e AS (SELECT src_host AS src, dst_host AS dst, count(*) AS w FROM le
+      WHERE src_host <> dst_host GROUP BY src_host, dst_host)"""
+    return _pagerank_parts(setup, damping, iters, "host", weighted=True)[0]
 
 
 def crawl_frontier_sql(damping: float = 0.85, iters: int = 3) -> str:

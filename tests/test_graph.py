@@ -472,3 +472,33 @@ def test_canonical_paths_greedy_min_witness(spark):
     for (s, t), (d, p) in got.items():
         parts = p.split("->")
         assert parts[0] == s and parts[-1] == t and len(parts) == d + 1
+
+
+def test_weighted_pagerank_shifts_rank_to_heavy_edges(spark):
+    # a sends 9 links to b and 1 to c: weighted rank(b) >> rank(c);
+    # unweighted treats both edges equally
+    df = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, w long"
+    )
+    wr = {
+        r.entity: r.pagerank
+        for r in graph.entity_pagerank(df, weight_col="w").collect()
+    }
+    ur = {r.entity: r.pagerank for r in graph.entity_pagerank(df).collect()}
+    assert ur["b"] == ur["c"]
+    assert wr["b"] > wr["c"]
+    # reference: one weighted iteration by hand (N=3, d=0.85, r0=1/3)
+    # contrib(b) = (1/3)*0.9, contrib(c) = (1/3)*0.1; dangling = r(b)+r(c)
+    import pytest as _pt
+
+    d, n = 0.85, 3.0
+    r = {v: 1 / n for v in "abc"}
+    for _ in range(3):
+        dang = r["b"] + r["c"]
+        r = {
+            "a": (1 - d) / n + d * (dang / n),
+            "b": (1 - d) / n + d * (r["a"] * 0.9 + dang / n),
+            "c": (1 - d) / n + d * (r["a"] * 0.1 + dang / n),
+        }
+    for v in "abc":
+        assert wr[v] == _pt.approx(r[v], abs=1e-6)

@@ -146,6 +146,7 @@ EXPECTED_PLAN_COUNTS = {
     "kg_paths": (0, 5, 0),
     "link_graph": (1, 0, 0),
     "host_authority": (0, 4, 0),
+    "host_authority_weighted": (0, 4, 0),
     "crawl_frontier": (2, 4, 0),
     "crawl_schedule": (2, 4, 0),
     "temperature_mix": (1, 8, 0),
