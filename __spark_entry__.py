@@ -108,6 +108,14 @@ def q_detector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect.detect_relations_with_weights(pages, wfin)
 
 
+def q_detector_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained detection gate: score-binned
+    empirical positive rate vs mean score — the model-card calibration
+    table (train → deploy → one groupBy, a single lazy plan)."""
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    return detect.detector_calibration(pages, _detector_gold_pairs(spark, sf_dir))
+
+
 def q_kg_metric_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 MetricF1 (predict.py:54-79) of pipeline output vs gold."""
     pred = _pipeline_triples(spark, sf_dir)
@@ -587,6 +595,54 @@ def q_kg_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_adamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar related-entity pairs: shared out-neighbors weighted by
+    rarity (1/ln of the neighbor's in-degree) — the link-prediction
+    baseline next to the KGE scorers; same wedge join as kg_similar with
+    the in-degree table joined on the wedge key."""
+    return graph.adamic_adar(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), min_shared=2
+    )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe table for a q ∝ p^0.5 language rebalance: per lang
+    (n, p, q, keep_rate, epochs, clipped) — subsample rates for
+    over-represented strata, fractional repeat epochs (≤4, the
+    repetition-harm bound) for under-represented ones. Plans what
+    temperature_mix executes."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return compose.mixture_plan(docs, tau=0.5, stratum_col="lang")
+
+
+def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED entity-card table — the per-entity profile a KG API serves:
+    degrees + PageRank + label-propagation community + harmonic centrality,
+    all computed over ONE checkpointed edge list and joined on the entity
+    key (isolated/unreached entities fall back to own-community /
+    0-centrality). Three iterative operators share their input
+    materialization; the oracle nests each operator's full SQL as a CTE so
+    the composition interfaces verify jointly."""
+    t = _pipeline_triples(spark, sf_dir)
+    e = graph._ckpt(graph.triple_edges(t))
+    pr = graph.entity_pagerank(e)
+    cm = graph.label_propagation(e, iters=3)
+    hc = graph.harmonic_centrality(e, max_depth=4)
+    return (
+        pr.join(cm, "entity", "left")
+        .join(hc.withColumnRenamed("node", "entity"), "entity", "left")
+        .select(
+            "entity",
+            "out_deg",
+            "in_deg",
+            "pagerank",
+            F.coalesce(F.col("community"), F.col("entity")).alias("community"),
+            F.coalesce(F.col("centrality"), F.lit(0.0)).alias("centrality"),
+            F.coalesce(F.col("n_reaching"), F.lit(0)).cast("long").alias("n_reaching"),
+        )
+    )
+
+
 def q_kg_infer_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPOSED KG-downstream pipeline: stages A-F (extraction → linking →
     CC canonicalization) feeding property-chain rule inference — one lazy
@@ -717,6 +773,27 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     big, uni, voc = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
     return lm.perplexity_score(
         docs.select("doc_id", "text"), big, uni, voc, k=0.5
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature output: per-language perplexity TERCILES under the
+    reference LM — head (lowest perplexity, Wikipedia-like), middle, tail
+    (noisiest third, usually dropped). ntile(3) over the deterministic
+    (rounded ppl, doc_id) order; one window per language partition on top
+    of the lm_perplexity plan."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    big, uni, voc = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    sc = lm.perplexity_score(docs.select("doc_id", "text"), big, uni, voc, k=0.5)
+    j = sc.join(docs.select("doc_id", "lang"), "doc_id")
+    b = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(b == 1, "head").when(b == 2, "middle").otherwise("tail").alias("bucket"),
     )
 
 
@@ -933,7 +1010,8 @@ def _injected_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('<a href=\"https://site', CAST(CASE WHEN (doc_id*31 + j*17) % 9973 % 5 = 0 "
         "THEN 0 ELSE ((doc_id*31 + j*17) % 9973) % 97 END AS STRING), "
         "'.example.com/page/', CAST((doc_id*31 + j*17) % 9973 AS STRING), "
-        "'\">ref</a>')), '')"
+        "'\">v', CAST(((doc_id*31 + j*17) % 9973 + doc_id) % 3 AS STRING), "
+        "'</a>')), '')"
     )
     html = F.concat(
         F.lit("<html><body>"),
@@ -1069,6 +1147,50 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never empty."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return compose.chunk_tokens(docs, window=32, stride=24)
+
+
+def q_anchor_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target: the most frequent inner
+    text of links pointing at each url (ties → lexicographic min), plus
+    evidence counts — how a web KG learns entity aliases the target page
+    never states. Injected anchors carry 3 deterministic variants per
+    target (doc_id arithmetic) so the argmax is non-trivial."""
+    from autoextraction_spark.operators import text_extract
+
+    links = text_extract.page_links(_injected_link_pages(spark, sf_dir))
+    cnt = links.groupBy(
+        F.col("target_url").alias("url"), "anchor"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.groupBy("url").agg(
+        F.max("n").alias("n_top"),
+        F.sum("n").alias("n_links"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
+    return (
+        mx.join(cnt, "url")
+        .filter(F.col("n") == F.col("n_top"))
+        .groupBy("url", "n_top", "n_links", "n_variants")
+        .agg(F.min("anchor").alias("top_anchor"))
+        .select("url", "top_anchor", "n_top", "n_links", "n_variants")
+    )
+
+
+def q_kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the entity graph — the power-law audit table
+    (degree → n_entities over total in+out distinct-edge degree): the
+    first sanity plot of any web-extracted KG, and the input to hub-cap
+    decisions in the wedge-join operators."""
+    t = _pipeline_triples(spark, sf_dir)
+    # the src/dst union reads the edge list twice — checkpoint it once so
+    # the second branch replays the checkpoint, not the extraction pipeline
+    e = graph._ckpt(graph.triple_edges(t))
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
 def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_detect": q_kg_detect,
         "detector_train": q_detector_train,
         "detector_score": q_detector_score,
+        "detector_calibration": q_detector_calibration,
         "kg_metric_f1": q_kg_metric_f1,
         "kg_slot_f1": q_kg_slot_f1,
         "kg_events": q_kg_events,
@@ -1784,6 +1907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conjunctive": q_kg_conjunctive,
         "kg_schema": q_kg_schema,
         "kg_similar": q_kg_similar,
+        "kg_adamic": q_kg_adamic,
+        "mixture_plan": q_mixture_plan,
         "kg_ppr": q_kg_ppr,
         "kg_communities": q_kg_communities,
         "kg_resolve": q_kg_resolve,
@@ -1815,6 +1940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_authority_weighted": q_host_authority_weighted,
         "crawl_frontier": q_crawl_frontier,
         "crawl_schedule": q_crawl_schedule,
+        "anchor_names": q_anchor_names,
+        "kg_degree_dist": q_kg_degree_dist,
+        "ccnet_buckets": q_ccnet_buckets,
+        "kg_entity_cards": q_kg_entity_cards,
         "temperature_mix": q_temperature_mix,
         "chunk_docs": q_chunk_docs,
         "mirror_hosts": q_mirror_hosts,
@@ -1871,6 +2000,9 @@ def oracle_sql() -> dict[str, str]:
         "detector_score": oracle.detector_score_sql(
             lr=detect.DETECTOR_LR, iters=detect.DETECTOR_ITERS
         ),
+        "detector_calibration": oracle.detector_calibration_sql(
+            lr=detect.DETECTOR_LR, iters=detect.DETECTOR_ITERS
+        ),
         "kg_metric_f1": oracle.metric_f1_perfect_sql(),
         "kg_slot_f1": oracle.slot_f1_sql(),
         "kg_events": oracle.events_sql(),
@@ -1915,6 +2047,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_conjunctive": oracle.conjunctive_sql(CONJUNCTIVE_PATTERNS),
         "kg_schema": oracle.schema_induction_sql(TYPE_DICTS),
         "kg_similar": oracle.shared_neighbor_sql(min_shared=2),
+        "kg_adamic": oracle.adamic_adar_sql(min_shared=2),
+        "mixture_plan": oracle.mixture_plan_sql(tau=0.5),
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "kg_communities": oracle.label_propagation_sql(iters=3),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
@@ -1952,6 +2086,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_frontier": oracle.crawl_frontier_sql(damping=0.85, iters=3),
         "crawl_schedule": oracle.crawl_schedule_sql(damping=0.85, iters=3),
+        "anchor_names": oracle.anchor_names_sql(),
+        "kg_degree_dist": oracle.degree_dist_sql(),
+        "ccnet_buckets": oracle.ccnet_buckets_sql(k=0.5, ref_lang="en"),
+        "kg_entity_cards": oracle.entity_cards_sql(),
         "temperature_mix": oracle.temperature_mixture_sql(tau=0.5),
         "chunk_docs": oracle.chunk_tokens_sql(window=32, stride=24),
         "mirror_hosts": oracle.mirror_hosts_sql(max_hosts_per_digest=20),

@@ -288,3 +288,58 @@ def chunk_tokens(
         .alias("n_chunk_tokens"),
         "chunk",
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    tau: float = 0.5,
+    stratum_col: str = "lang",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """The data-recipe table: for a target distribution q ∝ p^tau over a
+    SAME-SIZE resampled corpus, each stratum's multiplicative factor is
+    ratio = q/p — strata with ratio ≤ 1 are subsampled at that rate,
+    strata with ratio > 1 are REPEATED (fractional epochs, the
+    LLaMA-recipe form: "Wikipedia 2.45 epochs"), clipped at ``max_epochs``
+    (repeating a tiny domain too often memorizes it — the D4/Muennighoff
+    repetition-harm bound).
+
+    Output per stratum: (stratum, n, p, q, keep_rate, epochs, clipped) —
+    keep_rate = min(ratio, 1), epochs = min(ratio, max_epochs), all
+    fractions rounded to 6. This PLANS the mixture;
+    :func:`temperature_mixture` EXECUTES the subsample side row-by-row
+    (with its subsample-only normalization), and repetition is a
+    dataloader concern.
+
+    Scale shape: one map-side-combinable stratum count (checkpointed),
+    then k-row arithmetic with 1-row broadcast normalizers — no collect,
+    nothing corpus-sized after the count.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    tot = counts.agg(F.sum("n").cast("double").alias("n_tot"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, "n", (F.col("n") / F.col("n_tot")).alias("p")
+    )
+    w = shares.select(
+        stratum_col, "n", "p", F.pow(F.col("p"), F.lit(float(tau))).alias("w")
+    )
+    z = w.agg(F.sum("w").alias("w_tot"))
+    r = w.crossJoin(F.broadcast(z)).select(
+        stratum_col,
+        "n",
+        "p",
+        (F.col("w") / F.col("w_tot")).alias("q"),
+        (F.col("w") / F.col("w_tot") / F.col("p")).alias("ratio"),
+    )
+    return r.select(
+        stratum_col,
+        "n",
+        F.round(F.col("p"), 6).alias("p"),
+        F.round(F.col("q"), 6).alias("q"),
+        F.round(F.least(F.col("ratio"), F.lit(1.0)), 6).alias("keep_rate"),
+        F.round(F.least(F.col("ratio"), F.lit(float(max_epochs))), 6).alias("epochs"),
+        (F.col("ratio") > float(max_epochs)).alias("clipped"),
+    )

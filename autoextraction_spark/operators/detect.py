@@ -162,3 +162,41 @@ def detect_relations(pages: DataFrame, threshold: float = RC_THRESHOLD) -> DataF
         .filter(F.col("rc_score") > threshold)
         .select("url", "text", "lang", "rel", "rc_score")
     )
+
+
+def detector_calibration(
+    pages: DataFrame,
+    gold_pairs: DataFrame,
+    lr: float = DETECTOR_LR,
+    iters: int = DETECTOR_ITERS,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram of the trained detection gate — the model-card
+    table that says whether the gate's sigmoid scores can be READ as
+    probabilities (bin the candidate pairs by score, compare each bin's
+    mean score to its empirical positive rate). Miscalibration here is why
+    a production gate's threshold must be tuned on held-out data rather
+    than assumed at 0.5.
+
+    Output: (bin, n, n_pos, pos_rate, mean_score) — bin =
+    floor(score·n_bins) clamped to n_bins-1.
+
+    Scale shape: train → deploy → ONE map-side-combinable groupBy over the
+    scored candidate pairs, all in a single lazy plan; the label join is
+    the same (url, rel)-keyed equi-join as training supervision.
+    """
+    snaps = train_detector(pages, gold_pairs, lr=lr, iters=iters)
+    wfin = snaps.filter(F.col("iter") == iters)
+    scored = detect_relations_with_weights(pages, wfin)
+    labeled = with_detector_labels(scored, gold_pairs)
+    b = (
+        F.least(F.floor(F.col("score") * n_bins), F.lit(n_bins - 1))
+        .cast("int")
+        .alias("bin")
+    )
+    return labeled.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.sum("y") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )

@@ -85,22 +85,31 @@ def page_links(
     path-level base-href resolution is out of scope and documented so).
 
     Output: one row per extracted link —
-    (url, src_host, href, dst_host, target_url).
+    (url, src_host, href, anchor, dst_host, target_url). ``anchor`` is the
+    link's inner text (``<a href>TEXT</a>``) — the classic external naming
+    evidence for the target page (anchor-text aggregation is how web KGs
+    learn entity aliases the page itself never states). The two extracts
+    are zipped positionally; both patterns match exactly the well-formed
+    ``<a href="...">...</a>`` tags, so the lists align by construction
+    (malformed tags match neither — documented).
 
     Scale shape (100 TB): the html column is consumed in the SAME
-    projection that discards it — only (url, href) survive the explode, so
-    the page payload never enters any shuffle.
+    projection that discards it — only (url, href, anchor) survive the
+    explode, so the page payload never enters any shuffle.
     """
     href_re = r'href="([^"]+)"'
+    anchor_re = r'<a href="[^"]*">([^<]*)</a>'
     host_re = r"^https?://([^/]+)"
+    h = F.col(html_col).cast("string")
     links = pages.select(
         F.col(url_col).alias("url"),
         F.explode(
-            F.regexp_extract_all(
-                F.col(html_col).cast("string"), F.lit(href_re), F.lit(1)
+            F.arrays_zip(
+                F.regexp_extract_all(h, F.lit(href_re), F.lit(1)).alias("href"),
+                F.regexp_extract_all(h, F.lit(anchor_re), F.lit(1)).alias("anchor"),
             )
-        ).alias("href"),
-    )
+        ).alias("z"),
+    ).select("url", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
     src_host = F.regexp_extract(F.col("url"), host_re, 1)
     is_abs = F.col("href").rlike("^https?://")
     dst_host = F.when(
@@ -113,6 +122,7 @@ def page_links(
         "url",
         src_host.alias("src_host"),
         "href",
+        "anchor",
         dst_host.alias("dst_host"),
         target_url.alias("target_url"),
     )

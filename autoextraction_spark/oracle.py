@@ -2945,15 +2945,21 @@ def _link_edges_ctes() -> str:
            || array_to_string(list_transform(range(0, CAST(doc_id % 3 AS INT) + 1),
                 j -> '<a href="https://site' || {host('(doc_id*31 + j*17) % 9973')}
                      || '.example.com/page/'
-                     || CAST((doc_id*31 + j*17) % 9973 AS VARCHAR) || '">ref</a>'),
+                     || CAST((doc_id*31 + j*17) % 9973 AS VARCHAR) || '">v'
+                     || CAST(((doc_id*31 + j*17) % 9973 + doc_id) % 3 AS VARCHAR)
+                     || '</a>'),
               '')
            || CASE WHEN doc_id % 4 = 0
                    THEN '<a href="/about">about</a>' ELSE '' END
            || '</body></html>' AS html
   FROM documents),
 links AS (
-  SELECT url, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
-  FROM pages),
+  SELECT url, u.z[1] AS href, u.z[2] AS anchor
+  FROM pages,
+       unnest(list_zip(
+         regexp_extract_all(html, 'href="([^"]+)"', 1),
+         regexp_extract_all(html, '<a href="[^"]*">([^<]*)</a>', 1)
+       )) AS u(z)),
 le AS (
   SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
          CASE WHEN regexp_matches(href, '^https?://')
@@ -2963,8 +2969,24 @@ le AS (
               THEN href
               ELSE 'https://' || regexp_extract(url, '^https?://([^/]+)', 1)
                    || href END AS target_url,
+         anchor,
          url
   FROM links)"""
+
+
+def anchor_names_sql() -> str:
+    """Replicates __spark_entry__.q_anchor_names: per target url, the most
+    frequent anchor text (ties broken by lexicographic min anchor) plus
+    evidence counts — the external-alias table for entity naming."""
+    return f"""WITH {_link_edges_ctes()},
+cnt AS (SELECT target_url AS url, anchor, count(*) AS n
+        FROM le GROUP BY target_url, anchor),
+mx AS (SELECT url, max(n) AS n_top, CAST(sum(n) AS BIGINT) AS n_links,
+              count(*) AS n_variants
+       FROM cnt GROUP BY url)
+SELECT m.url, min(c.anchor) AS top_anchor, m.n_top, m.n_links, m.n_variants
+FROM mx m JOIN cnt c ON c.url = m.url AND c.n = m.n_top
+GROUP BY m.url, m.n_top, m.n_links, m.n_variants"""
 
 
 def link_graph_sql() -> str:
@@ -3172,3 +3194,102 @@ k{d} AS (SELECT src, dst FROM {prev_k}
         for d in range(1, max_depth + 1)
     )
     return f"WITH {ctes}\n{unions}"
+
+
+def detector_calibration_sql(lr: float, iters: int, n_bins: int = 10) -> str:
+    """Replicates detect.detector_calibration: score with the rounded
+    final GD snapshot, bin by floor(score·n_bins), empirical positive rate
+    and mean score per bin."""
+    iter_ctes, final, _ = _gd_unroll(lr, iters)
+    rounded = ", ".join(f"round(w{j}, 6) AS w{j}" for j in range(5))
+    dot = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+    return f"""WITH {_detector_f_ctes()}{iter_ctes},
+wfin AS (SELECT {rounded} FROM {final}),
+scored AS (SELECT f.y, round(1.0 / (1.0 + exp(-({dot}))), 6) AS score
+           FROM f, wfin w)
+SELECT CAST(least(floor(score * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+       count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       round(sum(y) / count(*), 6) AS pos_rate,
+       round(avg(score), 6) AS mean_score
+FROM scored GROUP BY 1"""
+
+
+def adamic_adar_sql(min_shared: int = 2) -> str:
+    """Replicates operators.graph.adamic_adar over the full gold entity
+    graph: rarity-weighted shared-neighbor pairs."""
+    return f"""WITH {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+idg AS (SELECT dst, count(*) AS din FROM e GROUP BY dst)
+SELECT a.src AS a, b.src AS b, count(*) AS shared,
+       round(sum(1.0 / ln(i.din)), 6) AS aa
+FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+JOIN idg i ON i.dst = a.dst
+GROUP BY a.src, b.src
+HAVING count(*) >= {min_shared}"""
+
+
+def mixture_plan_sql(
+    tau: float = 0.5, max_epochs: float = 4.0,
+    table: str = "documents", stratum: str = "lang",
+) -> str:
+    """Replicates operators.compose.mixture_plan: per-stratum q ∝ p^tau
+    recipe table (keep rate for over-represented strata, fractional epochs
+    for under-represented ones, clip flag)."""
+    return f"""WITH cnt AS (
+  SELECT {stratum} AS s, count(*) AS n FROM {table} GROUP BY {stratum}),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM cnt),
+shares AS (SELECT s, n, n / (SELECT n_tot FROM tot) AS p FROM cnt),
+w AS (SELECT s, n, p, power(p, {float(tau)!r}) AS w FROM shares),
+z AS (SELECT sum(w) AS w_tot FROM w),
+r AS (SELECT s, n, p,
+             w / (SELECT w_tot FROM z) AS q,
+             w / (SELECT w_tot FROM z) / p AS ratio
+      FROM w)
+SELECT s AS {stratum}, n, round(p, 6) AS p, round(q, 6) AS q,
+       round(least(ratio, 1.0), 6) AS keep_rate,
+       round(least(ratio, {float(max_epochs)!r}), 6) AS epochs,
+       ratio > {float(max_epochs)!r} AS clipped
+FROM r"""
+
+
+def degree_dist_sql() -> str:
+    """Replicates __spark_entry__.q_kg_degree_dist over the gold entity
+    graph: total (in+out) degree histogram."""
+    return f"""WITH {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY node)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree"""
+
+
+def ccnet_buckets_sql(k: float = 0.5, ref_lang: str = "en") -> str:
+    """Replicates __spark_entry__.q_ccnet_buckets: per-language perplexity
+    terciles (head/middle/tail) over the reference-LM scores — ntile(3)
+    over the deterministic (ppl, doc_id) order, both rounded first."""
+    inner = lm_perplexity_sql(k=k, ref_lang=ref_lang)
+    return f"""WITH sc AS ({inner}),
+j AS (SELECT s.doc_id, d.lang, s.ppl
+      FROM sc s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM j"""
+
+
+def entity_cards_sql(
+    damping: float = 0.85, pr_iters: int = 3, lp_iters: int = 3,
+    hc_depth: int = 4,
+) -> str:
+    """Replicates __spark_entry__.q_kg_entity_cards: PageRank + community +
+    harmonic centrality joined per entity (each operator's full oracle
+    nested as a CTE — the composed-pipeline verification precedent)."""
+    return f"""WITH pr AS ({pagerank_sql(damping, pr_iters)}),
+cm AS ({label_propagation_sql(lp_iters)}),
+hc AS ({harmonic_centrality_sql(hc_depth)})
+SELECT pr.entity, pr.out_deg, pr.in_deg, pr.pagerank,
+       coalesce(cm.community, pr.entity) AS community,
+       coalesce(hc.centrality, 0.0) AS centrality,
+       CAST(coalesce(hc.n_reaching, 0) AS BIGINT) AS n_reaching
+FROM pr LEFT JOIN cm ON pr.entity = cm.entity
+        LEFT JOIN hc ON pr.entity = hc.node"""

@@ -168,3 +168,30 @@ def test_chunk_tokens_rejects_bad_stride(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         chunk_tokens(df, window=4, stride=5)
+
+
+def test_mixture_plan_rates_and_epochs(spark):
+    from autoextraction_spark.operators.compose import mixture_plan
+
+    rows = [(i, "big" if i < 90 else ("mid" if i < 99 else "tiny"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r.lang: (r.n, r.p, r.q, r.keep_rate, r.epochs, r.clipped)
+        for r in mixture_plan(df, tau=0.5, max_epochs=4.0).collect()
+    }
+    import math
+
+    ps = {"big": 0.9, "mid": 0.09, "tiny": 0.01}
+    z = sum(math.sqrt(v) for v in ps.values())
+    for s, p in ps.items():
+        q = math.sqrt(p) / z
+        ratio = q / p
+        n, gp, gq, kr, ep, cl = got[s]
+        assert n == int(p * 100)
+        assert gp == round(p, 6) and gq == round(q, 6)
+        assert kr == round(min(ratio, 1.0), 6)
+        assert ep == round(min(ratio, 4.0), 6)
+        assert cl == (ratio > 4.0)
+    # the dominant stratum is subsampled, the tiny one clips at 4 epochs
+    assert got["big"][3] < 1.0 and got["tiny"][5] is True

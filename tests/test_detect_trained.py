@@ -94,3 +94,28 @@ def test_gd_loss_decreases(corpus_pages, gold_pairs):
     )
     assert _f1(final, gold) >= _f1(early, gold)
     assert _f1(final, gold) == 1.0
+
+
+def test_detector_calibration_bins(spark, sf_dir):
+    import __spark_entry__ as entry
+    from autoextraction_spark import corpus
+    from autoextraction_spark.operators import detect
+
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    gold = entry._detector_gold_pairs(spark, sf_dir)
+    rows = detect.detector_calibration(pages, gold).collect()
+    total = sum(r.n for r in rows)
+    labeled = detect.with_detector_labels(
+        detect.detector_features(pages), gold
+    )
+    assert total == labeled.count()  # every candidate lands in one bin
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.n_pos <= r.n
+        assert abs(r.pos_rate - r.n_pos / r.n) < 1e-6
+        # bin b holds scores in [b/10, (b+1)/10) (top bin closed)
+        assert r.bin / 10 - 1e-9 <= r.mean_score <= (r.bin + 1) / 10 + 1e-9
+    # a well-trained gate is directionally calibrated: the top-score bin
+    # has a higher positive rate than the bottom-score bin
+    by_bin = {r.bin: r.pos_rate for r in rows}
+    assert by_bin[max(by_bin)] > by_bin[min(by_bin)]

@@ -502,3 +502,25 @@ def test_weighted_pagerank_shifts_rank_to_heavy_edges(spark):
         }
     for v in "abc":
         assert wr[v] == _pt.approx(r[v], abs=1e-6)
+
+
+def test_adamic_adar_weights_rare_neighbors(spark):
+    import math
+
+    # a and b share z (in-deg 2, rare) and h (in-deg 3, hub);
+    # a and c share only h
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("a", "h"), ("b", "h"), ("c", "h")],
+        "src string, dst string",
+    )
+    got = {
+        (r.a, r.b): (r.shared, r.aa)
+        for r in graph.adamic_adar(edges, min_shared=1).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(1 / math.log(2) + 1 / math.log(3), 6)),
+        ("a", "c"): (1, round(1 / math.log(3), 6)),
+        ("b", "c"): (1, round(1 / math.log(3), 6)),
+    }
+    # the rare shared neighbor makes (a,b) stronger than the hub-only pairs
+    assert got[("a", "b")][1] > got[("a", "c")][1]

@@ -150,6 +150,11 @@ EXPECTED_PLAN_COUNTS = {
     "crawl_frontier": (2, 4, 0),
     "crawl_schedule": (2, 4, 0),
     "temperature_mix": (1, 8, 0),
+    "mixture_plan": (0, 4, 0),
+    "kg_adamic": (0, 3, 0),
+    "kg_degree_dist": (0, 2, 0),
+    "kg_entity_cards": (0, 12, 0),
+    "anchor_names": (2, 0, 0),
     "chunk_docs": (1, 0, 0),
     "mirror_hosts": (0, 4, 0),
     "bpe_train": (0, 8, 0),
@@ -285,10 +290,14 @@ EXPECTED_PLAN_COUNTS = {
     # deploy: feature pass (pages scan + generator) + final-weight ckpt +
     # the labeled-feature ckpt inside the training lineage
     "detector_score": (1, 2, 1),
+    # + the gold-label join: two generator python stages + their skeleton scans
+    "detector_calibration": (3, 2, 3),
     # ref-subset scan (inside the lazy ckpt lineage) + scoring scan are
     # different subsets of the source, as in decontaminate; counts/vocab
     # read the two checkpoints
     "lm_perplexity": (2, 3, 0),
+    # lm_perplexity + one more documents scan for the lang join
+    "ccnet_buckets": (3, 3, 0),
     "mixture_sample": (1, 0, 0),
     "pack_sequences": (1, 0, 0),
     # dedup winner semi-join: digest-agg branch + surviving-doc branch are

@@ -90,3 +90,15 @@ def test_page_links_resolves_targets(spark):
         # relative links resolve against the page host, scheme https
         "/rel": ("a.com", "a.com", "https://a.com/rel"),
     }
+
+
+def test_page_links_extracts_anchor_text(spark):
+    from autoextraction_spark.operators.text_extract import page_links
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p1",
+          b'<a href="https://b.com/x">Acme Corp</a><a href="/rel">about us</a>')],
+        "url string, html binary",
+    )
+    got = {r.href: r.anchor for r in page_links(pages).collect()}
+    assert got == {"https://b.com/x": "Acme Corp", "/rel": "about us"}
