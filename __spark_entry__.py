@@ -208,6 +208,63 @@ def q_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "keep_id", "is_canonical")
 
 
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: the near-dup cluster-size histogram
+    (n_clusters / n_docs / n_excess per size) over the minhash doc-dedup
+    labels — the curve a curation report leads with (sum of n_excess =
+    mass dedup would remove). Two map-side-combinable counts over (id,
+    keep_id); bodies never shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    labeled = dedup.dedup_documents(docs, "doc_id", "text", method="minhash",
+                                    threshold=0.8)
+    return dedup.dup_profile(labeled)
+
+
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation report: doc count, language spread, mean composite
+    quality, near-dup share — the table a crawl operator ranks to blocklist
+    spam/mirror hosts before the next fetch round. Composes quality_score
+    and the minhash dedup labels in ONE lazy plan; the groupBy is map-side
+    combinable so the hot host (20% of the corpus by construction) never
+    concentrates rows on one reducer."""
+    docs = _read(spark, sf_dir, "documents")
+    labeled = dedup.dedup_documents(docs, "doc_id", "text", method="minhash",
+                                    threshold=0.8)
+    scored = textstats.quality_score(labeled)
+    host = F.concat(
+        F.lit("site"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % KS.N_HOSTS)
+        .cast("string"),
+        F.lit(".example.com"),
+    )
+    return (
+        scored.select(
+            host.alias("host"),
+            "lang",
+            "quality",
+            (F.col("keep_id") != F.col("doc_id")).cast("int").alias("is_dup"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.avg("is_dup"), 6).alias("dup_share"),
+        )
+    )
+
+
+def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning sweep: per similarity band, the exact-Jaccard pair
+    count and the cumulative pairs at-or-above the band — every candidate
+    dedup threshold priced from ONE similarity join instead of one corpus
+    join per threshold."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.3)
+    return dedup.jaccard_threshold_sweep(pairs, buckets=20)
+
+
 def q_order_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 order-sensitivity split (data_filter.py:174-242): the triples the
     adaptive policy recovers that the fixed schema-order baseline misses —
@@ -1877,6 +1934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_dedup": q_doc_dedup,
+        "dup_profile": q_dup_profile,
+        "host_profile": q_host_profile,
+        "jaccard_sweep": q_jaccard_sweep,
         "order_split": q_order_split,
         "char_f1": q_char_f1,
         "cond_roundtrip": q_cond_roundtrip,
@@ -2013,6 +2073,9 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": oracle.cc_lang_star_sql(),
         "ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "doc_dedup": oracle.doc_dedup_sql(threshold=0.8),
+        "dup_profile": oracle.dup_profile_sql(threshold=0.8),
+        "host_profile": oracle.host_profile_sql(threshold=0.8),
+        "jaccard_sweep": oracle.jaccard_sweep_sql(min_threshold=0.3, buckets=20),
         "order_split": oracle.order_split_sql(),
         "char_f1": oracle.char_f1_sql(),
         "cond_roundtrip": oracle.cond_roundtrip_sql(),

@@ -858,3 +858,72 @@ def host_mirror_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def dup_profile(labeled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus duplication profile (engine-new): the near-dup cluster-size
+    histogram a curation run reports before choosing what to drop. Input is
+    ``dedup_documents`` output (every row labeled with its cluster's
+    ``keep_id``); output is one row per observed cluster size:
+
+        (cluster_size, n_clusters, n_docs, n_excess)
+
+    ``n_excess`` = docs beyond one survivor per cluster — summed over rows
+    it is exactly the token mass deduplication would remove, the number a
+    100 TB curation report leads with (CCNet/RefinedWeb both publish this
+    curve). Scale shape: two map-side-combinable count aggregations over
+    (id, keep_id) pairs — document bodies are never touched, and the second
+    groupBy runs on the k distinct sizes.
+    """
+    sizes = labeled.groupBy("keep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_excess"),
+        )
+    )
+
+
+def jaccard_threshold_sweep(pairs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Threshold-tuning sweep (engine-new): bucket an exact-Jaccard pair
+    table into ``buckets`` similarity bands and report, per band, the pair
+    count and the cumulative count at-or-above the band — i.e. how many
+    near-dup pairs each candidate threshold would act on. ONE pass over the
+    pair table answers every threshold question; re-running the similarity
+    join per candidate threshold (the naive approach) costs a corpus-scale
+    join each time.
+
+    ``jaccard`` is a ratio of integers computed identically in both engines
+    (IEEE double division), so ``floor(j·buckets)`` is bitwise portable; an
+    exact 1.0 lands in the top band (right-closed last bucket). The
+    cumulative window runs over ``buckets`` rows — a k-row frame, same
+    budget as the checkpointed stratum tables in compose.py.
+    """
+    b = F.least(
+        F.floor(F.col("jaccard") * buckets), F.lit(buckets - 1)
+    ).cast("long")
+    hist = (
+        pairs.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return hist.select(
+        "bucket",
+        F.round(F.col("bucket") / buckets, 6).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
+    ).orderBy("bucket")

@@ -252,21 +252,119 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= {threshold}"""
 
 
-def doc_dedup_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
-    """Expected dedup.dedup_documents output: every document labeled with
-    the min doc_id of its near-dup cluster (transitive closure of the
-    minhash pair graph via a recursive CTE)."""
-    return f"""WITH RECURSIVE {_minhash_pairs_ctes(num_perm, bands)},
+def _doc_dedup_ctes(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
+    """CTE chain ending in ``labeled`` (doc_id, keep_id) — the
+    dedup_documents cluster labeling (transitive closure of the minhash
+    pair graph), shared by doc_dedup_sql / dup_profile_sql /
+    host_profile_sql. Callers must open with WITH RECURSIVE."""
+    return f"""{_minhash_pairs_ctes(num_perm, bands)},
 pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
 sym AS (SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
 reach(a, b) AS (SELECT a, b FROM sym
                 UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-comp AS (SELECT a AS id, least(a, min(b)) AS keep FROM reach GROUP BY a)
-SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id,
-       CAST(CASE WHEN coalesce(c.keep, d.doc_id) = d.doc_id
-            THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"""
+comp AS (SELECT a AS id, least(a, min(b)) AS keep FROM reach GROUP BY a),
+labeled AS (SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"""
+
+
+def doc_dedup_sql(threshold: float = 0.8, num_perm: int = 16, bands: int = 8) -> str:
+    """Expected dedup.dedup_documents output: every document labeled with
+    the min doc_id of its near-dup cluster (transitive closure of the
+    minhash pair graph via a recursive CTE)."""
+    return f"""WITH RECURSIVE {_doc_dedup_ctes(threshold, num_perm, bands)}
+SELECT doc_id, keep_id,
+       CAST(CASE WHEN keep_id = doc_id THEN 1 ELSE 0 END AS BIGINT)
+           AS is_canonical
+FROM labeled"""
+
+
+def dup_profile_sql(threshold: float = 0.8) -> str:
+    """Expected dedup.dup_profile output over the minhash doc-dedup labels:
+    the cluster-size histogram with per-size doc and excess-doc mass."""
+    return f"""WITH RECURSIVE {_doc_dedup_ctes(threshold)},
+csizes AS (SELECT keep_id, count(*) AS cluster_size FROM labeled GROUP BY keep_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_excess
+FROM csizes GROUP BY cluster_size"""
+
+
+def _quality_cte() -> str:
+    """CTE chain ending in ``qual`` (doc_id, quality) — the composite
+    quality score of textstats.quality_score, composable form of
+    quality_sql (exact 0.25 multiples, so averages are float-exact)."""
+    from .operators.textstats import PUNCT_RE, STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    punct_re = PUNCT_RE.replace("'", "''")
+    return f"""qraw AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '{punct_re}')) AS n_punct,
+         len(regexp_extract_all(text, '\\b({stop_alt})\\b')) AS n_stop
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN n_chars * 1.0 / greatest(n_tokens, 1) BETWEEN 3 AND 12
+               THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN n_punct * 1.0 / greatest(n_chars, 1) <= 0.2
+               THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN n_stop * 1.0 / greatest(n_tokens, 1) >= 0.01
+               THEN 0.25 ELSE 0.0 END) AS quality
+  FROM qraw)"""
+
+
+def host_profile_sql(threshold: float = 0.8) -> str:
+    """Expected q_host_profile output: the per-host curation report —
+    doc count, language spread, mean composite quality, near-dup share —
+    composing the doc-dedup labeling and quality CTEs with the host
+    arithmetic of host_counts_sql."""
+    return f"""WITH RECURSIVE {_doc_dedup_ctes(threshold)},
+{_quality_cte()},
+h AS (
+  SELECT d.doc_id, d.lang,
+         'site' || CAST(CASE WHEN d.doc_id % 5 = 0 THEN 0
+             ELSE d.doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com' AS host,
+         q.quality,
+         CASE WHEN l.keep_id <> d.doc_id THEN 1 ELSE 0 END AS is_dup
+  FROM documents d
+  JOIN qual q USING (doc_id)
+  JOIN labeled l USING (doc_id))
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(quality), 6) AS mean_quality,
+       round(avg(is_dup * 1.0), 6) AS dup_share
+FROM h GROUP BY host"""
+
+
+def jaccard_sweep_sql(min_threshold: float = 0.3, buckets: int = 10) -> str:
+    """Expected dedup.jaccard_threshold_sweep output over the exact
+    word-3-gram Jaccard pairs ≥ min_threshold: per similarity band, the
+    pair count and the cumulative at-or-above count."""
+    return f"""WITH {WORD_SHINGLES_CTE},
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY a.id, b.id),
+jacc AS (SELECT i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard
+         FROM inter i JOIN sizes sa ON sa.id = i.id_a
+         JOIN sizes sb ON sb.id = i.id_b
+         WHERE i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) >= {min_threshold}),
+hist AS (SELECT least(CAST(floor(jaccard * {buckets}) AS BIGINT),
+                      {buckets - 1}) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM jacc GROUP BY 1)
+SELECT bucket, round(bucket / {float(buckets)}, 6) AS threshold, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_pairs_ge
+FROM hist"""
 
 
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:

@@ -316,3 +316,33 @@ def test_host_mirror_pairs_jaccard_and_stop_digest(spark):
     }
     # jaccard over digest sets WITHOUT the boilerplate: 2 / (3 + 2 - 2)
     assert got == {("A", "B"): (2, 3, 2, round(2 / 3, 6))}
+
+
+def test_dup_profile_histogram(spark):
+    # clusters: {1,2,3} (size 3), {10,11} (size 2), {20},{21} singletons
+    labeled = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 21)],
+        "doc_id long, keep_id long",
+    )
+    rows = {r.cluster_size: r for r in dedup.dup_profile(labeled).collect()}
+    assert rows[3].n_clusters == 1 and rows[3].n_docs == 3 and rows[3].n_excess == 2
+    assert rows[2].n_clusters == 1 and rows[2].n_docs == 2 and rows[2].n_excess == 1
+    assert rows[1].n_clusters == 2 and rows[1].n_docs == 2 and rows[1].n_excess == 0
+    # total excess == docs minus survivors
+    assert sum(r.n_excess for r in rows.values()) == 7 - 4
+
+
+def test_jaccard_threshold_sweep_cumulative(spark):
+    pairs = spark.createDataFrame(
+        [(0.55,), (0.58,), (0.72,), (0.95,), (1.0,)], "jaccard double"
+    )
+    rows = {r.bucket: r for r in
+            dedup.jaccard_threshold_sweep(pairs, buckets=10).collect()}
+    assert rows[5].n_pairs == 2 and rows[7].n_pairs == 1
+    # exact 1.0 lands in the right-closed top band with 0.95
+    assert rows[9].n_pairs == 2
+    # cumulative at-or-above: monotone down the buckets
+    assert rows[9].n_pairs_ge == 2
+    assert rows[7].n_pairs_ge == 3
+    assert rows[5].n_pairs_ge == 5
+    assert rows[5].threshold == 0.5

@@ -135,6 +135,9 @@ EXPECTED_PLAN_COUNTS = {
     "connected_components": (0, 1, 0),
     "ngram_jaccard": (0, 10, 0),
     "doc_dedup": (1, 1, 0),
+    "dup_profile": (1, 1, 0),
+    "host_profile": (1, 1, 0),
+    "jaccard_sweep": (0, 10, 0),
     "order_split": (0, 2, 2),
     "char_f1": (1, 0, 1),
     "cond_roundtrip": (1, 0, 1),
