@@ -255,6 +255,35 @@ def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + per-subspace reconstruction error over
+    the embeddings table (m=4 subspaces × k=4 centroids, Lloyd-trained
+    codebooks) — the compression half of IVF-PQ, the layout that makes
+    billion-vector ANN memory-resident. The oracle unrolls all four
+    codebook trainings term-for-term (prefixed _kmeans_ctes chains)."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(vecs, m=4, k=4, iters=2, dim=64)
+
+
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-gram mining: word 5-grams on ≥3 distinct hosts — template
+    boilerplate, not content. The producer table behind mirror_hosts'
+    stop-digest rule and decontamination gram filters; CCNet-style
+    pipelines strip these before LM scoring. One checkpointed corpus
+    explode feeds all three counts; the host filter runs before the
+    gram-keyed joins."""
+    docs = _read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % KS.N_HOSTS)
+        .cast("string"),
+        F.lit(".example.com"),
+    )
+    d = docs.select("doc_id", host.alias("host"), "text")
+    return dedup.boilerplate_grams(d, n=5, min_hosts=3)
+
+
 def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-tuning sweep: per similarity band, the exact-Jaccard pair
     count and the cumulative pairs at-or-above the band — every candidate
@@ -1937,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_profile": q_dup_profile,
         "host_profile": q_host_profile,
         "jaccard_sweep": q_jaccard_sweep,
+        "boilerplate_grams": q_boilerplate_grams,
+        "pq_codes": q_pq_codes,
         "order_split": q_order_split,
         "char_f1": q_char_f1,
         "cond_roundtrip": q_cond_roundtrip,
@@ -2076,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_profile": oracle.dup_profile_sql(threshold=0.8),
         "host_profile": oracle.host_profile_sql(threshold=0.8),
         "jaccard_sweep": oracle.jaccard_sweep_sql(min_threshold=0.3, buckets=20),
+        "boilerplate_grams": oracle.boilerplate_grams_sql(n=5, min_hosts=3),
+        "pq_codes": oracle.pq_sql(m=4, k=4, iters=2, dim=64),
         "order_split": oracle.order_split_sql(),
         "char_f1": oracle.char_f1_sql(),
         "cond_roundtrip": oracle.cond_roundtrip_sql(),

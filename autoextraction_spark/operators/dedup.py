@@ -927,3 +927,54 @@ def jaccard_threshold_sweep(pairs: DataFrame, buckets: int = 10) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
     ).orderBy("bucket")
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    n: int = 5,
+    min_hosts: int = 3,
+) -> DataFrame:
+    """Cross-host repeated n-gram mining (engine-new): the STOP-GRAM
+    producer. A word n-gram appearing on ≥ ``min_hosts`` distinct hosts is
+    template boilerplate (cookie banners, nav chrome, footers), not
+    content — the table this emits is what ``host_mirror_pairs``'s
+    stop-digest rule and decontamination gram filters presuppose, and what
+    CCNet-style pipelines strip before LM scoring. Output per surviving
+    gram: (gram, n_hosts, n_docs, n_occurrences).
+
+    Scale shape: ONE corpus-size (id, host, gram) explode, checkpointed,
+    feeds all three aggregations (occurrence count map-side combinable;
+    host/doc distincts partially deduped map-side). The host filter runs
+    BEFORE the joins, so only the tiny boilerplate survivor set — not the
+    full gram vocabulary — participates in the gram-keyed joins (AQE
+    broadcasts it).
+    """
+    grams = _maybe_ckpt(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(host_col).alias("host"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        ),
+        True,
+    )
+    hosts = (
+        grams.select("gram", "host").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+        .filter(F.col("n_hosts") >= min_hosts)
+    )
+    docs = (
+        grams.select("gram", "id").distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    occ = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return (
+        hosts.join(docs, "gram").join(occ, "gram")
+        .select("gram", "n_hosts", "n_docs", "n_occurrences")
+    )

@@ -519,3 +519,70 @@ def semdedup(
             "cosine",
         )
     )
+
+
+def pq_codes(
+    vecs: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, *Product quantization for
+    nearest neighbor search*): split each vector into ``m`` subspaces,
+    train an independent k-means codebook per subspace (the engine's Lloyd
+    trainer — deterministic init, QUANT_EPS-rounded argmin/means), and
+    emit each vector's code + squared reconstruction error per subspace:
+
+        (vec_id, subspace, code, sq_err)
+
+    This is the compression half of IVF-PQ — the layout that makes
+    billion-vector ANN memory-resident (m·log2(k) bits per vector instead
+    of dim·32). The codebooks here are the model artifact; serving scans
+    compare query subvectors against k·m centroids via lookup tables.
+
+    Scale shape: the full vectors are checkpointed ONCE and every subspace
+    trains over a narrow slice projection of that one materialization; all
+    k-means costs are the trainer's (broadcast assignment join, map-side
+    combinable argmin/means); the final per-subspace assignment is the
+    same broadcast crossJoin + min(struct) with no extra corpus pass. The
+    SQL oracle unrolls all m codebook trainings term-for-term.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .kge import QUANT_EPS
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = vecs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("full")
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        + F.lit(QUANT_EPS),
+        9,
+    )
+    out = None
+    for s in range(m):
+        vs = v.select("id", F.slice("full", s * sub + 1, sub).alias("v"))
+        cents = kmeans_train(vs, k=k, iters=iters, id_col="id", vec_col="v")
+        a = (
+            vs.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("w"))
+            .select(
+                F.col("id").alias("vec_id"),
+                F.lit(s).cast("long").alias("subspace"),
+                F.col("w.cluster").cast("long").alias("code"),
+                F.col("w.dist").alias("sq_err"),
+            )
+        )
+        out = a if out is None else out.unionByName(a)
+    return out

@@ -343,6 +343,32 @@ SELECT host,
 FROM h GROUP BY host"""
 
 
+def boilerplate_grams_sql(n: int = 5, min_hosts: int = 3) -> str:
+    """Expected dedup.boilerplate_grams output on the documents table with
+    the host_counts_sql host arithmetic: word n-grams on ≥ min_hosts
+    distinct hosts, with host/doc/occurrence counts. Mirrors
+    word_shingles' whole-string truncation for texts shorter than n."""
+    return f"""WITH w AS (
+  SELECT doc_id,
+         'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+             ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com' AS host,
+         str_split(text, ' ') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, host,
+         unnest(list_transform(range(greatest(len(t) - {n - 1}, 1)),
+                i -> array_to_string(t[i+1:i+{n}], ' '))) AS gram
+  FROM w),
+hosts AS (SELECT gram, count(DISTINCT host) AS n_hosts FROM g GROUP BY gram),
+docs AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram),
+occ AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram)
+SELECT h.gram, CAST(h.n_hosts AS BIGINT) AS n_hosts,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(o.n_occurrences AS BIGINT) AS n_occurrences
+FROM hosts h JOIN docs d USING (gram) JOIN occ o USING (gram)
+WHERE h.n_hosts >= {min_hosts}"""
+
+
 def jaccard_sweep_sql(min_threshold: float = 0.3, buckets: int = 10) -> str:
     """Expected dedup.jaccard_threshold_sweep output over the exact
     word-3-gram Jaccard pairs ≥ min_threshold: per similarity band, the
@@ -2768,26 +2794,38 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id_a = d.doc_id
 WHERE d.doc_id % {new_mod} = {new_rem}"""
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 2, inject: bool = False) -> tuple[str, str]:
+def _kmeans_ctes(
+    k: int = 8,
+    iters: int = 2,
+    inject: bool = False,
+    prefix: str = "",
+    v_sql: str | None = None,
+) -> tuple[str, str]:
     """Unrolled Lloyd's k-means over the embeddings table — mirrors
     similarity.kmeans_train term-for-term (init = first k vectors by id;
     assignment argmin over round(dist + QUANT_EPS, 9) with cluster-id
     tie-break; per-dim mean re-quantized the same way; empty clusters keep
     the previous centroid). Returns (ctes, final_centroid_cte_name); the
-    chain also defines ``v(id, v)``, ``vd(id, d, val)`` and
-    ``asg{iters}(id, cluster)``."""
+    chain also defines ``{prefix}v(id, v)``, ``{prefix}vd(id, d, val)``
+    and ``{prefix}asg{iters}(id, cluster)``. ``prefix`` namespaces every
+    CTE so several chains compose in one statement (the PQ per-subspace
+    unroll); ``v_sql`` overrides the input SELECT (must yield (id, v))."""
     from .operators.kge import QUANT_EPS
 
     eps = repr(QUANT_EPS)
+    p = prefix
     dist = (
         "round(list_aggregate(list_transform(range(1, len(v.v) + 1),"
         f" j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])), 'sum') + {eps}, 9)"
     )
-    if inject:
+    if v_sql is not None:
+        v_cte = f"""{p}v AS MATERIALIZED (
+  {v_sql}),"""
+    elif inject:
         # near-dup injection (the pii_scrub/url_dedup precedent — both
         # engines synthesize the identical input): vec_id % 7 == 3 becomes
         # a copy of vec_id−3's embedding with +0.05 on coordinate 1
-        v_cte = """v AS MATERIALIZED (
+        v_cte = f"""{p}v AS MATERIALIZED (
   SELECT r.vec_id AS id,
          CASE WHEN r.vec_id % 7 = 3 AND d.e IS NOT NULL
               THEN list_transform(range(1, len(d.e) + 1),
@@ -2797,31 +2835,31 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, inject: bool = False) -> tuple[str,
   LEFT JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) d
     ON d.vec_id = r.vec_id - 3),"""
     else:
-        v_cte = """v AS MATERIALIZED (
+        v_cte = f"""{p}v AS MATERIALIZED (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),"""
     ctes = f"""{v_cte}
-vd AS MATERIALIZED (
-  SELECT id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS val FROM v),
-c0 AS (SELECT CAST(id AS INT) AS cluster, v AS cv FROM v WHERE id < {k})"""
-    prev = "c0"
+{p}vd AS MATERIALIZED (
+  SELECT id, unnest(range(1, len(v) + 1)) AS d, unnest(v) AS val FROM {p}v),
+{p}c0 AS (SELECT CAST(id AS INT) AS cluster, v AS cv FROM {p}v WHERE id < {k})"""
+    prev = f"{p}c0"
     for i in range(1, iters + 1):
         ctes += f""",
-asg{i} AS MATERIALIZED (
+{p}asg{i} AS MATERIALIZED (
   SELECT id, cluster FROM (
     SELECT v.id, c.cluster,
            row_number() OVER (PARTITION BY v.id
                               ORDER BY {dist}, c.cluster) AS rn
-    FROM v CROSS JOIN {prev} c)
+    FROM {p}v v CROSS JOIN {prev} c)
   WHERE rn = 1),
-upd{i} AS (
+{p}upd{i} AS (
   SELECT a.cluster, vd.d, round(avg(vd.val) + {eps}, 9) AS val
-  FROM asg{i} a JOIN vd USING (id) GROUP BY a.cluster, vd.d),
-c{i} AS MATERIALIZED (
+  FROM {p}asg{i} a JOIN {p}vd vd USING (id) GROUP BY a.cluster, vd.d),
+{p}c{i} AS MATERIALIZED (
   SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
   FROM {prev} p LEFT JOIN (
-    SELECT cluster, list(val ORDER BY d) AS cv FROM upd{i} GROUP BY cluster
+    SELECT cluster, list(val ORDER BY d) AS cv FROM {p}upd{i} GROUP BY cluster
   ) u USING (cluster))"""
-        prev = f"c{i}"
+        prev = f"{p}c{i}"
     return ctes, prev
 
 
@@ -2834,6 +2872,40 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(unnest(range(1, len(cv) + 1)) AS BIGINT) AS d,
        unnest(cv) AS val
 FROM {final}"""
+
+
+def pq_sql(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Expected similarity.pq_codes output: per (vector, subspace), the
+    trained-codebook assignment and squared reconstruction error — m
+    independent k-means unrolls (prefixed _kmeans_ctes chains over sliced
+    vectors) plus a final assignment against each final codebook."""
+    from .operators.kge import QUANT_EPS
+
+    eps = repr(QUANT_EPS)
+    sub = dim // m
+    all_ctes, selects = [], []
+    dist = (
+        "round(list_aggregate(list_transform(range(1, len(v.v) + 1),"
+        f" j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])), 'sum') + {eps}, 9)"
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        v_sql = (
+            f"SELECT vec_id AS id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            "FROM embeddings"
+        )
+        ctes, final = _kmeans_ctes(k, iters, prefix=f"s{s}_", v_sql=v_sql)
+        all_ctes.append(ctes)
+        selects.append(f"""SELECT CAST(id AS BIGINT) AS vec_id,
+       CAST({s} AS BIGINT) AS subspace,
+       CAST(cluster AS BIGINT) AS code, dist AS sq_err
+FROM (
+  SELECT v.id, c.cluster, {dist} AS dist,
+         row_number() OVER (PARTITION BY v.id
+                            ORDER BY {dist}, c.cluster) AS rn
+  FROM s{s}_v v CROSS JOIN {final} c)
+WHERE rn = 1""")
+    return "WITH " + ",\n".join(all_ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def semdedup_sql(k: int = 8, iters: int = 2, threshold: float = 0.95,

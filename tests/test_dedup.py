@@ -346,3 +346,25 @@ def test_jaccard_threshold_sweep_cumulative(spark):
     assert rows[7].n_pairs_ge == 3
     assert rows[5].n_pairs_ge == 5
     assert rows[5].threshold == 0.5
+
+
+def test_boilerplate_grams_stop_gram_mining(spark):
+    boiler = "please accept our cookie policy"
+    d = spark.createDataFrame(
+        [
+            (1, "h1", f"{boiler} unique one text body"),
+            (2, "h2", f"{boiler} {boiler} other words here"),  # twice in one doc
+            (3, "h3", f"intro words {boiler}"),
+            (4, "h1", "shared only on two hosts gram x"),
+            (5, "h2", "shared only on two hosts gram y"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    out = {r.gram: r for r in
+           dedup.boilerplate_grams(d, n=5, min_hosts=3).collect()}
+    assert boiler in out
+    r = out[boiler]
+    assert r.n_hosts == 3 and r.n_docs == 3 and r.n_occurrences == 4
+    # 2-host grams are below the stop-gram bar
+    assert all(v.n_hosts >= 3 for v in out.values())
+    assert not any(g.startswith("shared only") for g in out)

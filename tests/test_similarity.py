@@ -160,3 +160,29 @@ def test_semdedup_suppresses_planted_neardup(spark):
     assert out[4].keep
     # suppressed rows carry the matched cosine; kept rows carry NULLs
     assert out[2].cosine > 0.99 and out[0].cosine is None
+
+
+def test_pq_codes_separated_subspace_clusters(spark):
+    # two clean clusters PER SUBSPACE, crossed so the subspace codebooks
+    # must be independent (v0 and v1 swap cluster roles across subspaces)
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [10.0, 10.0, 0.0, 0.0]),
+            (2, [0.2, 0.0, 10.0, 10.2]),
+            (3, [10.0, 10.2, 0.2, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.pq_codes(vecs, m=2, k=2, iters=2, dim=4)
+    rows = {(r.vec_id, r.subspace): r for r in out.collect()}
+    assert len(rows) == 8  # n * m
+    for s in (0, 1):
+        assert rows[(0, s)].code == rows[(2, s)].code
+        assert rows[(1, s)].code == rows[(3, s)].code
+        assert rows[(0, s)].code != rows[(1, s)].code
+    # final centroids are the 2-member means -> residual is the half-gap
+    # squared (0.1^2), QUANT_EPS-rounded
+    for key, r in rows.items():
+        assert r.sq_err < 0.05, key
+    assert abs(rows[(0, 0)].sq_err - 0.01) < 1e-6
