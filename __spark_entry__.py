@@ -255,6 +255,30 @@ def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): per-window rightmost-min k-gram hash
+    selections — the posting table whose equi-join GUARANTEES detection of
+    any shared substring ≥ w+k−1 chars (the local-selection property
+    MinHash/global-min fingerprints lack)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.winnow_fingerprints(docs, k=8, w=15).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_quote_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS detector: doc pairs sharing ≥3 non-viral winnowing
+    fingerprints — quote/plagiarism/near-copy candidates with the
+    guaranteed-detection floor. The stop-fingerprint rule bites on this
+    corpus (15% of fps sit on >20 docs — template boilerplate excluded
+    before the fp-keyed pair join)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = textstats.winnow_fingerprints(docs, k=8, w=15)
+    return textstats.shared_fingerprint_pairs(
+        fps, min_shared=3, max_docs_per_fp=20
+    )
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + per-subspace reconstruction error over
     the embeddings table (m=4 subspaces × k=4 centroids, Lloyd-trained
@@ -1968,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_sweep": q_jaccard_sweep,
         "boilerplate_grams": q_boilerplate_grams,
         "pq_codes": q_pq_codes,
+        "winnow": q_winnow,
+        "quote_pairs": q_quote_pairs,
         "order_split": q_order_split,
         "char_f1": q_char_f1,
         "cond_roundtrip": q_cond_roundtrip,
@@ -2109,6 +2135,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_sweep": oracle.jaccard_sweep_sql(min_threshold=0.3, buckets=20),
         "boilerplate_grams": oracle.boilerplate_grams_sql(n=5, min_hosts=3),
         "pq_codes": oracle.pq_sql(m=4, k=4, iters=2, dim=64),
+        "winnow": oracle.winnow_sql(k=8, w=15),
+        "quote_pairs": oracle.quote_pairs_sql(k=8, w=15, min_shared=3,
+                                              max_docs=20),
         "order_split": oracle.order_split_sql(),
         "char_f1": oracle.char_f1_sql(),
         "cond_roundtrip": oracle.cond_roundtrip_sql(),

@@ -545,3 +545,120 @@ def dsir_weights(
             "log_weight",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 15,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    *Winnowing: local algorithms for document fingerprinting* — the MOSS
+    algorithm): hash every char k-gram of the whitespace-normalized
+    lowercase text, slide a w-hash window, and select each window's
+    minimum hash (ties → rightmost). Any shared substring of length ≥
+    w + k − 1 between two documents is GUARANTEED to share a selected
+    fingerprint — the local-selection property that makes fingerprint
+    equi-joins a sound plagiarism/quote detector, which a global-min
+    scheme (fingerprint's fp_rolling, or MinHash) cannot promise.
+
+    Output: one row per distinct selection (id, pos, fp) — pos the
+    1-based gram position, fp the portable 60-bit hash — i.e. the posting
+    table a fingerprint index is built from; expected density ~2/(w+1).
+
+    Scale shape: everything up to the final distinct is per-row codegen
+    over array expressions (no explode until selections, which are ~13%
+    of grams at w=15); the distinct is the only shuffle and carries
+    (id, pos, fp) triples, never text. The gram-hash array is
+    MATERIALIZED as its own projection before the window pass — left
+    inline, Spark re-evaluates the whole md5 chain for every window
+    element (O(len·w·len) hashing instead of O(len)), the higher-order-
+    function recompute analog of the round-3 subplan re-execution bug.
+    """
+    from .dedup import char_shingles, portable_hash64
+
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    hdf = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            char_shingles(norm, k), lambda g: portable_hash64(g, seed="#winnow")
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+
+    def _win(i):
+        s = F.slice(hs, i, w)
+        mn = F.array_min(s)
+        rightmost = F.array_max(
+            F.zip_with(
+                s,
+                F.sequence(F.lit(1), F.size(s)),
+                lambda v, j: F.when(v == mn, j).otherwise(F.lit(0)),
+            )
+        )
+        return F.struct(
+            (i + rightmost - F.lit(1)).cast("long").alias("pos"),
+            mn.alias("fp"),
+        )
+
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+        _win,
+    )
+    return (
+        hdf.select("id", F.explode(wins).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
+def shared_fingerprint_pairs(
+    fps: DataFrame,
+    min_shared: int = 3,
+    max_docs_per_fp: int = 20,
+    id_col: str = "id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """The MOSS detector output over winnow_fingerprints: document pairs
+    sharing ≥ ``min_shared`` distinct fingerprints — quote / plagiarism /
+    near-copy candidates with a guaranteed-detection floor (every shared
+    run ≥ w+k−1 chars contributes a shared fingerprint).
+
+    Skew rule (the host_mirror_pairs stop-digest analog, and it BITES
+    here: 15% of this corpus's fingerprints sit on >20 docs): a
+    fingerprint on more than ``max_docs_per_fp`` documents is template
+    boilerplate — excluded BEFORE the fp-keyed pair join, which bounds
+    the viral-fingerprint quadratic blow-up and removes the
+    false-positive signal.
+
+    Scale shape: one distinct (id, fp) projection, checkpointed, feeds
+    both the hot-fp count and the pair join; the join key is the
+    fingerprint (equi-join, AQE-splittable); the pair aggregation is
+    map-side combinable.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    f = (
+        fps.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    hot = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_docs_per_fp)
+        .select("fp")
+    )
+    f2 = f.join(hot, "fp", "left_anti")
+    return (
+        f2.alias("a")
+        .join(
+            f2.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -343,6 +343,54 @@ SELECT host,
 FROM h GROUP BY host"""
 
 
+def winnow_sql(k: int = 8, w: int = 15) -> str:
+    """Expected textstats.winnow_fingerprints output: per-window rightmost
+    minimum k-gram hash selections over the normalized text (Schleimer et
+    al. 2003), distinct (doc_id, pos, fp) rows."""
+    return f"""WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                        i -> substr(t, i, {k})) AS grams
+  FROM nrm),
+h AS (
+  SELECT doc_id,
+         list_transform(grams,
+             x -> CAST(('0x' || substr(md5(x || '#winnow'), 1, 15)) AS BIGINT))
+             AS hs
+  FROM g),
+win AS (
+  SELECT doc_id, i AS wi, hs[i:i+{w - 1}] AS s
+  FROM h, unnest(range(1, greatest(len(hs) - {w - 1}, 1) + 1)) AS u(i)),
+m AS (SELECT doc_id, wi, s, list_min(s) AS mn FROM win)
+SELECT DISTINCT doc_id,
+       CAST(wi - 1 + list_max(list_transform(range(1, len(s) + 1),
+            j -> CASE WHEN s[j] = mn THEN j ELSE 0 END)) AS BIGINT) AS pos,
+       mn AS fp
+FROM m"""
+
+
+def quote_pairs_sql(
+    k: int = 8, w: int = 15, min_shared: int = 3, max_docs: int = 20
+) -> str:
+    """Expected textstats.shared_fingerprint_pairs output over the winnow
+    fingerprints: doc pairs sharing ≥ min_shared non-viral fingerprints
+    (fps on > max_docs docs excluded before the pair join)."""
+    return f"""WITH fps AS (
+{winnow_sql(k, w)}
+),
+f AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > {max_docs}),
+f2 AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot)),
+p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+FROM p WHERE shared >= {min_shared}"""
+
+
 def boilerplate_grams_sql(n: int = 5, min_hosts: int = 3) -> str:
     """Expected dedup.boilerplate_grams output on the documents table with
     the host_counts_sql host arithmetic: word n-grams on ≥ min_hosts

@@ -140,6 +140,8 @@ EXPECTED_PLAN_COUNTS = {
     "jaccard_sweep": (0, 10, 0),
     "boilerplate_grams": (0, 3, 0),
     "pq_codes": (0, 16, 0),
+    "winnow": (1, 0, 0),
+    "quote_pairs": (0, 4, 0),
     "order_split": (0, 2, 2),
     "char_f1": (1, 0, 1),
     "cond_roundtrip": (1, 0, 1),

@@ -292,3 +292,27 @@ def test_dsir_weights_short_docs_drop(spark):
     )
     rows = textstats.dsir_weights(docs, target=(F.col("doc_id") == 2)).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from autoextraction_spark.operators.textstats import winnow_fingerprints
+
+    # docs 1 and 2 share a run of length >= w + k - 1 = 10 ("SHAREDRUNXYZ",
+    # 12 chars); doc 3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa SHAREDRUNXYZ bbbb"),
+            (2, "cccc SHAREDRUNXYZ dddd"),
+            (3, "totally different content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=4, w=7)
+    fps = {i: {r.fp for r in rows} for i, rows in
+           ((i, [r for r in out.collect() if r.id == i]) for i in (1, 2, 3))}
+    # the winnowing guarantee: shared substring >= w+k-1 -> shared fingerprint
+    assert fps[1] & fps[2]
+    # and the match is the shared run, not chance: doc 3 shares nothing
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # selections are deterministic and deduplicated
+    assert out.count() == out.distinct().count()
