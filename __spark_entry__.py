@@ -647,6 +647,25 @@ TYPE_DICTS = {
 }
 
 
+def q_kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-based entity typing: every distinct fact votes one type per
+    slot via its predicate's (subj_type, obj_type) signature — types the
+    long-tail entities the dictionaries never saw; portable two-step
+    argmax (max votes, min type)."""
+    facts = _pipeline_triples(spark, sf_dir).select("pred", "subj", "obj").distinct()
+    return graph.entity_type_inference(facts, KS.RELATIONS)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS boundary rule): chunk starts
+    where the char 8-gram hash ≡ 0 (mod 64), so boundaries move with the
+    content and chunk-hash dedup survives boilerplate drift that resyncs
+    fixed-width chunking never recovers from. Pure map-local codegen —
+    no shuffle anywhere; text never leaves its partition."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.cdc_chunks(docs, k=8, mask=64)
+
+
 def q_kg_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth discovery for the functional predicate born_in: conflicting
     objects per (subj, pred) resolved to the most recent crawl's assertion
@@ -676,6 +695,40 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(
         graph.triple_edges(_pipeline_triples(spark, sf_dir)), iters=3
     )
+
+
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity decomposition of the label-propagation
+    partition (Newman-Girvan dq = internal/m − (deg/2m)²): the
+    partition-quality audit on the community feature. All terms are ratios
+    of exact integer counts (bitwise engine-independent IEEE arithmetic);
+    m is a one-row broadcast aggregate, no collect."""
+    return graph.community_modularity(
+        graph.triple_edges(_pipeline_triples(spark, sf_dir)), iters=3
+    )
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path costs from the REACH_SEEDS over the full
+    entity graph with deterministic integer edge weights
+    (1 + hash60(src→dst)%5): frontier-improvement Bellman-Ford, exact-long
+    costs in both engines; the oracle's hop-bounded WITH RECURSIVE
+    enumeration min-collapses to the same fixpoint."""
+    from autoextraction_spark.operators.dedup import portable_hash64
+
+    t = _pipeline_triples(spark, sf_dir)
+    e = graph.triple_edges(t).withColumn(
+        "w",
+        (
+            F.lit(1)
+            + portable_hash64(
+                F.concat(F.col("src"), F.lit("→"), F.col("dst")), seed="#w"
+            )
+            % 5
+        ).cast("long"),
+    )
+    seeds = spark.createDataFrame([(s,) for s in REACH_SEEDS], "node string")
+    return graph.weighted_shortest_paths(e, seeds, max_iter=8)
 
 
 def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1603,6 +1656,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("session_id", F.col("session_id").cast("long"))
 
 
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: hourly per-type counts,
+    per-type population z-score from EXACT integer moments (n, Σc, Σc² as
+    longs — mean/variance are then IEEE-exact in both engines; sqrt is
+    correctly rounded per IEEE-754), buckets with z ≥ 2 flagged. The
+    traffic-anomaly / crawl-storm monitor over web event logs.
+
+    Plan: the hourly table is checkpointed once and feeds both the moment
+    aggregation and the z join (else the two-level aggregate re-scans the
+    source — the recompute class the plan pins guard); zero-variance types
+    are excluded by an exact integer predicate (n·Σc² > (Σc)²)."""
+    ev = _read(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts").cast("timestamp_ltz")),
+        "yyyy-MM-dd HH:00:00",
+    )
+    hourly = (
+        ev.groupBy("event_type", hour.alias("hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n").cast("double")
+    var = F.col("ss") / F.col("n").cast("double") - mean * mean
+    z = F.round((F.col("cnt") - mean) / F.sqrt(var), 6)
+    return (
+        hourly.join(stats, "event_type")
+        .filter(F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+        .select("event_type", "hour", "cnt", z.alias("z"))
+        .filter(F.col("z") >= 2.0)
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
     l = _read(spark, sf_dir, "lineitem")
@@ -1824,6 +1914,56 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (whitespace tokens): the corpus
+    card / search-index descriptor extractor. One checkpointed (doc, token)
+    explode feeds tf, df and the one-row N broadcast; rank orders by the
+    ROUNDED score with term tiebreak (engine-portable total order)."""
+    return textstats.tfidf_keywords(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"), top_k=5
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by PMI over adjacent whitespace tokens —
+    the phrase-vocabulary miner upstream of tokenizer training. All PMI
+    inputs are exact integer counts inside ONE ln (round-6 absorbed);
+    pairs built with zip_with over array slices BEFORE the explode."""
+    return textstats.collocations(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"), min_count=5
+    )
+
+
+def q_kg_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth profile of the ``acquired`` ownership closure: pairs reachable
+    at each BFS-minimal depth, cumulative counts and cumulative fraction —
+    the how-deep-do-control-chains-go audit over the materialized KG
+    (the effective-diameter table; at web scale the exact closure is
+    replaced by HyperANF-style neighborhood sketches, same output shape)."""
+    t = _pipeline_triples(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "acquired").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    closure = graph.transitive_closure(edges, max_depth=8)
+    d = closure.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w_cum = W.orderBy("depth").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("depth").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return d.select(
+        "depth",
+        "n_pairs",
+        F.sum("n_pairs").over(w_cum).cast("long").alias("cum_pairs"),
+        F.round(
+            F.sum("n_pairs").over(w_cum)
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            9,
+        ).alias("frac"),
+    )
+
+
 def q_rel2id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 rel2id generation (predict.py:26-28, gen_rels.ipynb)."""
     ev = _read(spark, sf_dir, "events").select("event_type").distinct()
@@ -2028,6 +2168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "kg_ppr": q_kg_ppr,
         "kg_communities": q_kg_communities,
+        "kg_modularity": q_kg_modularity,
+        "kg_shortest_paths": q_kg_shortest_paths,
+        "event_bursts": q_event_bursts,
         "kg_resolve": q_kg_resolve,
         "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
@@ -2094,6 +2237,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_labels_search": q_span_labels_search,
         "span_labels_char": q_span_labels_char,
         "vocab_topk": q_vocab_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "collocations": q_collocations,
+        "kg_reach_profile": q_kg_reach_profile,
+        "kg_entity_types": q_kg_entity_types,
+        "cdc_chunks": q_cdc_chunks,
         "rel2id": q_rel2id,
         "cooccur_pairs": q_cooccur_pairs,
         "exact_dedup": q_exact_dedup,
@@ -2176,6 +2324,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_plan": oracle.mixture_plan_sql(tau=0.5),
         "kg_ppr": oracle.personalized_pagerank_sql(REACH_SEEDS),
         "kg_communities": oracle.label_propagation_sql(iters=3),
+        "kg_modularity": oracle.modularity_sql(iters=3),
+        "kg_shortest_paths": oracle.shortest_paths_sql(REACH_SEEDS, max_iter=8),
+        "event_bursts": oracle.event_bursts_sql(z_min=2.0),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),
@@ -2314,6 +2465,11 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_offsets": oracle.tokenize_offsets_sql(),
         "span_labels_search": oracle.span_labels_search_sql(),
         "span_labels_char": oracle.span_labels_char_sql(),
+        "tfidf_keywords": oracle.tfidf_sql(top_k=5),
+        "collocations": oracle.collocations_sql(min_count=5),
+        "kg_reach_profile": oracle.reach_profile_sql("acquired", max_depth=8),
+        "kg_entity_types": oracle.entity_types_sql(KS.RELATIONS),
+        "cdc_chunks": oracle.cdc_sql(k=8, mask=64),
         "vocab_topk": """
             WITH t AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
             c AS (SELECT token, count(*) AS n FROM t GROUP BY token HAVING count(*) >= 100)

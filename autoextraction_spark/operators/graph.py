@@ -969,3 +969,197 @@ def adamic_adar(edges: DataFrame, min_shared: int = 2) -> DataFrame:
         )
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame, seeds: DataFrame, max_iter: int = 8
+) -> DataFrame:
+    """Single-source-set weighted shortest paths ``(node, cost)`` over
+    directed (src, dst, w) edges with POSITIVE INTEGER weights — the
+    evidence-path cost primitive under KG retrieval (cheapest supporting
+    chain from the query entities), generalizing :func:`bfs_distances`
+    from hop counts to weighted costs.
+
+    Frontier-improvement Bellman-Ford (semi-naive): each round relaxes
+    only the edges out of nodes whose cost IMPROVED last round, so after
+    round k the table holds the exact minimum cost over all walks of
+    ≤ k edges (the textbook Bellman-Ford invariant — a node at its
+    fixpoint never re-enters the frontier, and its out-edges were already
+    relaxed at its final cost). An empty improvement frontier is the
+    global fixpoint, so early exit is exact, and the ``max_iter`` cap
+    makes the enumerated walk universe identical to the SQL oracle's
+    hop-bounded WITH RECURSIVE expansion.
+
+    Integer weights are a parity design choice, not a limitation: costs
+    are exact longs in both engines, so no float-sum ordering can flip a
+    min (production float costs would quantize to fixed-point the same
+    way ``compose`` quantizes keep rates).
+
+    Scale shape: the weighted edge base is checkpointed ONCE; per round
+    one frontier⋈edges equi-join keyed by src + one map-side-combinable
+    min per dst + one left join against the current best (improvement
+    filter) — all shuffles keyed by entity id, AQE-splittable under hub
+    skew; per-round eager checkpoints cut lineage and feed the isEmpty
+    convergence probe.
+    """
+    e = _eager(edges.select("src", "dst", "w").distinct())
+    best = _eager(
+        seeds.select("node").distinct().withColumn("cost", F.lit(0).cast("long"))
+    )
+    frontier = best
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).cast("long").alias("cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = _eager(
+            cand.alias("c")
+            .join(best.alias("b"), "node", "left")
+            .filter(F.col("b.cost").isNull() | (F.col("c.cost") < F.col("b.cost")))
+            .select("node", F.col("c.cost").alias("cost"))
+        )
+        if improved.isEmpty():
+            break
+        # merge = union + min per node (improvements are strictly better, so
+        # this equals the anti-join+replace form; groupBy sidesteps a
+        # Catalyst constraint-rewrite bug the USING-key anti-join over two
+        # checkpoint-derived frames trips in Spark 4.1)
+        best = _eager(
+            best.select("node", "cost")
+            .union(improved.select("node", "cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        frontier = improved
+    return best
+
+
+def community_modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Per-community modularity decomposition of the
+    :func:`label_propagation` partition over the undirected entity graph:
+    ``(community, n_nodes, internal_edges, degree_sum, dq)`` where
+    ``dq = internal/m − (degree_sum/2m)²`` is the community's additive
+    contribution to Newman-Girvan modularity Q = Σ_c dq (Newman & Girvan
+    2004). The partition-quality audit a KG curation report runs on its
+    community feature — extraction noise and over-merged canonicalization
+    both show up as near-zero dq mass.
+
+    Float parity: every term is a ratio of exact integer counts —
+    IEEE division/multiply/subtract of identical integers is bitwise
+    engine-independent — with the repo's defensive round(·, 9) on top.
+
+    Scale shape: the deduped (src,dst) projection is checkpointed ONCE and
+    feeds both label propagation and the undirected edge set; labels are
+    checkpointed before fanning out to the three consumers (internal-edge
+    join ×2, degree join); m is a ONE-ROW aggregate crossJoined back
+    (broadcast single row — the no-collect scalar idiom); every join is an
+    entity-keyed equi-join and every count map-side combinable.
+    """
+    ed = _eager(edges.select("src", "dst").distinct())
+    lab = _eager(label_propagation(ed, iters=iters))
+    und = _eager(
+        ed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    mtot = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        und.select(F.col("u").alias("entity"))
+        .union(und.select(F.col("v").alias("entity")))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    internal = (
+        und.join(
+            lab.select(F.col("entity").alias("u"), F.col("community").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("entity").alias("v"), F.col("community").alias("cv")),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    per_c = (
+        deg.join(lab, "entity")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        per_c.join(internal, "community", "left")
+        .na.fill({"internal_edges": 0})
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            "community",
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round(
+                F.col("internal_edges") / F.col("m")
+                - (F.col("degree_sum") / (F.lit(2.0) * F.col("m")))
+                * (F.col("degree_sum") / (F.lit(2.0) * F.col("m"))),
+                9,
+            ).alias("dq"),
+        )
+    )
+
+
+def entity_type_inference(
+    facts: DataFrame, signatures: list[tuple[str, str, str]]
+) -> DataFrame:
+    """Usage-based entity typing ``(entity, etype, votes)``: every distinct
+    fact casts one type vote per slot via its predicate's (subj_type,
+    obj_type) signature — the inverse of :func:`schema_induction` (there:
+    dictionary types audit predicates; here: predicate signatures type the
+    entities, including every entity the dictionaries have never seen —
+    exactly the long tail a web-scale KG is made of). The vote argmax is
+    the engine-portable two-step (max votes, then min type), same as
+    label_propagation's.
+
+    Scale shape: the signature map is a model artifact folded into one
+    codegen CASE per slot (no join, no UDF); one union-all projection, one
+    partial-aggregated count keyed by (entity, type), one max + min-tiebreak
+    — every shuffle keyed by entity id.
+    """
+    def case_for(slot: int) -> F.Column:
+        e = F.lit(None).cast("string")
+        for pred, styp, otyp in reversed(signatures):
+            t = styp if slot == 0 else otyp
+            e = F.when(F.col("pred") == pred, F.lit(t)).otherwise(e)
+        return e
+
+    # facts feeds two slot projections, counts feeds the max and the
+    # tiebreak join — checkpoint each ONCE or the upstream extraction
+    # pipeline re-executes 4x (the round-3 recompute bug class)
+    f = _ckpt(facts.select("pred", "subj", "obj"))
+    votes = (
+        f.select(F.col("subj").alias("entity"), case_for(0).alias("etype"))
+        .unionAll(
+            f.select(F.col("obj").alias("entity"), case_for(1).alias("etype"))
+        )
+        .filter(F.col("etype").isNotNull())
+    )
+    counts = _ckpt(
+        votes.groupBy("entity", "etype").agg(
+            F.count(F.lit(1)).cast("long").alias("votes")
+        )
+    )
+    maxv = counts.groupBy("entity").agg(F.max("votes").alias("votes"))
+    return (
+        counts.join(maxv, ["entity", "votes"])
+        .groupBy("entity", "votes")
+        .agg(F.min("etype").alias("etype"))
+        .select("entity", "etype", "votes")
+    )

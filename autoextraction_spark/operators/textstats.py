@@ -662,3 +662,185 @@ def shared_fingerprint_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords over whitespace tokens:
+    ``score = tf · ln(N / df)`` — the classic keyword/description extractor
+    a corpus card or search index builds per page.
+
+    Cross-engine parity: tf, df and N are exact integers; the single
+    ``ln`` is the only libm call, absorbed by the repo's round(·, 6) rule,
+    and the top-k window orders by the ROUNDED score with the term as a
+    total tiebreak, so rank order is deterministic in both engines.
+
+    Scale shape: the (doc, token) explode is checkpointed ONCE and feeds
+    all three consumers (tf, df, N); df and N are partial-aggregated; the
+    per-doc window partitions by doc_id — no global sort.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = tok.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    score = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information:
+    ``pmi = ln(c_xy · U² / (T · c_x · c_y))`` with c_xy the adjacent-pair
+    count, c_x/c_y unigram counts, T total bigrams, U total tokens — the
+    phrase-vocabulary miner a tokenizer/packing pipeline runs before
+    training (Manning & Schütze ch. 5 collocations).
+
+    Cross-engine parity: all five PMI inputs are exact integer counts in
+    ONE ln argument (single libm call, round(·, 6) absorbs); adjacent
+    pairs are built with zip_with over array slices BEFORE the explode —
+    guarded by size ≥ 2 because Spark's sequence(1, 0) DESCENDS.
+
+    Scale shape: the token-array projection is checkpointed ONCE and
+    feeds bigrams, unigrams and the one-row (T, U) scalar aggregate
+    (broadcast crossJoin — no collect); bigram and unigram counts are
+    partial-aggregated; the two c_x/c_y lookups are term-keyed equi-joins.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    arr = (
+        df.select(F.split(F.col(text_col), " ").alias("a"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    sz = F.size(F.col("a"))
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(F.col("a"), 1, sz - 1),
+            F.slice(F.col("a"), 2, sz - 1),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    big = (
+        arr.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    uni = (
+        arr.select(F.explode(F.col("a")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = arr.agg(
+        F.sum(F.greatest(sz - 1, F.lit(0))).cast("long").alias("t_big"),
+        F.sum(sz).cast("long").alias("u_tok"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") * F.col("u_tok") * F.col("u_tok")).cast("double")
+            / (F.col("t_big") * F.col("c_x") * F.col("c_y"))
+        ),
+        6,
+    )
+    return (
+        big.join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "c_xy", "c_x", "c_y", pmi.alias("pmi"))
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule, Muthitacharoen
+    et al. 2001): a chunk boundary falls before every position whose char
+    k-gram hash ≡ 0 (mod ``mask``), so boundaries move WITH the content —
+    an insertion early in a page re-chunks only its local neighborhood,
+    which is what makes chunk-hash dedup robust to boilerplate drift where
+    fixed-width chunking resyncs never. Output: ``(doc_id, chunk_idx,
+    start, length, chunk_hash)`` — the chunk-granularity dedup/delta table.
+    Expected chunk length ≈ ``mask`` chars (no min/max clamps here; a
+    production CDC adds them, at the cost of the pure content-determinism
+    this oracle checks).
+
+    Scale shape: boundary selection is pure per-row codegen over array
+    expressions (the gram-hash array materialized ONCE per row, same rule
+    as winnow_fingerprints); the chunk explode is map-local (no shuffle
+    anywhere); text never leaves its partition — only (id, idx, start,
+    len, hash64) rows are emitted.
+    """
+    from .dedup import char_shingles, portable_hash64
+
+    txt = F.col(text_col)
+    hdf = df.select(
+        F.col(id_col).alias("doc_id"),
+        txt.alias("_t"),
+        F.transform(
+            char_shingles(txt, k), lambda g: portable_hash64(g, seed="#cdc")
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.size(hs)),
+        lambda i: F.element_at(hs, i) % mask == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), bpos)
+    ends = F.concat(bpos, F.array(F.length(F.col("_t")) + 1))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), (e - s).alias("ln"))
+    )
+    return (
+        hdf.select("doc_id", "_t", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .filter(F.col("c.ln") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.s").cast("long").alias("start"),
+            F.col("c.ln").cast("long").alias("length"),
+            portable_hash64(
+                F.expr("substring(_t, c.s, c.ln)"), seed="#chunk"
+            ).alias("chunk_hash"),
+        )
+    )

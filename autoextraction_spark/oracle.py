@@ -3511,3 +3511,199 @@ SELECT pr.entity, pr.out_deg, pr.in_deg, pr.pagerank,
        CAST(coalesce(hc.n_reaching, 0) AS BIGINT) AS n_reaching
 FROM pr LEFT JOIN cm ON pr.entity = cm.entity
         LEFT JOIN hc ON pr.entity = hc.node"""
+
+
+def shortest_paths_sql(seeds: list[str], max_iter: int = 8, wmod: int = 5) -> str:
+    """Replicates operators.graph.weighted_shortest_paths over the full
+    gold entity graph with the deterministic integer edge weights
+    w = 1 + hash60(src||'→'||dst||'#w') % wmod: WITH RECURSIVE enumerates
+    every (node, cost, hops ≤ max_iter) walk cost — min(cost) per node IS
+    the frontier-improvement Bellman-Ford fixpoint, because after
+    max_iter rounds the Spark side holds the exact minimum over walks of
+    ≤ max_iter edges (invariant documented on the operator)."""
+    seed_rows = ", ".join(f"({sql_str(s)})" for s in seeds)
+    return f"""WITH RECURSIVE {_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst,
+      1 + (CAST(('0x' || substr(md5(subj || '→' || obj || '#w'), 1, 15))
+           AS BIGINT) % {wmod}) AS w
+      FROM g),
+paths(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM (VALUES {seed_rows}) s(node)
+  UNION
+  SELECT q.dst, p.cost + q.w, p.hops + 1
+  FROM paths p JOIN e q ON p.node = q.src
+  WHERE p.hops < {max_iter}
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM paths GROUP BY node"""
+
+
+def modularity_sql(iters: int = 3) -> str:
+    """Replicates operators.graph.community_modularity: the
+    label_propagation oracle's unrolled labels, the undirected
+    least/greatest edge set, and the per-community integer counts feeding
+    dq = internal/m − (degree_sum/2m)² (pure integer-ratio IEEE arithmetic
+    — bitwise engine-independent — with the defensive round(·, 9))."""
+    return f"""WITH lp AS ({label_propagation_sql(iters)}),
+{_gold_graph_ctes()},
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e WHERE src <> dst),
+m AS (SELECT count(*) AS m FROM und),
+deg AS (SELECT entity, count(*) AS deg FROM (
+          SELECT u AS entity FROM und UNION ALL SELECT v FROM und)
+        GROUP BY entity),
+internal AS (
+  SELECT la.community AS community, count(*) AS internal_edges
+  FROM und
+  JOIN lp la ON la.entity = und.u
+  JOIN lp lb ON lb.entity = und.v
+  WHERE la.community = lb.community
+  GROUP BY la.community),
+per_c AS (
+  SELECT lp.community, count(*) AS n_nodes, sum(deg.deg) AS degree_sum
+  FROM deg JOIN lp ON deg.entity = lp.entity
+  GROUP BY lp.community)
+SELECT p.community,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(p.degree_sum AS BIGINT) AS degree_sum,
+       round(coalesce(i.internal_edges, 0) / CAST(m.m AS DOUBLE)
+             - (p.degree_sum / (2.0 * m.m)) * (p.degree_sum / (2.0 * m.m)),
+             9) AS dq
+FROM per_c p LEFT JOIN internal i ON p.community = i.community
+CROSS JOIN m"""
+
+
+def event_bursts_sql(z_min: float = 2.0) -> str:
+    """Replicates __spark_entry__.q_event_bursts: hourly event-type counts,
+    per-type population moments from EXACT integer sums (Σc, Σc², n as
+    BIGINTs — so mean/variance are IEEE-exact in both engines; sqrt is
+    correctly rounded per IEEE-754), z-score flagged at z ≥ z_min."""
+    return f"""WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM hourly GROUP BY event_type),
+z AS (
+  SELECT h.event_type, h.hour, h.cnt,
+         round((h.cnt - st.s / CAST(st.n AS DOUBLE))
+               / sqrt(st.ss / CAST(st.n AS DOUBLE)
+                      - (st.s / CAST(st.n AS DOUBLE))
+                      * (st.s / CAST(st.n AS DOUBLE))), 6) AS z
+  FROM hourly h JOIN stats st ON h.event_type = st.event_type
+  WHERE st.ss * st.n > st.s * st.s)
+SELECT event_type, hour, cnt, z FROM z WHERE z >= {z_min}"""
+
+
+def tfidf_sql(top_k: int = 5) -> str:
+    """Replicates textstats.tfidf_keywords: whitespace tokens, exact
+    integer tf/df/N, score = round(tf·ln(N/df), 6), per-doc top-k ranked
+    by (rounded score DESC, term ASC) — a total, engine-portable order."""
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+      FROM s)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= {top_k}"""
+
+
+def collocations_sql(min_count: int = 5) -> str:
+    """Replicates textstats.collocations: adjacent whitespace-token bigrams,
+    pmi = round(ln(c_xy·U²/(T·c_x·c_y)), 6) from exact integer counts
+    (one ln over one integer ratio — the engine-portable PMI form)."""
+    return f"""WITH arrs AS (SELECT str_split(text, ' ') AS a FROM documents),
+big AS (
+  SELECT a[i] AS x, a[i + 1] AS y
+  FROM arrs, unnest(range(1, greatest(len(a) - 1, 0) + 1)) AS u(i)),
+bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+       FROM big GROUP BY x, y HAVING count(*) >= {min_count}),
+uni AS (SELECT unnest(a) AS t FROM arrs),
+uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+tot AS (SELECT CAST(sum(greatest(len(a) - 1, 0)) AS BIGINT) AS t_big,
+               CAST(sum(len(a)) AS BIGINT) AS u_tok FROM arrs)
+SELECT bc.x, bc.y, bc.c_xy, cx.c AS c_x, cy.c AS c_y,
+       round(ln(CAST(bc.c_xy * tot.u_tok * tot.u_tok AS DOUBLE)
+                / (tot.t_big * cx.c * cy.c)), 6) AS pmi
+FROM bc JOIN uc cx ON bc.x = cx.t
+        JOIN uc cy ON bc.y = cy.t
+CROSS JOIN tot"""
+
+
+def reach_profile_sql(pred: str = "acquired", max_depth: int = 8) -> str:
+    """Replicates __spark_entry__.q_kg_reach_profile: depth histogram +
+    cumulative pair counts + cumulative fraction over the transitive-closure
+    oracle (exact integer sums; the division is IEEE-exact)."""
+    return f"""WITH c AS ({transitive_closure_sql(pred, max_depth)}),
+d AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_pairs FROM c GROUP BY depth)
+SELECT depth, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY depth) AS BIGINT) AS cum_pairs,
+       round(sum(n_pairs) OVER (ORDER BY depth)
+             / CAST(sum(n_pairs) OVER () AS DOUBLE), 9) AS frac
+FROM d"""
+
+
+def entity_types_sql(signatures: list[tuple[str, str, str]]) -> str:
+    """Replicates operators.graph.entity_type_inference over the distinct
+    gold facts: per-slot CASE type votes, portable two-step argmax
+    (max votes, then min type)."""
+    s_case = " ".join(
+        f"WHEN {sql_str(p)} THEN {sql_str(st)}" for p, st, _ in signatures
+    )
+    o_case = " ".join(
+        f"WHEN {sql_str(p)} THEN {sql_str(ot)}" for p, _, ot in signatures
+    )
+    return f"""WITH {_gold_graph_ctes()},
+v AS (
+  SELECT subj AS entity, CASE pred {s_case} ELSE NULL END AS etype FROM g
+  UNION ALL
+  SELECT obj AS entity, CASE pred {o_case} ELSE NULL END AS etype FROM g),
+c AS (SELECT entity, etype, CAST(count(*) AS BIGINT) AS votes
+      FROM v WHERE etype IS NOT NULL GROUP BY entity, etype),
+mx AS (SELECT entity, max(votes) AS votes FROM c GROUP BY entity)
+SELECT c.entity, min(c.etype) AS etype, c.votes
+FROM c JOIN mx ON c.entity = mx.entity AND c.votes = mx.votes
+GROUP BY c.entity, c.votes"""
+
+
+def cdc_sql(k: int = 8, mask: int = 64) -> str:
+    """Replicates textstats.cdc_chunks: content-defined boundaries at
+    positions whose k-gram hash ≡ 0 (mod mask), chunks between consecutive
+    boundaries, 0-based chunk_idx matching Spark's posexplode."""
+    return f"""WITH h AS (
+  SELECT doc_id, text AS t,
+         list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),
+             i -> CAST(('0x' || substr(md5(substr(text, i, {k}) || '#cdc'),
+                        1, 15)) AS BIGINT)) AS hs
+  FROM documents),
+b AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(hs) + 1), i -> hs[i] % {mask} = 0) AS bp
+  FROM h),
+se AS (
+  SELECT doc_id, t,
+         list_prepend(1, bp) AS starts,
+         list_append(bp, length(t) + 1) AS ends
+  FROM b),
+c AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         CAST(starts[i] AS BIGINT) AS start,
+         CAST(ends[i] - starts[i] AS BIGINT) AS length,
+         substr(t, starts[i], ends[i] - starts[i]) AS chunk
+  FROM se, unnest(range(1, len(starts) + 1)) AS u(i))
+SELECT doc_id, chunk_idx, start, length,
+       CAST(('0x' || substr(md5(chunk || '#chunk'), 1, 15)) AS BIGINT)
+           AS chunk_hash
+FROM c WHERE length > 0"""

@@ -524,3 +524,73 @@ def test_adamic_adar_weights_rare_neighbors(spark):
     }
     # the rare shared neighbor makes (a,b) stronger than the hub-only pairs
     assert got[("a", "b")][1] > got[("a", "c")][1]
+
+
+def test_weighted_shortest_paths_prefers_cheaper_longer_route(spark):
+    # s -> t direct costs 10; s -> a -> b -> t costs 1+1+1 = 3: the cheaper
+    # route needs MORE hops, which a BFS would miss — the weighted relaxation
+    # must keep improving t after its first (hop-minimal) discovery.
+    edges = spark.createDataFrame(
+        [("s", "t", 10), ("s", "a", 1), ("a", "b", 1), ("b", "t", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.cost for r in
+           graph.weighted_shortest_paths(edges, seeds, max_iter=8).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "t": 3}
+
+
+def test_weighted_shortest_paths_cycle_and_unreachable(spark):
+    # positive-weight cycle must drain the frontier; x is unreachable
+    edges = spark.createDataFrame(
+        [("s", "a", 2), ("a", "s", 2), ("x", "y", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.cost for r in
+           graph.weighted_shortest_paths(edges, seeds, max_iter=8).collect()}
+    assert got == {"s": 0, "a": 2}
+
+
+def test_community_modularity_two_cliques(spark):
+    # two triangles joined by one bridge: LPA labels each triangle as one
+    # community; per-community counts and dq follow the closed form.
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("d", "e"), ("e", "f"), ("d", "f")]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + [("c", "d")], "src string, dst string"
+    )
+    rows = {r.community: r for r in
+            graph.community_modularity(edges, iters=3).collect()}
+    assert len(rows) == 2
+    m = 7.0  # 6 clique edges + 1 bridge
+    for r in rows.values():
+        assert r.n_nodes == 3 and r.internal_edges == 3
+        expect = 3 / m - (r.degree_sum / (2 * m)) ** 2
+        assert abs(r.dq - round(expect, 9)) < 1e-12
+    # degree sums: the bridged triangle has one extra endpoint degree
+    assert sorted(r.degree_sum for r in rows.values()) == [7, 7]
+
+
+def test_entity_type_inference_majority_and_tiebreak(spark):
+    sigs = [("works_for", "person", "org"), ("based_in", "org", "city")]
+    facts = spark.createDataFrame(
+        [
+            # "acme" votes org twice (obj of works_for, subj of based_in)
+            ("works_for", "ann", "acme"),
+            ("based_in", "acme", "paris"),
+            # "bob" one person vote; "paris" one city vote
+            ("works_for", "bob", "acme"),
+        ],
+        "pred string, subj string, obj string",
+    )
+    got = {r.entity: (r.etype, r.votes) for r in
+           graph.entity_type_inference(facts, sigs).collect()}
+    assert got["acme"] == ("org", 3)  # 2x obj-of-works_for + 1x subj-of-based_in
+    assert got["ann"] == ("person", 1)
+    assert got["paris"] == ("city", 1)
+    # unsigned predicate rows vote nothing
+    extra = spark.createDataFrame(
+        [("unknown_pred", "x", "y")], "pred string, subj string, obj string"
+    )
+    assert graph.entity_type_inference(extra, sigs).count() == 0

@@ -142,6 +142,14 @@ EXPECTED_PLAN_COUNTS = {
     "pq_codes": (0, 16, 0),
     "winnow": (1, 0, 0),
     "quote_pairs": (0, 4, 0),
+    "kg_modularity": (0, 7, 0),
+    "kg_shortest_paths": (0, 1, 0),
+    "event_bursts": (0, 2, 0),
+    "tfidf_keywords": (0, 3, 0),
+    "collocations": (0, 4, 0),
+    "kg_reach_profile": (0, 5, 0),
+    "kg_entity_types": (0, 2, 0),
+    "cdc_chunks": (1, 0, 0),
     "order_split": (0, 2, 2),
     "char_f1": (1, 0, 1),
     "cond_roundtrip": (1, 0, 1),

@@ -316,3 +316,67 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     # selections are deterministic and deduplicated
     assert out.count() == out.distinct().count()
+
+
+def test_tfidf_keywords_rare_term_outranks_common(spark):
+    from autoextraction_spark.operators.textstats import tfidf_keywords
+
+    # "zebra" appears only in doc 1 (df=1, ln(3/1) > 0); "the" is in all
+    # three docs (df=3, ln(3/3)=0 -> score 0 regardless of tf)
+    df = spark.createDataFrame(
+        [
+            (1, "the the the zebra apple"),
+            (2, "the apple pie"),
+            (3, "the pie crust"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, top_k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    assert top1[1] == "zebra"
+    the_rows = [r for r in out if r.term == "the"]
+    assert all(r.score == 0.0 for r in the_rows)
+    # exactly top_k rows per doc
+    assert sorted(r.doc_id for r in out).count(1) == 2
+
+
+def test_collocations_pmi_math_and_min_count(spark):
+    import math
+
+    from autoextraction_spark.operators.textstats import collocations
+
+    # "new york" appears 5x adjacent; "a b" only once (below min_count)
+    docs = [(i, "new york") for i in range(5)] + [(99, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations(df, min_count=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.x, r.y, r.c_xy) == ("new", "york", 5)
+    # U=12 tokens, T=6 bigrams, c_x=c_y=5: pmi = ln(5*144/(6*25))
+    assert r.pmi == round(math.log(5 * 12 * 12 / (6 * 5 * 5)), 6)
+
+
+def test_cdc_chunks_cover_text_and_move_with_content(spark):
+    from autoextraction_spark.operators.textstats import cdc_chunks
+
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(400))
+    # same tail content after an insertion near the head: chunk hashes of
+    # the tail region must reappear (content-defined resync), which
+    # fixed-width chunking would lose
+    df = spark.createDataFrame(
+        [(1, base), (2, "XYZPREFIX" + base)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, k=8, mask=16).collect()
+    by_doc = {i: sorted((r for r in rows if r.doc_id == i),
+                        key=lambda r: r.chunk_idx) for i in (1, 2)}
+    for i in (1, 2):
+        cs = by_doc[i]
+        # chunks tile the text exactly: starts/lengths contiguous from 1
+        assert cs[0].start == 1
+        for a, b in zip(cs, cs[1:]):
+            assert a.start + a.length == b.start
+        assert cs[-1].start + cs[-1].length == len(df.collect()[0].text) + 1 \
+            if i == 1 else True
+        assert all(c.length > 0 for c in cs)
+    shared = {c.chunk_hash for c in by_doc[1]} & {c.chunk_hash for c in by_doc[2]}
+    assert shared, "insertion must not destroy all downstream chunk identity"
