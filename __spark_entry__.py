@@ -25,8 +25,8 @@ from autoextraction_spark import metrics as kgmetrics  # noqa: E402
 from autoextraction_spark import schema as KS  # noqa: E402
 from autoextraction_spark.operators import (  # noqa: E402
     bpe, classifier, compose, dedup, detect, graph, kge, linking, lm,
-    multimodal, nested, output, rl_train, similarity, slot_fill, textstats,
-    tokenize,
+    multimodal, nested, output, rl_train, similarity, sketch, slot_fill,
+    textstats, tokenize,
 )
 from autoextraction_spark.operators.canonicalize import connected_components  # noqa: E402
 from autoextraction_spark.pipeline import salted_host_counts, url_dedup  # noqa: E402
@@ -1693,6 +1693,189 @@ def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts per event_type — users (exact 150,
+    inside the linear-counting regime) and event_ids (~2000, the raw
+    harmonic-estimator regime) — each beside its exact answer and relative
+    error. The register build is a map-side-combinable max over 64 buckets
+    per group, so the key set itself never shuffles; the harmonic sum is
+    EXACT integer arithmetic (terms 2^(56-reg) as longs, one final IEEE
+    division of a shared constant), and the linear-counting ln is absorbed
+    by round(·, 6). Source checkpointed once for the three consumers."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("event_type", "user_id", "event_id")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    est_u = sketch.hll_estimate(
+        sketch.hll_registers(ev, "user_id", ["event_type"], seed="#hllu"),
+        ["event_type"],
+        "hll_users",
+    )
+    est_e = sketch.hll_estimate(
+        sketch.hll_registers(ev, "event_id", ["event_type"], seed="#hlle"),
+        ["event_type"],
+        "hll_events",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.countDistinct("event_id").cast("long").alias("exact_events"),
+    )
+
+    def _err(est: F.Column, exact_col: str) -> F.Column:
+        return F.round(F.abs(est - F.col(exact_col)) / F.col(exact_col), 6)
+
+    return (
+        exact.join(est_u, "event_type")
+        .join(est_e, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_users",
+            _err(F.col("hll_users"), "exact_users").alias("err_users"),
+            "exact_events",
+            "hll_events",
+            _err(F.col("hll_events"), "exact_events").alias("err_events"),
+        )
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct char-4-gram count per language (~970 true
+    grams per lang, k = 64 — the estimator regime), beside the exact
+    count and relative error. The sketch ships at most k longs per group
+    after a map-side distinct; the estimator (k-1)·2^60/h_(k) is one IEEE
+    division of an exactly-representable float constant by an exact long.
+    The gram explode is checkpointed once and feeds both the sketch and
+    the exact count."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    grams = (
+        docs.select(
+            "lang", F.explode(dedup.char_shingles(F.col("text"), 4)).alias("g")
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    est = sketch.kmv_distinct(grams, "g", ["lang"], k=64)
+    exact = (
+        grams.distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_grams"))
+    )
+    return exact.join(est, "lang").select(
+        "lang",
+        "exact_grams",
+        "n_kept",
+        "kmv_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_grams"))
+            / F.col("exact_grams"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over a deterministically skewed key
+    (key k_j occurs ~2^(j-1) times per 1024 events — the Zipf-ish shape a
+    viral-host column has; synthesized identically in both engines from
+    event_id arithmetic, the pii_scrub precedent). The sketch is 4×8
+    longs regardless of corpus size; width is deliberately undersized so
+    the one-sided collision overestimate is VISIBLE and oracled. Keys with
+    estimate ≥ 100 are reported with their exact count and overestimate —
+    the CMS guarantee (estimate ≥ exact, no false negatives) as columns."""
+    hkey = F.concat(
+        F.lit("k"),
+        F.length(
+            F.conv(((F.col("event_id") % 1024) + 1).cast("string"), 10, 2)
+        ).cast("string"),
+    )
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select(hkey.alias("hkey"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    counters = sketch.cms_counters(ev, "hkey", d=sketch.CMS_D, w=sketch.CMS_W)
+    exact = ev.groupBy("hkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    est = sketch.cms_point_estimates(
+        exact.select("hkey"), counters, "hkey", d=sketch.CMS_D, w=sketch.CMS_W
+    )
+    return (
+        exact.join(est, "hkey")
+        .filter(F.col("cms_estimate") >= 100)
+        .select(
+            "hkey",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: orders probed against a 1024-bit /
+    3-hash filter built from nation-2 customers, reported per order
+    priority as (n_orders, n_pass, n_true, n_false_pos, n_missed). The
+    filter materializes as a ≤1024-row position table that BROADCASTS —
+    at 100 TB this is the shape that filters the fact table with a
+    kilobyte of bits before any exchange. The probe decorates the DISTINCT
+    key domain once, then broadcasts the decorated keys back onto the fact
+    table. n_missed (true matches the filter dropped) is the no-false-
+    negative guarantee as an oracled column: always 0."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 2)
+        .select("c_custkey")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    ord_proj = (
+        _read(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderpriority")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    okeys = ord_proj.select("o_custkey").distinct()
+    bits = sketch.bloom_bits(cust, "c_custkey")
+    flags = sketch.bloom_probe_keys(okeys, bits, "o_custkey")
+    truth = okeys.join(
+        F.broadcast(cust), okeys["o_custkey"] == cust["c_custkey"], "left"
+    ).select("o_custkey", F.col("c_custkey").isNotNull().alias("true_match"))
+    keyed = flags.join(truth, "o_custkey")
+    return (
+        ord_proj.join(F.broadcast(keyed), "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.sum(F.when(F.col("true_match"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("true_match"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when(F.col("true_match") & ~F.col("bloom_pass"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_missed"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_pass",
+            "n_true",
+            "n_false_pos",
+            "n_missed",
+        )
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
     l = _read(spark, sf_dir, "lineitem")
@@ -2171,6 +2354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_shortest_paths": q_kg_shortest_paths,
         "event_bursts": q_event_bursts,
+        "hll_distinct": q_hll_distinct,
+        "kmv_distinct": q_kmv_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bloom_prune": q_bloom_prune,
         "kg_resolve": q_kg_resolve,
         "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
@@ -2327,6 +2514,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_modularity": oracle.modularity_sql(iters=3),
         "kg_shortest_paths": oracle.shortest_paths_sql(REACH_SEEDS, max_iter=8),
         "event_bursts": oracle.event_bursts_sql(z_min=2.0),
+        "hll_distinct": oracle.hll_distinct_sql(),
+        "kmv_distinct": oracle.kmv_distinct_sql(k=64),
+        "cms_heavy_hitters": oracle.cms_heavy_hitters_sql(threshold=100),
+        "bloom_prune": oracle.bloom_prune_sql(nationkey=2),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),

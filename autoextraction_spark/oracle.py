@@ -3707,3 +3707,178 @@ SELECT doc_id, chunk_idx, start, length,
        CAST(('0x' || substr(md5(chunk || '#chunk'), 1, 15)) AS BIGINT)
            AS chunk_hash
 FROM c WHERE length > 0"""
+
+
+def _hll_ctes(key_expr: str, seed: str, prefix: str) -> str:
+    """Register-build + estimate CTE chain for one HyperLogLog sketch over
+    ``key_expr`` grouped by event_type. Mirrors sketch.hll_registers /
+    hll_estimate bit for bit: same md5 hash, integer shift for the
+    bucket/rank split (NOT float division — h has 60 bits), exact-integer
+    bit-length rank, exact-long harmonic sum 2^(56-reg), one IEEE division
+    of the shared float constant, linear-counting branch below 2.5m."""
+    from .operators import sketch as SK
+
+    m = SK.HLL_M
+    max_rho = SK.HLL_MAX_RHO
+    shift = SK.HLL_RANK_BITS + 2
+    return f"""{prefix}h AS (
+  SELECT event_type,
+         {_portable_hash(f"CAST({key_expr} AS VARCHAR) || '{seed}'")} AS h
+  FROM events),
+{prefix}r AS (
+  SELECT event_type, h % {m} AS bucket,
+         CASE WHEN (h >> {SK.HLL_P}) = 0 THEN {max_rho}
+              ELSE {max_rho} - length(bin(h >> {SK.HLL_P})) END AS rho
+  FROM {prefix}h),
+{prefix}regs AS (
+  SELECT event_type, bucket, max(rho) AS reg
+  FROM {prefix}r GROUP BY event_type, bucket),
+{prefix}allb AS (
+  SELECT event_type, unnest(range({m})) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events)),
+{prefix}full AS (
+  SELECT a.event_type, coalesce(g.reg, 0) AS reg
+  FROM {prefix}allb a
+  LEFT JOIN {prefix}regs g
+    ON a.event_type = g.event_type AND a.bucket = g.bucket),
+{prefix}agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << ({shift} - reg)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM {prefix}full GROUP BY event_type),
+{prefix}est AS (
+  SELECT event_type,
+         round(CASE WHEN {SK.HLL_RAW_NUM!r} / CAST(s AS DOUBLE)
+                         <= {SK.HLL_LC_THRESHOLD!r} AND v > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                    ELSE {SK.HLL_RAW_NUM!r} / CAST(s AS DOUBLE) END,
+               6) AS est
+  FROM {prefix}agg)"""
+
+
+def hll_distinct_sql() -> str:
+    """Replicates __spark_entry__.q_hll_distinct: per-event_type HLL
+    estimates of distinct users (linear-counting regime) and distinct
+    event_ids (raw-estimator regime) beside the exact counts."""
+    return f"""WITH {_hll_ctes("user_id", "#hllu", "u")},
+{_hll_ctes("event_id", "#hlle", "e")},
+exact AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events
+  FROM events GROUP BY event_type)
+SELECT x.event_type, x.exact_users, uest.est AS hll_users,
+       round(abs(uest.est - x.exact_users) / x.exact_users, 6) AS err_users,
+       x.exact_events, eest.est AS hll_events,
+       round(abs(eest.est - x.exact_events) / x.exact_events, 6) AS err_events
+FROM exact x
+JOIN uest ON x.event_type = uest.event_type
+JOIN eest ON x.event_type = eest.event_type"""
+
+
+def kmv_distinct_sql(k: int = 64) -> str:
+    """Replicates __spark_entry__.q_kmv_distinct: bottom-k sketch of the
+    distinct char-4-gram count per lang. (k-1)*2^60 is an exactly-
+    representable float; the estimate is one IEEE division by h_(k)."""
+    from .operators import sketch as SK
+
+    num = (k - 1) * SK.KMV_SPACE
+    return f"""WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, greatest(length(text) - 3, 1) + 1),
+                               i -> substr(text, CAST(i AS INT), 4))) AS g
+  FROM documents),
+dh AS (
+  SELECT DISTINCT lang, {_portable_hash("g || '#kmv'")} AS h FROM grams),
+rk AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM dh),
+kept AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(h) AS BIGINT) AS hk
+  FROM rk WHERE rn <= {k} GROUP BY lang),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS exact_grams
+  FROM grams GROUP BY lang),
+est AS (
+  SELECT lang, n_kept,
+         round(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                    ELSE {num!r} / CAST(hk AS DOUBLE) END, 6) AS kmv_estimate
+  FROM kept)
+SELECT x.lang, x.exact_grams, e.n_kept, e.kmv_estimate,
+       round(abs(e.kmv_estimate - x.exact_grams) / x.exact_grams, 6) AS rel_err
+FROM exact x JOIN est e ON x.lang = e.lang"""
+
+
+def cms_heavy_hitters_sql(threshold: int = 100) -> str:
+    """Replicates __spark_entry__.q_cms_heavy_hitters: 4x8 count-min sketch
+    over the deterministically skewed key k_<bitlength((event_id%1024)+1)>,
+    point estimates = min over rows, heavy hitters at estimate >= threshold
+    with the exact count and the (always >= 0) collision overestimate."""
+    from .operators import sketch as SK
+
+    d, w = SK.CMS_D, SK.CMS_W
+    hexpr = _portable_hash(
+        "hkey || '|' || CAST(r AS VARCHAR) || '#cms'"
+    )
+    return f"""WITH ev AS (
+  SELECT 'k' || CAST(length(bin((event_id % 1024) + 1)) AS VARCHAR) AS hkey
+  FROM events),
+exact AS (
+  SELECT hkey, CAST(count(*) AS BIGINT) AS exact_cnt FROM ev GROUP BY hkey),
+expl AS (SELECT hkey, unnest(range({d})) AS r FROM ev),
+cm AS (
+  SELECT r, {hexpr} % {w} AS col, CAST(count(*) AS BIGINT) AS cnt
+  FROM expl GROUP BY 1, 2),
+probe AS (
+  SELECT hkey, r, {hexpr} % {w} AS col
+  FROM (SELECT DISTINCT hkey FROM ev), unnest(range({d})) AS u(r)),
+est AS (
+  SELECT p.hkey, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+  FROM probe p JOIN cm c ON p.r = c.r AND p.col = c.col
+  GROUP BY p.hkey)
+SELECT x.hkey, x.exact_cnt, e.cms_estimate,
+       CAST(e.cms_estimate - x.exact_cnt AS BIGINT) AS overestimate
+FROM exact x JOIN est e ON x.hkey = e.hkey
+WHERE e.cms_estimate >= {threshold}"""
+
+
+def bloom_prune_sql(nationkey: int = 2) -> str:
+    """Replicates __spark_entry__.q_bloom_prune: 1024-bit/3-hash Bloom
+    filter from nation-<nationkey> customers probed by orders' distinct
+    custkeys, rolled up per order priority with the exact semi-join truth,
+    the false-positive count, and the (always 0) missed-true count."""
+    from .operators import sketch as SK
+
+    m, k = SK.BLOOM_M, SK.BLOOM_K
+    pos = _portable_hash(
+        "CAST(ck AS VARCHAR) || '|' || CAST(j AS VARCHAR) || '#bloom'"
+    )
+    return f"""WITH cust AS (
+  SELECT c_custkey AS ck FROM customer WHERE c_nationkey = {nationkey}),
+bits AS (
+  SELECT DISTINCT {pos} % {m} AS pos
+  FROM cust, unnest(range({k})) AS u(j)),
+okeys AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+pp AS (
+  SELECT ck, {pos} % {m} AS pos
+  FROM okeys, unnest(range({k})) AS u(j)),
+hits AS (
+  SELECT pp.ck, count(*) AS n_hit
+  FROM pp JOIN bits ON pp.pos = bits.pos GROUP BY pp.ck),
+keyed AS (
+  SELECT o.ck, coalesce(h.n_hit, 0) = {k} AS bloom_pass,
+         EXISTS (SELECT 1 FROM cust c WHERE c.ck = o.ck) AS true_match
+  FROM okeys o LEFT JOIN hits h ON o.ck = h.ck)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN kd.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       CAST(sum(CASE WHEN kd.true_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+       CAST(sum(CASE WHEN kd.bloom_pass AND NOT kd.true_match
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN kd.true_match AND NOT kd.bloom_pass
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+FROM orders o JOIN keyed kd ON o.o_custkey = kd.ck
+GROUP BY o.o_orderpriority"""

@@ -145,6 +145,12 @@ EXPECTED_PLAN_COUNTS = {
     "kg_modularity": (0, 7, 0),
     "kg_shortest_paths": (0, 1, 0),
     "event_bursts": (0, 2, 0),
+    # sketches: source checkpointed once; register/counter/bit builds and
+    # their probes read only the checkpoint
+    "hll_distinct": (0, 5, 0),
+    "kmv_distinct": (0, 2, 0),
+    "cms_heavy_hitters": (0, 3, 0),
+    "bloom_prune": (0, 6, 0),
     "tfidf_keywords": (0, 3, 0),
     "collocations": (0, 4, 0),
     "kg_reach_profile": (0, 5, 0),
