@@ -1876,6 +1876,429 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability — THE property that makes sketches 100 TB-shaped:
+    per-shard register tables (events split 8 ways by event_id, i.e.
+    independent partition-local passes) merged by per-bucket max equal the
+    globally-built sketch EXACTLY. The invariant ships as a column
+    (merged_eq_direct, always true) next to the exact count and the
+    relative error, so the oracle verifies associativity itself, not just
+    one estimate. Same register build as q_hll_distinct: map-side
+    combinable max, at most 64 longs per (group, shard) cross the wire."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("event_id") % 8).cast("int").alias("shard"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    sharded = sketch.hll_registers(
+        ev, "user_id", ["event_type", "shard"], seed="#hllu"
+    )
+    est_m = sketch.hll_estimate(
+        sketch.hll_merge(sharded, ["event_type"]), ["event_type"], "hll_merged"
+    )
+    est_d = sketch.hll_estimate(
+        sketch.hll_registers(ev, "user_id", ["event_type"], seed="#hllu"),
+        ["event_type"],
+        "hll_direct",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est_d, "event_type")
+        .join(est_m, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_direct",
+            "hll_merged",
+            (F.col("hll_merged") == F.col("hll_direct")).alias(
+                "merged_eq_direct"
+            ),
+            F.round(
+                F.abs(F.col("hll_merged") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-stratum vocabulary overlap from bottom-k sketches (Beyer et
+    al. 2007): for every language pair, the KMV Jaccard / intersection
+    estimates of the word-vocabulary overlap beside the exact values —
+    the corpus-comparison report (crawl-vs-crawl, source-vs-source) that
+    at 100 TB must come from sketches because the exact pairwise distinct
+    join is quadratic in strata and linear in corpus. One checkpointed
+    word explode feeds both the sketches and the exact sets."""
+    words = (
+        _read(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # the sketch (<= 64 longs per lang) and the distinct word sets each
+    # feed several joins downstream — materialize both once, or every
+    # pair-join branch re-runs the window/distinct over the corpus
+    kept = sketch.kmv_kept(
+        words, "w", ["lang"], k=64, seed="#kmvo"
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    est = sketch.kmv_jaccard(kept, "lang", k=64).withColumnsRenamed(
+        {"ga": "lang_a", "gb": "lang_b"}
+    )
+    dw = words.distinct().localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
+    sizes = dw.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wa = dw.select(F.col("lang").alias("lang_a"), "w")
+    wb = dw.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        wa.join(wb, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    na = sizes.withColumnsRenamed({"lang": "lang_a", "n": "na"})
+    nb = sizes.withColumnsRenamed({"lang": "lang_b", "n": "nb"})
+    exact = (
+        inter.join(na, "lang_a")
+        .join(nb, "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "exact_inter",
+            F.round(
+                F.col("exact_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("exact_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return exact.join(est, ["lang_a", "lang_b"]).select(
+        "lang_a",
+        "lang_b",
+        "exact_inter",
+        "exact_jaccard",
+        "n_union_kept",
+        "kmv_jaccard",
+        "kmv_inter",
+        F.round(F.abs(F.col("kmv_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "jaccard_abs_err"
+        ),
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream (signup → view →
+    click → purchase, each step's first occurrence strictly AFTER the
+    previous step's): per-step reached-user counts and step-over-step
+    conversion rates — the product-analytics primitive. Each step is one
+    user-keyed equi-join + min aggregation (no window over the whole
+    event history, no per-row Python); the event projection is
+    checkpointed once and feeds all four step filters."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+
+    def step(prev: DataFrame, etype: str) -> DataFrame:
+        # each step table is materialized: step N feeds both step N+1 and
+        # its own count, and at web scale a per-user table re-derived
+        # through three chained joins is exactly the recompute to avoid
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("ets")
+        )
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ets") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ets").alias("t"))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+
+    t2 = step(t1, "view")
+    t3 = step(t2, "click")
+    t4 = step(t3, "purchase")
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(name).alias("step"),
+            "n_users",
+        )
+        for i, (name, df) in enumerate(
+            [("signup", t1), ("view", t2), ("click", t3), ("purchase", t4)],
+            start=1,
+        )
+    ]
+    steps = parts[0].union(parts[1]).union(parts[2]).union(parts[3])
+    prev_n = F.lag("n_users").over(W.orderBy("step_idx"))
+    return steps.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.coalesce(prev_n, F.col("n_users")).cast("double"),
+            6,
+        ).alias("conv_from_prev"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users cohorted by first-
+    signup day, per-(cohort, day-offset) active-user counts and retention
+    rates — the other product-analytics table. Activity is the distinct
+    (user, day) projection (one map-side-combinable distinct); the
+    cohort table joins it user-keyed. Dates are UTC-session-stable and
+    emitted as strings (the event_bursts idiom)."""
+    ev = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    coh = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cd"))
+    )
+    sizes = coh.groupBy("cd").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ret = (
+        act.join(coh, "user_id")
+        .filter(F.col("d") >= F.col("cd"))
+        .groupBy("cd", F.datediff("d", "cd").alias("offset_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return ret.join(sizes, "cd").select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("offset_days").cast("int").alias("offset_days"),
+        "n_active",
+        "cohort_users",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_users").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot crawl delta — the recrawl planner's core table: pages
+    classified added / gone / changed / unchanged between crawl A and
+    crawl B by a full-outer url-keyed join of (url, content-digest)
+    projections. Membership and the changed-content mark are synthesized
+    deterministically from doc_id arithmetic (the pii_scrub identical-
+    inputs precedent): A misses doc_id%10==0, B misses doc_id%10==1,
+    doc_id%5==2 changes content between snapshots. At 100 TB this is ONE
+    equi-join of two digest projections — bodies never move, and the
+    output feeds fetch scheduling (recrawl changed, discover added)."""
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (d % 50).cast("string"),
+            F.lit(".example/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+    )
+    dig_a = dedup.portable_hash64(F.col("text"), "#crawlA")
+    dig_b = F.when(
+        d % 5 == 2, dedup.portable_hash64(F.concat(F.col("text"), F.lit(" v2")), "#crawlA")
+    ).otherwise(dig_a)
+    a = docs.filter(d % 10 != 0).select("url", dig_a.alias("dig_a"))
+    b = docs.filter(d % 10 != 1).select("url", dig_b.alias("dig_b"))
+    j = a.join(b, "url", "full_outer")
+    status = (
+        F.when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_b").isNull(), F.lit("gone"))
+        .when(F.col("dig_a") == F.col("dig_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    counts = (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+        # 4 rows; without this the total's crossJoin branch re-runs the
+        # full two-snapshot join a second time
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    total = counts.agg(F.sum("n_pages").cast("long").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "status",
+        "n_pages",
+        F.round(F.col("n_pages").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "pct"
+        ),
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution report (min / p25 / p50 /
+    p75 / p90 / p99 / max of n_chars) — the curation dashboard's length
+    panel, and the table that sizes truncation budgets. Exact percentiles
+    with linear interpolation over integer lengths (both engines define
+    rank = p·(n-1) and interpolate identically in doubles; round-6
+    absorbed); ONE percentile aggregation, no window over the corpus."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.expr(
+            f"percentile(n_chars, array({', '.join(str(p) for p in ps)}))"
+        ).alias("q"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    cols = [
+        F.round(F.col("q")[i], 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(ps)
+    ]
+    return agg.select(
+        "lang", "n_docs", "min_chars", *cols, "max_chars"
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis & Spirakis 2006, A-Res):
+    50 docs per language drawn with probability proportional to length —
+    the length-balanced subcorpus draw. Each doc gets the deterministic
+    uniform u = (h+1)/2^60 from its portable hash; the A-Res priority
+    u^(1/w) is rank-equivalent to ln(u)/w, which is ONE libm ln and one
+    division — rounded to 9 decimals with a doc_id tiebreak so the top-50
+    cut is an engine-portable total order (the tfidf_keywords idiom).
+    One window per language over a weight projection; bodies never move."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    u = (
+        dedup.portable_hash64(F.col("doc_id").cast("string"), "#wres") + 1
+    ).cast("double") / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col("w").cast("double"), 9)
+    win = W.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "w", key.alias("key"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 50)
+        .select("lang", "rank", "doc_id", "w", "key")
+    )
+
+
+def q_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov transitions: P(next event type | event type)
+    from per-user ts-ordered event sequences (lead over a (ts, event_id)-
+    tiebroken user window — the deterministic total order) — the
+    behavioral model behind funnel design and next-action prediction.
+    One window pass + one pair aggregation; the per-from normalizer is a
+    second map-side-combinable count, never a broadcast of the corpus."""
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(win).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+def q_kg_fact_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG: the SCD-2 versioned fact timeline for the functional
+    predicate born_in — one row per value segment with [valid_from,
+    valid_to_excl) crawl-time bounds, version number, and is_current
+    (valid_to_excl = -1 marks the open segment). The point-in-time query
+    surface a production KG keeps next to the resolved snapshot that
+    kg_resolve emits."""
+    return output.fact_history(
+        _pipeline_triples(spark, sf_dir), preds=["born_in"]
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: per 100-doc corpus slice, new
+    never-seen-before token types, cumulative types vs cumulative tokens,
+    and the running type-token ratio — the diversity-saturation
+    diagnostic that tells a data curator when more of the same crawl
+    stops adding vocabulary. First occurrence = min(bucket) per type (one
+    map-side-combinable agg, no ordered scan); the token explode is
+    checkpointed once for its two consumers."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select(
+            F.expr("doc_id div 100").alias("bucket"),
+            F.explode(F.split(F.col("text"), " ")).alias("tk"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    newb = (
+        tok.groupBy("tk")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_types"))
+    )
+    tokc = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    docc = docs.groupBy(F.expr("doc_id div 100").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    base = (
+        docc.join(tokc, "bucket")
+        .join(newb, "bucket", "left")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_new_types"), F.lit(0))
+            .cast("long")
+            .alias("n_new_types"),
+        )
+    )
+    cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return base.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "n_new_types",
+        F.sum("n_tokens").over(cum).cast("long").alias("tokens_cum"),
+        F.sum("n_new_types").over(cum).cast("long").alias("types_cum"),
+    ).select(
+        "*",
+        F.round(
+            F.col("types_cum").cast("double") / F.col("tokens_cum").cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
     l = _read(spark, sf_dir, "lineitem")
@@ -2358,6 +2781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_prune": q_bloom_prune,
+        "hll_merge": q_hll_merge,
+        "kmv_overlap": q_kmv_overlap,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "crawl_diff": q_crawl_diff,
+        "length_quantiles": q_length_quantiles,
+        "weighted_sample": q_weighted_sample,
+        "journey_transitions": q_journey_transitions,
+        "kg_fact_history": q_kg_fact_history,
+        "vocab_growth": q_vocab_growth,
         "kg_resolve": q_kg_resolve,
         "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
@@ -2518,6 +2951,16 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oracle.kmv_distinct_sql(k=64),
         "cms_heavy_hitters": oracle.cms_heavy_hitters_sql(threshold=100),
         "bloom_prune": oracle.bloom_prune_sql(nationkey=2),
+        "hll_merge": oracle.hll_merge_sql(),
+        "kmv_overlap": oracle.kmv_overlap_sql(k=64),
+        "event_funnel": oracle.event_funnel_sql(),
+        "retention_cohorts": oracle.retention_cohorts_sql(),
+        "crawl_diff": oracle.crawl_diff_sql(),
+        "length_quantiles": oracle.length_quantiles_sql(),
+        "weighted_sample": oracle.weighted_sample_sql(k=50),
+        "journey_transitions": oracle.journey_transitions_sql(),
+        "kg_fact_history": oracle.fact_history_sql(pred="born_in"),
+        "vocab_growth": oracle.vocab_growth_sql(),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),

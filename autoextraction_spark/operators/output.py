@@ -93,6 +93,75 @@ def resolve_by_recency(triples: DataFrame, preds: list[str] | None = None) -> Da
     )
 
 
+def fact_history(
+    triples: DataFrame, preds: list[str] | None = None
+) -> DataFrame:
+    """Temporal KG / SCD-2 fact history (engine-new; the maintenance
+    complement to :func:`resolve_by_recency`): instead of keeping only the
+    most recent assertion per (subj, pred), emit the full versioned
+    timeline — one row per value SEGMENT with ``[valid_from,
+    valid_to_excl)`` crawl-time bounds, a version number, and an
+    ``is_current`` flag (``valid_to_excl = -1`` marks the open current
+    segment). This is the slowly-changing-dimension type-2 shape every
+    production KG store keeps for point-in-time queries.
+
+    Same recency key derivation as resolve_by_recency (in production
+    ``warc_ts`` rides the triple row). Conflicting objects at the SAME
+    crawl instant collapse by max(obj) — the sibling operator's tie rule.
+    One hash partitioning on (pred, subj) carries all three window passes
+    (lag-mark, running-sum runs, lead-bounds) — no second exchange, no
+    UDF, and segments per group are bounded by distinct crawl instants.
+    """
+    from pyspark.sql import Window
+
+    t = triples
+    if preds is not None:
+        t = t.filter(F.col("pred").isin(preds))
+    doc = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    rk = (doc % 365) * 86400 + (doc * 7) % 86400
+    a = (
+        t.select("pred", "subj", "obj", rk.alias("rk"))
+        .groupBy("pred", "subj", "rk")
+        .agg(F.max("obj").alias("obj"))
+    )
+    w = Window.partitionBy("pred", "subj").orderBy("rk")
+    prev = F.lag("obj").over(w)
+    marked = a.select(
+        "pred",
+        "subj",
+        "obj",
+        "rk",
+        F.when(prev.isNull() | (prev != F.col("obj")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = marked.select(
+        "pred",
+        "subj",
+        "obj",
+        "rk",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("version"),
+    )
+    segs = runs.groupBy("pred", "subj", "version").agg(
+        F.max("obj").alias("obj"),
+        F.min("rk").cast("long").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("pred", "subj").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return segs.select(
+        "subj",
+        "pred",
+        "obj",
+        "version",
+        "valid_from",
+        F.coalesce(nxt, F.lit(-1)).cast("long").alias("valid_to_excl"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def fuse_by_provenance(triples: DataFrame, det: DataFrame) -> DataFrame:
     """Provenance-weighted fact fusion (engine-new; no reference
     counterpart): the KG-construction stage between extraction and truth

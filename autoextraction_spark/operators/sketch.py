@@ -91,6 +91,16 @@ def hll_registers(
     )
 
 
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables by per-bucket max onto a coarser grouping —
+    the HLL mergeability property that makes the sketch 100 TB-shaped:
+    shard-local sketches built independently (one pass, no cross-shard
+    traffic) combine into EXACTLY the sketch a global pass would build,
+    because max is associative. ``regs`` must carry ``group_cols`` plus
+    the finer shard columns being merged away."""
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
 def hll_estimate(
     regs: DataFrame, group_cols: list[str], out_col: str = "hll_estimate"
 ) -> DataFrame:
@@ -130,6 +140,30 @@ KMV_K = 64
 KMV_SPACE = float(1 << 60)  # hash space size as an exact float (2^60)
 
 
+def kmv_kept(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    seed: str = "#kmv",
+) -> DataFrame:
+    """(group..., h) — the k smallest DISTINCT portable hashes of
+    ``key_col`` per group (the bottom-k / theta sketch itself). The
+    hash-level distinct also absorbs the measure-zero md5 collision; the
+    bottom-k selection is a per-group window over hashes — at scale each
+    group ships at most k longs after the map-side distinct."""
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(key_col).cast("string"), seed)
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.select(*group_cols, "h", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key_col: str,
@@ -139,23 +173,12 @@ def kmv_distinct(
 ) -> DataFrame:
     """(group..., n_kept, kmv_estimate) bottom-k distinct-count estimate.
 
-    Keys hash through portable_hash64; the sketch keeps the k smallest
-    DISTINCT hash values per group (hash-level distinct also absorbs the
-    measure-zero md5 collision). Below k the sketch is the exact key set
-    (estimate = count); at k the estimator is ``(k-1)·2^60 / h_(k)`` —
-    the numerator ``(k-1)·2^60`` is an exactly-representable float
-    constant, so the estimate is one IEEE division by an exact long.
-    The bottom-k selection is a per-group window over hashes — at scale
-    each group ships at most k longs after the map-side distinct.
+    Below k the sketch is the exact key set (estimate = count); at k the
+    estimator is ``(k-1)·2^60 / h_(k)`` — the numerator ``(k-1)·2^60`` is
+    an exactly-representable float constant, so the estimate is one IEEE
+    division by an exact long.
     """
-    from pyspark.sql import Window
-
-    h = portable_hash64(F.col(key_col).cast("string"), seed)
-    hashes = df.select(*group_cols, h.alias("h")).distinct()
-    win = Window.partitionBy(*group_cols).orderBy("h")
-    kept = hashes.select(
-        *group_cols, "h", F.row_number().over(win).alias("rn")
-    ).filter(F.col("rn") <= k)
+    kept = kmv_kept(df, key_col, group_cols, k=k, seed=seed)
     agg = kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.max("h").cast("long").alias("hk"),
@@ -165,6 +188,73 @@ def kmv_distinct(
     )
     return agg.select(
         *group_cols, "n_kept", F.round(est, 6).alias("kmv_estimate")
+    )
+
+
+def kmv_jaccard(
+    kept: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(ga, gb, n_union_kept, kmv_jaccard, kmv_union, kmv_inter) — KMV
+    set-operation estimates for every unordered group pair, from the
+    bottom-k sketches alone (Beyer et al. 2007, SIGMOD — "On synopses for
+    distinct-value estimation under multiset operations").
+
+    The union sketch is the bottom-k of the two kept sets combined (the
+    bottom-k of A ∪ B is always contained in bottom-k(A) ∪ bottom-k(B));
+    with θ its k-th minimum, ``jaccard ≈ |{h ≤ θ present in BOTH
+    sketches}| / k`` and ``|A ∩ B| ≈ jaccard · (k-1)·2^60/θ``. Everything
+    downstream of the sketches is O(groups² · k) — at 100 TB the corpus
+    is scanned once to build the per-stratum sketches and every pairwise
+    overlap in the report comes from kilobytes. Estimates are single IEEE
+    divisions/products of exact longs (round-6 absorbed)."""
+    from pyspark.sql import Window
+
+    a = kept.select(F.col(group_col).alias("ga"), "h")
+    b = kept.select(F.col(group_col).alias("gb"), "h")
+    pairs = (
+        a.select("ga")
+        .distinct()
+        .join(b.select("gb").distinct(), F.col("ga") < F.col("gb"))
+    )
+    ha = pairs.join(a, "ga").select("ga", "gb", "h")
+    hb = pairs.join(b, "gb").select("ga", "gb", "h")
+    u = ha.union(hb).distinct()
+    win = Window.partitionBy("ga", "gb").orderBy("h")
+    stats = (
+        u.select("ga", "gb", "h", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_kept"),
+            F.max("h").cast("long").alias("theta"),
+        )
+    )
+    inter = ha.join(hb, ["ga", "gb", "h"], "left_semi")
+    ic = (
+        inter.join(stats, ["ga", "gb"])
+        .filter(F.col("h") <= F.col("theta"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = stats.join(ic, ["ga", "gb"], "left").select(
+        "ga",
+        "gb",
+        "n_union_kept",
+        "theta",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    )
+    kk = F.least(F.lit(k), F.col("n_union_kept")).cast("double")
+    jacc = F.col("c").cast("double") / kk
+    union_est = F.when(
+        F.col("n_union_kept") < k, F.col("n_union_kept").cast("double")
+    ).otherwise(F.lit((k - 1) * KMV_SPACE) / F.col("theta").cast("double"))
+    return out.select(
+        "ga",
+        "gb",
+        "n_union_kept",
+        F.round(jacc, 6).alias("kmv_jaccard"),
+        F.round(union_est, 6).alias("kmv_union"),
+        F.round(jacc * union_est, 6).alias("kmv_inter"),
     )
 
 

@@ -3882,3 +3882,362 @@ SELECT o.o_orderpriority,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
 FROM orders o JOIN keyed kd ON o.o_custkey = kd.ck
 GROUP BY o.o_orderpriority"""
+
+
+def _hll_est_from_regs(regs_cte: str, prefix: str) -> str:
+    """Estimate CTE chain (allb/full/agg/est) over an existing
+    (event_type, bucket, reg) register CTE — the second half of
+    :func:`_hll_ctes`, factored so merged and direct register tables can
+    share it. Emits ``{prefix}est(event_type, est)``."""
+    from .operators import sketch as SK
+
+    m = SK.HLL_M
+    shift = SK.HLL_RANK_BITS + 2
+    return f"""{prefix}allb AS (
+  SELECT event_type, unnest(range({m})) AS bucket
+  FROM (SELECT DISTINCT event_type FROM {regs_cte})),
+{prefix}full AS (
+  SELECT a.event_type, coalesce(g.reg, 0) AS reg
+  FROM {prefix}allb a
+  LEFT JOIN {regs_cte} g
+    ON a.event_type = g.event_type AND a.bucket = g.bucket),
+{prefix}agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << ({shift} - reg)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM {prefix}full GROUP BY event_type),
+{prefix}est AS (
+  SELECT event_type,
+         round(CASE WHEN {SK.HLL_RAW_NUM!r} / CAST(s AS DOUBLE)
+                         <= {SK.HLL_LC_THRESHOLD!r} AND v > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                    ELSE {SK.HLL_RAW_NUM!r} / CAST(s AS DOUBLE) END,
+               6) AS est
+  FROM {prefix}agg)"""
+
+
+def hll_merge_sql() -> str:
+    """Replicates __spark_entry__.q_hll_merge: shard-local HLL register
+    tables (events split 8 ways by event_id) merged by per-bucket max vs
+    the directly-built global sketch — identical register maths to
+    _hll_ctes, with the merge associativity checked as a column."""
+    from .operators import sketch as SK
+
+    m = SK.HLL_M
+    max_rho = SK.HLL_MAX_RHO
+    return f"""WITH ev AS (
+  SELECT event_type, user_id, CAST(event_id % 8 AS INT) AS shard
+  FROM events),
+h AS (
+  SELECT event_type, shard,
+         {_portable_hash("CAST(user_id AS VARCHAR) || '#hllu'")} AS h
+  FROM ev),
+r AS (
+  SELECT event_type, shard, h % {m} AS bucket,
+         CASE WHEN (h >> {SK.HLL_P}) = 0 THEN {max_rho}
+              ELSE {max_rho} - length(bin(h >> {SK.HLL_P})) END AS rho
+  FROM h),
+sregs AS (
+  SELECT event_type, shard, bucket, max(rho) AS reg
+  FROM r GROUP BY event_type, shard, bucket),
+mregs AS (
+  SELECT event_type, bucket, max(reg) AS reg
+  FROM sregs GROUP BY event_type, bucket),
+dregs AS (
+  SELECT event_type, bucket, max(rho) AS reg
+  FROM r GROUP BY event_type, bucket),
+{_hll_est_from_regs("mregs", "m")},
+{_hll_est_from_regs("dregs", "d")},
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY event_type)
+SELECT x.event_type, x.exact_users,
+       dest.est AS hll_direct, mest.est AS hll_merged,
+       mest.est = dest.est AS merged_eq_direct,
+       round(abs(mest.est - x.exact_users) / x.exact_users, 6) AS rel_err
+FROM exact x
+JOIN dest ON x.event_type = dest.event_type
+JOIN mest ON x.event_type = mest.event_type"""
+
+
+def kmv_overlap_sql(k: int = 64) -> str:
+    """Replicates __spark_entry__.q_kmv_overlap: per-language-pair KMV
+    Jaccard / intersection estimates of the word-vocabulary overlap
+    (union sketch = bottom-k of the combined kept sets, jaccard =
+    |{h <= theta in both}| / k) beside the exact values."""
+    from .operators import sketch as SK
+
+    num = (k - 1) * SK.KMV_SPACE
+    return f"""WITH words AS (
+  SELECT lang, unnest(str_split(text, ' ')) AS w FROM documents),
+kept AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+    FROM (SELECT DISTINCT lang,
+                 {_portable_hash("w || '#kmvo'")} AS h
+          FROM words))
+  WHERE rn <= {k}),
+pairs AS (
+  SELECT a.lang AS ga, b.lang AS gb
+  FROM (SELECT DISTINCT lang FROM kept) a,
+       (SELECT DISTINCT lang FROM kept) b
+  WHERE a.lang < b.lang),
+ha AS (SELECT p.ga, p.gb, s.h FROM pairs p JOIN kept s ON s.lang = p.ga),
+hb AS (SELECT p.ga, p.gb, s.h FROM pairs p JOIN kept s ON s.lang = p.gb),
+u AS (SELECT DISTINCT ga, gb, h
+      FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)),
+stats AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_kept,
+         CAST(max(h) AS BIGINT) AS theta
+  FROM (SELECT ga, gb, h,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM u)
+  WHERE rn <= {k} GROUP BY ga, gb),
+isect AS (
+  SELECT a.ga, a.gb, a.h FROM ha a
+  WHERE EXISTS (SELECT 1 FROM hb b
+                WHERE b.ga = a.ga AND b.gb = a.gb AND b.h = a.h)),
+ic AS (
+  SELECT i.ga, i.gb, CAST(count(*) AS BIGINT) AS c
+  FROM isect i JOIN stats s ON i.ga = s.ga AND i.gb = s.gb
+  WHERE i.h <= s.theta GROUP BY i.ga, i.gb),
+est AS (
+  SELECT s.ga, s.gb, s.n_union_kept,
+         CAST(coalesce(ic.c, 0) AS DOUBLE)
+             / CAST(least({k}, s.n_union_kept) AS DOUBLE) AS jacc,
+         CASE WHEN s.n_union_kept < {k} THEN CAST(s.n_union_kept AS DOUBLE)
+              ELSE {num!r} / CAST(s.theta AS DOUBLE) END AS union_est
+  FROM stats s LEFT JOIN ic ON s.ga = ic.ga AND s.gb = ic.gb),
+dw AS (SELECT DISTINCT lang, w FROM words),
+sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM dw GROUP BY lang),
+xin AS (
+  SELECT a.lang AS ga, b.lang AS gb, CAST(count(*) AS BIGINT) AS exact_inter
+  FROM dw a JOIN dw b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang),
+exact AS (
+  SELECT x.ga, x.gb, x.exact_inter,
+         round(CAST(x.exact_inter AS DOUBLE)
+               / CAST(na.n + nb.n - x.exact_inter AS DOUBLE), 6)
+             AS exact_jaccard
+  FROM xin x JOIN sz na ON na.lang = x.ga JOIN sz nb ON nb.lang = x.gb)
+SELECT e.ga AS lang_a, e.gb AS lang_b, e.exact_inter, e.exact_jaccard,
+       s.n_union_kept,
+       round(s.jacc, 6) AS kmv_jaccard,
+       round(s.jacc * s.union_est, 6) AS kmv_inter,
+       round(abs(round(s.jacc, 6) - e.exact_jaccard), 6) AS jaccard_abs_err
+FROM exact e JOIN est s ON e.ga = s.ga AND e.gb = s.gb"""
+
+
+def event_funnel_sql() -> str:
+    """Replicates __spark_entry__.q_event_funnel: signup -> view -> click
+    -> purchase, each step's first occurrence strictly after the previous
+    step's first occurrence, with step-over-step conversion rates."""
+    return """WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'click' AND e.ts > t2.t GROUP BY e.user_id),
+t4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t3 ON e.user_id = t3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t3.t GROUP BY e.user_id),
+steps AS (
+  SELECT CAST(1 AS INT) AS step_idx, 'signup' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL
+  SELECT CAST(2 AS INT), 'view', CAST(count(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT CAST(3 AS INT), 'click', CAST(count(*) AS BIGINT) FROM t3
+  UNION ALL
+  SELECT CAST(4 AS INT), 'purchase', CAST(count(*) AS BIGINT) FROM t4)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / CAST(coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                             n_users) AS DOUBLE), 6) AS conv_from_prev
+FROM steps"""
+
+
+def retention_cohorts_sql() -> str:
+    """Replicates __spark_entry__.q_retention_cohorts: users cohorted by
+    first-signup day, per-(cohort, day-offset) distinct-active counts and
+    retention rates over the UTC event dates."""
+    return """WITH coh AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cd FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+sizes AS (
+  SELECT cd, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM coh GROUP BY cd),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+ret AS (
+  SELECT c.cd, date_diff('day', c.cd, a.d) AS offset_days,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN coh c ON a.user_id = c.user_id
+  WHERE a.d >= c.cd GROUP BY c.cd, date_diff('day', c.cd, a.d))
+SELECT strftime(r.cd, '%Y-%m-%d') AS cohort_day,
+       CAST(r.offset_days AS INT) AS offset_days,
+       r.n_active, s.cohort_users,
+       round(CAST(r.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+           AS retention
+FROM ret r JOIN sizes s ON r.cd = s.cd"""
+
+
+def crawl_diff_sql() -> str:
+    """Replicates __spark_entry__.q_crawl_diff: two deterministic crawl
+    snapshots (A misses doc_id%10==0, B misses doc_id%10==1, doc_id%5==2
+    changes content) full-outer-joined on url, per-status page counts."""
+    dig_a = _portable_hash("text || '#crawlA'")
+    dig_b = _portable_hash("text || ' v2' || '#crawlA'")
+    return f"""WITH snap AS (
+  SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+         doc_id,
+         {dig_a} AS dig_a,
+         CASE WHEN doc_id % 5 = 2 THEN {dig_b}
+              ELSE {dig_a} END AS dig_b
+  FROM documents),
+a AS (SELECT url, dig_a FROM snap WHERE doc_id % 10 <> 0),
+b AS (SELECT url, dig_b FROM snap WHERE doc_id % 10 <> 1),
+j AS (SELECT a.dig_a, b.dig_b FROM a FULL OUTER JOIN b ON a.url = b.url),
+counts AS (
+  SELECT CASE WHEN dig_a IS NULL THEN 'added'
+              WHEN dig_b IS NULL THEN 'gone'
+              WHEN dig_a = dig_b THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM j GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pages) AS BIGINT) AS t FROM counts)
+SELECT status, n_pages,
+       round(CAST(n_pages AS DOUBLE) / CAST(t AS DOUBLE), 6) AS pct
+FROM counts, tot"""
+
+
+def length_quantiles_sql() -> str:
+    """Replicates __spark_entry__.q_length_quantiles: per-language exact
+    linear-interpolation percentiles of n_chars (rank = p*(n-1), both
+    engines interpolate in doubles over exact integer lengths)."""
+    return """WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, min_chars,
+       round(q[1], 6) AS p25, round(q[2], 6) AS p50, round(q[3], 6) AS p75,
+       round(q[4], 6) AS p90, round(q[5], 6) AS p99,
+       max_chars
+FROM agg"""
+
+
+def weighted_sample_sql(k: int = 50) -> str:
+    """Replicates __spark_entry__.q_weighted_sample: A-Res weighted
+    reservoir (Efraimidis & Spirakis 2006) — priority ln(u)/w rounded to
+    9 decimals with a doc_id tiebreak, top-k per language."""
+    h = _portable_hash("CAST(doc_id AS VARCHAR) || '#wres'")
+    space = float(1 << 60)
+    return f"""WITH d AS (
+  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+         round(ln(CAST({h} + 1 AS DOUBLE) / {space!r})
+               / CAST(n_chars AS DOUBLE), 9) AS key
+  FROM documents),
+r AS (
+  SELECT lang, doc_id, w, key,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY key DESC, doc_id ASC) AS INT)
+             AS rank
+  FROM d)
+SELECT lang, rank, doc_id, w, key FROM r WHERE rank <= {k}"""
+
+
+def journey_transitions_sql() -> str:
+    """Replicates __spark_entry__.q_journey_transitions: per-user
+    (ts, event_id)-ordered next-event pairs, counts and P(to | from)."""
+    return """WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c
+      GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+FROM c JOIN t ON c.from_type = t.from_type"""
+
+
+def fact_history_sql(pred: str = "born_in") -> str:
+    """Replicates operators.output.fact_history: SCD-2 versioned segments
+    per (subj, pred) — same recency key and same-instant max(obj) tie rule
+    as resolve_recency_sql, then lag-mark / running-sum / lead-bound
+    windows (valid_to_excl = -1 for the open current segment)."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+t AS (SELECT DISTINCT doc_id, {_RELS}[rel_idx + 1] AS pred,
+      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts),
+tt AS (SELECT pred, subj, obj,
+              (doc_id % 365) * 86400 + (doc_id * 7) % 86400 AS rk
+       FROM t WHERE pred = {sql_str(pred)}),
+a AS (SELECT pred, subj, rk, max(obj) AS obj FROM tt GROUP BY pred, subj, rk),
+m AS (SELECT pred, subj, obj, rk,
+             CASE WHEN lag(obj) OVER (PARTITION BY pred, subj ORDER BY rk)
+                       IS NULL
+                  OR lag(obj) OVER (PARTITION BY pred, subj ORDER BY rk)
+                       <> obj
+                  THEN 1 ELSE 0 END AS chg
+      FROM a),
+r AS (SELECT pred, subj, obj, rk,
+             CAST(sum(chg) OVER (PARTITION BY pred, subj ORDER BY rk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS INT) AS version
+      FROM m),
+segs AS (SELECT pred, subj, version, max(obj) AS obj,
+                CAST(min(rk) AS BIGINT) AS valid_from
+         FROM r GROUP BY pred, subj, version)
+SELECT subj, pred, obj, version, valid_from,
+       CAST(coalesce(lead(valid_from)
+                         OVER (PARTITION BY pred, subj ORDER BY valid_from),
+                     -1) AS BIGINT) AS valid_to_excl,
+       lead(valid_from) OVER (PARTITION BY pred, subj ORDER BY valid_from)
+           IS NULL AS is_current
+FROM segs"""
+
+
+def vocab_growth_sql() -> str:
+    """Replicates __spark_entry__.q_vocab_growth: per-100-doc-slice new
+    token types (first occurrence = min bucket), cumulative types vs
+    cumulative tokens, running type-token ratio."""
+    return """WITH tok AS (
+  SELECT doc_id // 100 AS bucket, unnest(str_split(text, ' ')) AS tk
+  FROM documents),
+newb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+  FROM (SELECT tk, min(bucket) AS bucket FROM tok GROUP BY tk)
+  GROUP BY bucket),
+tokc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM tok GROUP BY bucket),
+docc AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1),
+base AS (
+  SELECT CAST(d.bucket AS INT) AS bucket, d.n_docs, t.n_tokens,
+         CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types
+  FROM docc d JOIN tokc t ON d.bucket = t.bucket
+  LEFT JOIN newb n ON d.bucket = n.bucket),
+c AS (
+  SELECT bucket, n_docs, n_tokens, n_new_types,
+         CAST(sum(n_tokens) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS tokens_cum,
+         CAST(sum(n_new_types) OVER (ORDER BY bucket
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS types_cum
+  FROM base)
+SELECT bucket, n_docs, n_tokens, n_new_types, tokens_cum, types_cum,
+       round(CAST(types_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE), 6)
+           AS ttr
+FROM c"""

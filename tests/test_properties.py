@@ -151,6 +151,19 @@ EXPECTED_PLAN_COUNTS = {
     "kmv_distinct": (0, 2, 0),
     "cms_heavy_hitters": (0, 3, 0),
     "bloom_prune": (0, 6, 0),
+    "hll_merge": (0, 5, 0),
+    # all 22 are reads of the <=320-row kept-sketch / distinct-word
+    # checkpoints fanned out across the pair joins — the corpus-wide word
+    # explode is read exactly twice (eagerly); no corpus recompute
+    "kmv_overlap": (0, 22, 0),
+    "event_funnel": (0, 4, 0),
+    "retention_cohorts": (0, 3, 0),
+    "crawl_diff": (0, 2, 0),
+    "length_quantiles": (1, 0, 0),
+    "weighted_sample": (1, 0, 0),
+    "journey_transitions": (0, 2, 0),
+    "kg_fact_history": (1, 1, 2),
+    "vocab_growth": (1, 2, 0),
     "tfidf_keywords": (0, 3, 0),
     "collocations": (0, 4, 0),
     "kg_reach_profile": (0, 5, 0),

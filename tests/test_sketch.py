@@ -99,3 +99,57 @@ def test_bloom_rejects_most_non_members(spark):
     fp = flags.filter(F.col("bloom_pass")).count()
     # n=80, m=1024, k=3 -> theoretical fpr ~1.1%; allow generous slack
     assert fp / 500 < 0.10
+
+
+def test_hll_merge_equals_direct_build(spark):
+    # mergeability: shard-local register tables merged by per-bucket max
+    # equal the globally built sketch EXACTLY (max is associative)
+    df = spark.range(3000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        F.lit("g").alias("grp"),
+        (F.col("id") % 7).cast("int").alias("shard"),
+    )
+    direct = sketch.hll_registers(df, "k", ["grp"])
+    sharded = sketch.hll_registers(df, "k", ["grp", "shard"])
+    merged = sketch.hll_merge(sharded, ["grp"])
+    diff = (
+        direct.withColumnRenamed("reg", "r1")
+        .join(merged.withColumnRenamed("reg", "r2"), ["grp", "bucket"], "full")
+        .filter(
+            F.col("r1").isNull()
+            | F.col("r2").isNull()
+            | (F.col("r1") != F.col("r2"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_kmv_jaccard_recovers_known_overlap(spark):
+    # two groups sharing exactly half their keys: A = 0..1999,
+    # B = 1000..2999 -> jaccard = 1000/3000, |A ∩ B| = 1000
+    a = spark.range(2000).select(
+        F.lit("A").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    b = spark.range(1000, 3000).select(
+        F.lit("B").alias("g"), F.col("id").cast("string").alias("k")
+    )
+    kept = sketch.kmv_kept(a.union(b), "k", ["g"], k=128)
+    row = sketch.kmv_jaccard(kept, "g", k=128).collect()[0]
+    assert row.ga == "A" and row.gb == "B"
+    # ~1/sqrt(k) relative noise on the jaccard; generous 3-sigma-ish slack
+    assert abs(row.kmv_jaccard - 1 / 3) < 0.12
+    assert abs(row.kmv_inter - 1000) / 1000 < 0.45
+
+
+def test_kmv_jaccard_disjoint_sets_estimate_zero(spark):
+    a = spark.range(500).select(
+        F.lit("A").alias("g"), F.concat(F.lit("a"), F.col("id")).alias("k")
+    )
+    b = spark.range(500).select(
+        F.lit("B").alias("g"), F.concat(F.lit("b"), F.col("id")).alias("k")
+    )
+    kept = sketch.kmv_kept(a.union(b), "k", ["g"], k=64)
+    row = sketch.kmv_jaccard(kept, "g", k=64).collect()[0]
+    assert row.kmv_jaccard == 0.0
+    assert row.kmv_inter == 0.0

@@ -436,3 +436,48 @@ def test_streaming_link_graph_accumulates(spark, tmp_path):
         for r in lg.current_link_graph(spark, store).collect()
     }
     assert got3 == got2
+
+
+def test_streaming_cardinality_matches_batch_sketch(spark, sf_dir, tmp_path):
+    from autoextraction_spark.operators import sketch
+    from autoextraction_spark.streaming import cardinality
+
+    in_dir = str(tmp_path / "landing")
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = corpus.web_pages(spark, sf_dir).cache()
+    # two file drops -> at least two epochs of shard-local registers
+    pages.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    q = cardinality.stream_cardinality(spark, in_dir, store, ckpt)
+    q.awaitTermination(300)
+    pages.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    q2 = cardinality.stream_cardinality(spark, in_dir, store, ckpt)
+    q2.awaitTermination(300)
+
+    got = {
+        r.lang: r.hll_estimate
+        for r in cardinality.current_estimate(spark, store).collect()
+    }
+    # mergeability across epochs: folded streamed registers == the
+    # one-shot batch sketch, estimate for estimate, bit for bit
+    want = {
+        r.lang: r.hll_estimate
+        for r in sketch.hll_estimate(
+            sketch.hll_registers(pages, "url", ["lang"], seed="#shll"),
+            ["lang"],
+        ).collect()
+    }
+    assert got == want
+    # and the estimate tracks the exact per-lang url count
+    exact = {
+        r.lang: r.n
+        for r in pages.groupBy("lang")
+        .agg(F.countDistinct("url").alias("n"))
+        .collect()
+    }
+    for lang, est in got.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.35
+    # at least two epoch partitions landed
+    eps = spark.read.parquet(store).select("_epoch").distinct().count()
+    assert eps >= 2
