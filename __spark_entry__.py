@@ -2299,6 +2299,120 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_T1 = 8_000_000
+ASOF_T2 = 22_000_000
+
+
+def _asof(hist: DataFrame, t: int) -> DataFrame:
+    """Point-in-time filter over an SCD-2 fact-history table: the segment
+    containing crawl-time ``t`` (open segments marked valid_to_excl=-1)."""
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & ((F.col("valid_to_excl") == -1) | (F.col("valid_to_excl") > t))
+    )
+
+
+def q_kg_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot: born_in facts as the crawl knew them at
+    T1 — the temporal-KG query the SCD-2 history table exists to answer
+    (audits, retroactive evals, training-data time travel). One filter
+    over kg_fact_history's segments; nothing rescans the corpus."""
+    hist = output.fact_history(
+        _pipeline_triples(spark, sf_dir), preds=["born_in"]
+    )
+    return _asof(hist, ASOF_T1).select(
+        "subj", "pred", "obj", "version", "valid_from"
+    )
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two points in KG time: the T1 vs T2 snapshot
+    diff (added / removed / changed / same per (subj, pred)) from ONE
+    materialized fact-history table filtered twice and full-outer-joined
+    on the fact key — the change-report a temporal KG serves without
+    re-extracting anything."""
+    hist = output.fact_history(
+        _pipeline_triples(spark, sf_dir), preds=["born_in"]
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    a = _asof(hist, ASOF_T1).select(
+        "subj", "pred", F.col("obj").alias("obj_t1")
+    )
+    b = _asof(hist, ASOF_T2).select(
+        "subj", "pred", F.col("obj").alias("obj_t2")
+    )
+    j = a.join(b, ["subj", "pred"], "full_outer")
+    status = (
+        F.when(F.col("obj_t1").isNull(), F.lit("added"))
+        .when(F.col("obj_t2").isNull(), F.lit("removed"))
+        .when(F.col("obj_t1") == F.col("obj_t2"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "subj",
+        "pred",
+        F.coalesce(F.col("obj_t1"), F.lit("")).alias("obj_t1"),
+        F.coalesce(F.col("obj_t2"), F.lit("")).alias("obj_t2"),
+        status.alias("status"),
+    )
+
+
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval over an inverted index: documents
+    containing ALL of the corpus's three most frequent tokens (terms
+    data-derived by the portable (count desc, token asc) total order) —
+    the posting-list-intersection primitive under every AND query. The
+    token explode is checkpointed once (term pick + postings); the 3-row
+    term set broadcasts; the intersection is a groupBy-having count, not
+    an all-pairs join."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tk"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    top3 = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tk"))
+        .limit(3)
+        .select("tk")
+    )
+    hits = (
+        tok.distinct()
+        .join(F.broadcast(top3), "tk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == 3)
+    )
+    return docs.join(hits, "doc_id").select("doc_id", "lang")
+
+
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the corpus
+    labels: (true_lang, pred_lang, n, share of the true class) — the
+    model-card evaluation table for the lang_id operator, composed from
+    the same prediction the lang_id query emits."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    joined = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", F.col("lang_pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    tot = joined.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("tot")
+    )
+    return joined.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "share_of_true"
+        ),
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
     l = _read(spark, sf_dir, "lineitem")
@@ -2791,6 +2905,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "journey_transitions": q_journey_transitions,
         "kg_fact_history": q_kg_fact_history,
         "vocab_growth": q_vocab_growth,
+        "kg_as_of": q_kg_as_of,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "boolean_retrieval": q_boolean_retrieval,
+        "lang_id_eval": q_lang_id_eval,
         "kg_resolve": q_kg_resolve,
         "kg_fuse": q_kg_fuse,
         "kg_rank_eval": q_kg_rank_eval,
@@ -2961,6 +3079,12 @@ def oracle_sql() -> dict[str, str]:
         "journey_transitions": oracle.journey_transitions_sql(),
         "kg_fact_history": oracle.fact_history_sql(pred="born_in"),
         "vocab_growth": oracle.vocab_growth_sql(),
+        "kg_as_of": oracle.kg_as_of_sql(ASOF_T1, pred="born_in"),
+        "kg_snapshot_diff": oracle.kg_snapshot_diff_sql(
+            ASOF_T1, ASOF_T2, pred="born_in"
+        ),
+        "boolean_retrieval": oracle.boolean_retrieval_sql(n_terms=3),
+        "lang_id_eval": oracle.lang_id_eval_sql(),
         "kg_resolve": oracle.resolve_recency_sql(pred="born_in"),
         "kg_fuse": oracle.fuse_sql(),
         "kg_rank_eval": oracle.rank_eval_sql(test_pred="born_in"),

@@ -568,47 +568,76 @@ def winnow_fingerprints(
     1-based gram position, fp the portable 60-bit hash — i.e. the posting
     table a fingerprint index is built from; expected density ~2/(w+1).
 
-    Scale shape: everything up to the final distinct is per-row codegen
-    over array expressions (no explode until selections, which are ~13%
-    of grams at w=15); the distinct is the only shuffle and carries
-    (id, pos, fp) triples, never text. The gram-hash array is
-    MATERIALIZED as its own projection before the window pass — left
-    inline, Spark re-evaluates the whole md5 chain for every window
-    element (O(len·w·len) hashing instead of O(len)), the higher-order-
-    function recompute analog of the round-3 subplan re-execution bug.
+    Scale shape: everything up to the final distinct is per-row array
+    expressions (no explode until selections, which are ~13% of grams at
+    w=15); the distinct is the only shuffle and carries (id, pos, fp)
+    triples, never text. The gram-hash array is MATERIALIZED as its own
+    projection before the window pass — left inline, Spark re-evaluates
+    the whole md5 chain for every window element. The per-window minimum
+    is a SPARSE-TABLE DOUBLING (the range-min-query classic): L =
+    floor(log2 w) zip_with passes build m_j[i] = rightmost-min of
+    [i, i+2^j), and each window combines TWO anchors — O(len·log w)
+    array-element ops instead of the naive per-window slice's O(len·w·5)
+    (higher-order functions evaluate interpreted, so constant factors
+    bite: the rewrite took the sf0.1 wall from 41 s to the few-second
+    band with byte-identical output; tie-rightmost is preserved because
+    the right anchor covers the window's suffix and wins ties at every
+    combine).
     """
     from .dedup import char_shingles, portable_hash64
 
-    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
-    hdf = df.select(
+    # normalize in its OWN projection: passed inline, the lower/regexp
+    # composite lands inside the shingle lambda and interpreted HOF
+    # evaluation re-runs the full-text regex PER GRAM — O(len^2) regex
+    # work (measured: ~2/3 of the original 41 s sf0.1 wall)
+    norm = df.select(
         F.col(id_col).alias("id"),
+        F.lower(F.regexp_replace(F.col(text_col), "\\s+", " ")).alias("nt"),
+    )
+    hdf = norm.select(
+        "id",
         F.transform(
-            char_shingles(norm, k), lambda g: portable_hash64(g, seed="#winnow")
+            char_shingles(F.col("nt"), k),
+            lambda g: portable_hash64(g, seed="#winnow"),
         ).alias("hs"),
     )
-    hs = F.col("hs")
+
+    def pick(a, b):
+        # rightmost-min combine: the RIGHT operand covers later positions,
+        # so it wins ties; null b (zip_with padding past the array end)
+        # keeps a
+        return F.when(b.isNull() | (b["fp"] > a["fp"]), a).otherwise(b)
+
+    # m0[i] = (pos=i (1-based), fp=hs[i])
+    m = F.zip_with(
+        F.col("hs"),
+        F.sequence(F.lit(1), F.size(F.col("hs"))),
+        lambda v, j: F.struct(j.cast("long").alias("pos"), v.alias("fp")),
+    )
+    levels = 0
+    p = 1
+    while p * 2 <= w:
+        # m_{j+1} = zip_with(m_j, m_j shifted left by 2^j, pick); the
+        # shifted side is shorter, zip_with pads it with nulls, and pick
+        # keeps the unshifted entry there (truncated trailing windows)
+        m = F.zip_with(m, F.slice(m, p + 1, F.size(m)), pick)
+        levels += 1
+        p *= 2
+    mdf = hdf.select("id", F.size(F.col("hs")).alias("n"), m.alias("m"))
 
     def _win(i):
-        s = F.slice(hs, i, w)
-        mn = F.array_min(s)
-        rightmost = F.array_max(
-            F.zip_with(
-                s,
-                F.sequence(F.lit(1), F.size(s)),
-                lambda v, j: F.when(v == mn, j).otherwise(F.lit(0)),
-            )
-        )
-        return F.struct(
-            (i + rightmost - F.lit(1)).cast("long").alias("pos"),
-            mn.alias("fp"),
-        )
+        # window [i, e] with e = min(i+w-1, n); anchors i and e-p+1 (the
+        # suffix block) cover it; get() is 0-based and null-safe
+        e = F.least(i + F.lit(w - 1), F.col("n"))
+        bi = F.greatest(e - F.lit(p - 1), i)
+        return pick(F.get(F.col("m"), i - 1), F.get(F.col("m"), bi - 1))
 
     wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.col("n") - (w - 1), F.lit(1))),
         _win,
     )
     return (
-        hdf.select("id", F.explode(wins).alias("s"))
+        mdf.select("id", F.explode(wins).alias("s"))
         .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
     )

@@ -574,7 +574,9 @@ SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences, ends_terminal,
 FROM s"""
 
 
-def lang_id_sql() -> str:
+def _lang_pred_ctes() -> str:
+    """CTE chain ``c, p`` where ``p(doc_id, lang_pred)`` is the heuristic
+    language-ID prediction — shared by lang_id_sql and lang_id_eval_sql."""
     from .operators.textstats import CJK_RE, LANG_MARKERS
 
     cnt_exprs = {
@@ -586,13 +588,18 @@ def lang_id_sql() -> str:
         f"       WHEN c_{lang} = {mx} THEN '{lang}'" for lang in LANG_MARKERS
     )
     counts = ", ".join(f"{e} AS c_{lang}" for lang, e in cnt_exprs.items())
-    return f"""WITH c AS (SELECT doc_id, text, {counts} FROM documents)
-SELECT doc_id,
+    return f"""c AS (SELECT doc_id, text, {counts} FROM documents),
+p AS (SELECT doc_id,
   CASE WHEN len(regexp_extract_all(text, '{CJK_RE}')) > 0 THEN 'zh'
        WHEN {mx} = 0 THEN 'und'
 {whens}
   END AS lang_pred
-FROM c"""
+FROM c)"""
+
+
+def lang_id_sql() -> str:
+    return f"""WITH {_lang_pred_ctes()}
+SELECT doc_id, lang_pred FROM p"""
 
 
 def fingerprint_sql() -> str:
@@ -4241,3 +4248,61 @@ SELECT bucket, n_docs, n_tokens, n_new_types, tokens_cum, types_cum,
        round(CAST(types_cum AS DOUBLE) / CAST(tokens_cum AS DOUBLE), 6)
            AS ttr
 FROM c"""
+
+
+def _asof_where(t: int) -> str:
+    return f"valid_from <= {t} AND (valid_to_excl = -1 OR valid_to_excl > {t})"
+
+
+def kg_as_of_sql(t: int, pred: str = "born_in") -> str:
+    """Replicates __spark_entry__.q_kg_as_of: the SCD-2 segment containing
+    crawl-time t, per (subj, pred)."""
+    return f"""WITH h AS ({fact_history_sql(pred)})
+SELECT subj, pred, obj, version, valid_from
+FROM h WHERE {_asof_where(t)}"""
+
+
+def kg_snapshot_diff_sql(t1: int, t2: int, pred: str = "born_in") -> str:
+    """Replicates __spark_entry__.q_kg_snapshot_diff: full-outer fact-key
+    join of the t1 and t2 point-in-time snapshots with added / removed /
+    changed / same status."""
+    return f"""WITH h AS ({fact_history_sql(pred)}),
+a AS (SELECT subj, pred, obj AS obj_t1 FROM h WHERE {_asof_where(t1)}),
+b AS (SELECT subj, pred, obj AS obj_t2 FROM h WHERE {_asof_where(t2)})
+SELECT coalesce(a.subj, b.subj) AS subj, coalesce(a.pred, b.pred) AS pred,
+       coalesce(a.obj_t1, '') AS obj_t1, coalesce(b.obj_t2, '') AS obj_t2,
+       CASE WHEN a.obj_t1 IS NULL THEN 'added'
+            WHEN b.obj_t2 IS NULL THEN 'removed'
+            WHEN a.obj_t1 = b.obj_t2 THEN 'same'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.subj = b.subj AND a.pred = b.pred"""
+
+
+def boolean_retrieval_sql(n_terms: int = 3) -> str:
+    """Replicates __spark_entry__.q_boolean_retrieval: documents containing
+    ALL of the corpus's n most frequent tokens (portable
+    (count desc, token asc) term pick, posting-list intersection)."""
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),
+top AS (SELECT tk FROM (SELECT tk, count(*) AS c FROM tok GROUP BY tk)
+        ORDER BY c DESC, tk ASC LIMIT {n_terms}),
+hit AS (SELECT DISTINCT t.doc_id, t.tk FROM tok t JOIN top u ON t.tk = u.tk),
+d AS (SELECT doc_id FROM hit GROUP BY doc_id HAVING count(*) = {n_terms})
+SELECT x.doc_id, x.lang FROM documents x JOIN d ON x.doc_id = d.doc_id"""
+
+
+def lang_id_eval_sql() -> str:
+    """Replicates __spark_entry__.q_lang_id_eval: confusion matrix of the
+    heuristic language-ID against the corpus labels, with each cell's
+    share of its true class."""
+    return f"""WITH {_lang_pred_ctes()},
+j AS (SELECT d.lang AS true_lang, p.lang_pred AS pred_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents d JOIN p ON d.doc_id = p.doc_id
+      GROUP BY d.lang, p.lang_pred),
+t AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS tot FROM j
+      GROUP BY true_lang)
+SELECT j.true_lang, j.pred_lang, j.n,
+       round(CAST(j.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+           AS share_of_true
+FROM j JOIN t ON j.true_lang = t.true_lang"""

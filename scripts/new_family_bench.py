@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""sf0.1 walls for the round-5 session-4 query family, captured with the
-bench.py discipline (calibration probe bracketing each pass, min over
-quiet passes, raw walls kept) rather than the bare min-of-2 the r4 verdict
-criticized. Run ALONE; writes BENCH/new_family_r5s4.json.
+"""sf0.1 walls for a query family, captured with the bench.py discipline
+(calibration probe bracketing each pass, min over quiet passes, raw walls
+kept) rather than the bare min-of-2 the r4 verdict criticized. Run ALONE.
+
+Defaults reproduce the round-5 session-4 capture
+(BENCH/new_family_r5s4.json); override with
+SPARK_GRAFT_FAMILY_QUERIES=<comma-list> and
+SPARK_GRAFT_FAMILY_OUT=<BENCH-relative filename>.
 """
 
 from __future__ import annotations
@@ -15,12 +19,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = [
+DEFAULT_QUERIES = [
     "bpe_train", "bpe_vocab", "bpe_fertility",
     "kg_scc", "kg_toposort", "kg_pmi", "kg_paths",
     "link_graph", "host_authority", "crawl_frontier", "crawl_schedule",
     "temperature_mix", "chunk_docs", "mirror_hosts",
 ]
+QUERIES = [
+    q
+    for q in os.environ.get(
+        "SPARK_GRAFT_FAMILY_QUERIES", ",".join(DEFAULT_QUERIES)
+    ).split(",")
+    if q
+]
+OUT_NAME = os.environ.get("SPARK_GRAFT_FAMILY_OUT", "new_family_r5s4.json")
 
 
 def main() -> int:
@@ -81,7 +93,7 @@ def main() -> int:
     }
     dest = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH", "new_family_r5s4.json",
+        "BENCH", OUT_NAME,
     )
     with open(dest, "w") as fh:
         json.dump(out, fh, indent=1)

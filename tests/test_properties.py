@@ -164,6 +164,10 @@ EXPECTED_PLAN_COUNTS = {
     "journey_transitions": (0, 2, 0),
     "kg_fact_history": (1, 1, 2),
     "vocab_growth": (1, 2, 0),
+    "kg_as_of": (1, 1, 2),
+    "kg_snapshot_diff": (0, 2, 0),
+    "boolean_retrieval": (1, 2, 0),
+    "lang_id_eval": (0, 2, 0),
     "tfidf_keywords": (0, 3, 0),
     "collocations": (0, 4, 0),
     "kg_reach_profile": (0, 5, 0),
