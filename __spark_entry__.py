@@ -466,6 +466,36 @@ def q_kg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.rule_inference(_pipeline_triples(spark, sf_dir), INFERENCE_RULES)
 
 
+def q_kg_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style chain-rule discovery over the pipeline's own KG: every
+    2-atom body (body_a ∘ body_b) with its path-pair count and every head
+    predicate's support/confidence — the miner that PROPOSES the rules
+    kg_infer applies. Rediscovers acquired∘acquired ⇒ acquired (the
+    closure rule) on this corpus."""
+    return graph.rule_mining(_pipeline_triples(spark, sf_dir), min_support=5)
+
+
+def q_kg_implications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate implication / inverse / symmetry discovery (AMIE's 1-atom
+    rules): same-direction and inverse fact-key overlaps per predicate
+    pair, with confidence = support / |p| — the ontology-alignment table.
+    Surfaces works_for ⇔ founded on this corpus."""
+    return graph.implication_rules(
+        _pipeline_triples(spark, sf_dir), min_support=2
+    )
+
+
+def q_kg_rule_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion by the MINED rules: high-confidence chain rules fire
+    over their body paths, and endpoints whose head fact the KG lacks
+    become proposed facts with rule provenance + confidence — the
+    curation candidate queue, closing the mine → apply → propose
+    reasoning cycle."""
+    return graph.apply_mined_rules(
+        _pipeline_triples(spark, sf_dir), min_support=5, min_confidence=0.2
+    )
+
+
 def q_kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-naive transitive closure of the ``acquired`` org→org edges: who
     transitively controls whom, with BFS-minimal depth. The oracle's
@@ -2413,6 +2443,143 @@ def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-points k-NN graph over the embeddings (sign-LSH candidate
+    buckets + exact cosine re-rank, every vector a query) with the
+    MUTUAL flag — the construction under graph-based ANN indexes and
+    density clustering, and the mutual-kNN graph is what embedding-space
+    community detection runs on. One (table, bucket) equi-join generates
+    candidates; the edge table is materialized once and self-joined for
+    mutuality."""
+    vecs = _read(spark, sf_dir, "embeddings")
+    edges = similarity.ann_topk(
+        vecs, vecs, k=5, n_planes=3, n_tables=4
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    rev = edges.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+        F.lit(True).alias("m"),
+    )
+    return (
+        edges.join(rev, ["query_id", "neighbor_id"], "left")
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cosine",
+            "rank",
+            F.coalesce(F.col("m"), F.lit(False)).alias("mutual"),
+        )
+    )
+
+
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonical selection per near-dup cluster — the
+    production survivor policy (keep the BEST copy, not the lowest id):
+    minhash dedup labels composed with the composite quality score, a
+    portable two-step argmax (max quality -> min doc_id among ties), and
+    the `moved` flag counting where the policy disagrees with min-id.
+    quality is exact 0.25 multiples, so the float-equality join is
+    engine-safe."""
+    docs = _read(spark, sf_dir, "documents")
+    labeled = dedup.dedup_documents(
+        docs, "doc_id", "text", method="minhash", threshold=0.8
+    )
+    scored = textstats.quality_score(labeled)
+    t = (
+        scored.select(
+            F.col("keep_id").alias("cluster_id"), "doc_id", "quality"
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    mx = t.groupBy("cluster_id").agg(
+        F.max("quality").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    sv = (
+        t.join(mx.select("cluster_id", "q"), "cluster_id")
+        .filter(F.col("quality") == F.col("q"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").cast("long").alias("survivor_id"))
+    )
+    return mx.join(sv, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "survivor_id",
+        F.round(F.col("q"), 6).alias("survivor_quality"),
+        (F.col("survivor_id") != F.col("cluster_id")).alias("moved"),
+    )
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean document
+    length — the error bar every corpus-level metric needs at 100 TB,
+    where resampling N docs with replacement is impossible but Poisson(1)
+    weights make the bootstrap ONE scan: each (doc, resample) pair draws
+    its weight from the deterministic uniform u = h/2^60 through the
+    inverse-CDF table (pure-codegen CASE — hash-derandomized, so both
+    engines draw identical resamples). Per-resample sums are EXACT
+    integers (weight × n_chars as longs); each mean is one IEEE division;
+    the percentile interval over the 32 means reuses the proven
+    linear-interpolation parity (length_quantiles). Output: one row —
+    point estimate, 2.5% / 97.5% bootstrap bounds, resample count."""
+    B = 32
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = (
+        dedup.portable_hash64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("b").cast("string"),
+            ),
+            "#boot",
+        )
+    ).cast("double") / F.lit(float(1 << 60))
+    # inverse CDF of Poisson(1): cumulative 0.3679, 0.7358, 0.9197,
+    # 0.9810, 0.9963 (exact float literals shared with the oracle)
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    means = (
+        pairs.select("b", (w * F.col("n_chars")).alias("wx"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("wx").cast("long").alias("s"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .select(
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+                "m"
+            )
+        )
+    )
+    point = docs.agg(
+        F.round(
+            F.sum("n_chars").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_chars")
+    )
+    ci = means.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "mean_chars", "ci_lo", "ci_hi", "n_resamples"
+    )
+
+
 def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): grouping-sets aggregation."""
     l = _read(spark, sf_dir, "lineitem")
@@ -2907,6 +3074,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "kg_as_of": q_kg_as_of,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_rule_mining": q_kg_rule_mining,
+        "kg_rule_apply": q_kg_rule_apply,
+        "kg_implications": q_kg_implications,
+        "bootstrap_ci": q_bootstrap_ci,
+        "knn_graph": q_knn_graph,
+        "dedup_best_survivor": q_dedup_best_survivor,
         "boolean_retrieval": q_boolean_retrieval,
         "lang_id_eval": q_lang_id_eval,
         "kg_resolve": q_kg_resolve,
@@ -3079,6 +3252,12 @@ def oracle_sql() -> dict[str, str]:
         "journey_transitions": oracle.journey_transitions_sql(),
         "kg_fact_history": oracle.fact_history_sql(pred="born_in"),
         "vocab_growth": oracle.vocab_growth_sql(),
+        "kg_rule_mining": oracle.rule_mining_sql(min_support=5),
+        "kg_rule_apply": oracle.apply_mined_rules_sql(min_support=5, min_confidence=0.2),
+        "bootstrap_ci": oracle.bootstrap_ci_sql(b=32),
+        "knn_graph": oracle.knn_graph_sql(k=5, n_planes=3, n_tables=4),
+        "dedup_best_survivor": oracle.dedup_best_survivor_sql(threshold=0.8),
+        "kg_implications": oracle.implication_rules_sql(min_support=2),
         "kg_as_of": oracle.kg_as_of_sql(ASOF_T1, pred="born_in"),
         "kg_snapshot_diff": oracle.kg_snapshot_diff_sql(
             ASOF_T1, ASOF_T2, pred="born_in"

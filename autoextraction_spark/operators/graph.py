@@ -1163,3 +1163,190 @@ def entity_type_inference(
         .agg(F.min("etype").alias("etype"))
         .select("entity", "etype", "votes")
     )
+
+
+def rule_mining(triples: DataFrame, min_support: int = 5) -> DataFrame:
+    """AMIE-style chain-rule mining (Galárraga et al. 2013, WWW — *AMIE:
+    association rule mining under incomplete evidence*): discover the
+     2-atom property-chain rules ``body_a(s,x) ∧ body_b(x,o) ⇒
+    head(s,o)`` that :func:`rule_inference` APPLIES — the inverse
+    operator, and how a production KG proposes its inference rules in the
+    first place. For every body pair, ``n_pairs`` distinct (s,o) path
+    endpoints; for every candidate head predicate, ``support`` = how many
+    of those endpoints already hold a head fact; ``confidence`` =
+    support / n_pairs (CWA). On this corpus the miner rediscovers
+    ``acquired ∘ acquired ⇒ acquired`` — the transitivity kg_closure
+    materializes.
+
+    Scale shape: ONE entity-keyed self-join builds all rule bodies at
+    once (shuffle on the bridge entity, AQE-splittable under hub skew);
+    the path table is materialized once and feeds both the body count
+    and the head equi-join on (s, o); aggregations are map-side
+    combinable. No per-rule driver loop — the rule space IS a DataFrame.
+    """
+    t = _ckpt(triples.select("subj", "pred", "obj").distinct())
+    a = t.select(
+        F.col("pred").alias("body_a"),
+        F.col("subj").alias("s"),
+        F.col("obj").alias("x"),
+    )
+    b = t.select(
+        F.col("pred").alias("body_b"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("o"),
+    )
+    paths = _ckpt(a.join(b, "x").select("body_a", "body_b", "s", "o").distinct())
+    body = paths.groupBy("body_a", "body_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    heads = t.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj").alias("s"),
+        F.col("obj").alias("o"),
+    )
+    m = (
+        paths.join(heads, ["s", "o"])
+        .groupBy("body_a", "body_b", "head_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return (
+        m.join(body, ["body_a", "body_b"])
+        .filter(F.col("support") >= min_support)
+        .select(
+            "body_a",
+            "body_b",
+            "head_pred",
+            "n_pairs",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("confidence"),
+        )
+    )
+
+
+def implication_rules(triples: DataFrame, min_support: int = 2) -> DataFrame:
+    """Predicate implication / inverse detection (AMIE's 1-atom rules):
+    same-direction ``p(s,o) ⇒ q(s,o)`` and inverse ``p(s,o) ⇒ q(o,s)``
+    candidates with support and confidence = support / |p| — the
+    ontology-alignment signal (schema redundancy, symmetric predicates,
+    inverse-pair discovery) mined from the KG itself. The inverse branch
+    keeps ``p = q`` (that is symmetry detection); the same-direction
+    branch drops the trivial reflexive case.
+
+    One distinct fact table materialized once; both branches are fact-key
+    equi-joins; sizes come from one map-side-combinable count.
+    """
+    t = _ckpt(triples.select("subj", "pred", "obj").distinct())
+    sizes = t.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    q_same = t.select(
+        F.col("pred").alias("q"), "subj", "obj"
+    )
+    same = (
+        t.join(q_same, ["subj", "obj"])
+        .filter(F.col("pred") != F.col("q"))
+        .groupBy("pred", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select("pred", "q", F.lit("same").alias("direction"), "support")
+    )
+    q_inv = t.select(
+        F.col("pred").alias("q"),
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+    )
+    inv = (
+        t.join(q_inv, ["subj", "obj"])
+        .groupBy("pred", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .select("pred", "q", F.lit("inverse").alias("direction"), "support")
+    )
+    return (
+        same.union(inv)
+        .join(sizes, "pred")
+        .filter(F.col("support") >= min_support)
+        .select(
+            F.col("pred").alias("p"),
+            "q",
+            "direction",
+            "support",
+            "n_p",
+            F.round(
+                F.col("support").cast("double") / F.col("n_p").cast("double"), 6
+            ).alias("confidence"),
+        )
+    )
+
+
+def apply_mined_rules(
+    triples: DataFrame, min_support: int = 5, min_confidence: float = 0.5
+) -> DataFrame:
+    """KG completion by mined rules — the third leg of the reasoning
+    cycle (:func:`rule_mining` proposes, :func:`rule_inference` applies
+    fixed rules, this applies the MINED ones): every chain-rule with
+    confidence ≥ ``min_confidence`` fires over its own body paths, and
+    path endpoints whose head fact is NOT already in the KG become
+    proposed facts carrying rule provenance and confidence — exactly the
+    candidate queue a human-in-the-loop KG curation system reviews.
+
+    Scale shape: the rule table (a few rows) BROADCASTS onto the path
+    table (one bridge-entity self-join, materialized once and shared with
+    the mining aggregates); novelty is one left_anti fact-key join.
+    """
+    t = _ckpt(triples.select("subj", "pred", "obj").distinct())
+    a = t.select(
+        F.col("pred").alias("body_a"),
+        F.col("subj").alias("s"),
+        F.col("obj").alias("x"),
+    )
+    b = t.select(
+        F.col("pred").alias("body_b"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("o"),
+    )
+    paths = _ckpt(
+        a.join(b, "x").select("body_a", "body_b", "s", "o").distinct()
+    )
+    body = paths.groupBy("body_a", "body_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    heads = t.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj").alias("s"),
+        F.col("obj").alias("o"),
+    )
+    m = (
+        paths.join(heads, ["s", "o"])
+        .groupBy("body_a", "body_b", "head_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    rules = (
+        m.join(body, ["body_a", "body_b"])
+        .filter(F.col("support") >= min_support)
+        .select(
+            "body_a",
+            "body_b",
+            "head_pred",
+            F.round(
+                F.col("support").cast("double")
+                / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("confidence"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+    )
+    fired = paths.join(F.broadcast(rules), ["body_a", "body_b"])
+    known = t.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj").alias("s"),
+        F.col("obj").alias("o"),
+    )
+    novel = fired.join(known, ["head_pred", "s", "o"], "left_anti")
+    return novel.select(
+        F.col("s").alias("subj"),
+        F.col("head_pred").alias("pred"),
+        F.col("o").alias("obj"),
+        "body_a",
+        "body_b",
+        "confidence",
+    ).distinct()

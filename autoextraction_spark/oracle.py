@@ -633,7 +633,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {k}"""
 
 
-def ann_topk_sql(k: int = 5, n_queries: int = 10, n_planes: int = 2,
+def ann_topk_sql(k: int = 5, n_queries: int | None = 10, n_planes: int = 2,
                  n_tables: int = 4, dim: int = 64) -> str:
     from .operators.similarity import hyperplane_weights
 
@@ -648,12 +648,13 @@ def ann_topk_sql(k: int = 5, n_queries: int = 10, n_planes: int = 2,
             )
         rows.append(f"SELECT vec_id, e, {t} AS tbl, {' + '.join(bucket_terms)} AS bucket FROM v")
     buckets = " UNION ALL ".join(rows)
+    qpred = f"a.vec_id < {n_queries} AND " if n_queries is not None else ""
     return f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 bk AS ({buckets}),
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
-  WHERE a.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+  WHERE {qpred}a.vec_id <> b.vec_id
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
@@ -4306,3 +4307,172 @@ SELECT j.true_lang, j.pred_lang, j.n,
        round(CAST(j.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
            AS share_of_true
 FROM j JOIN t ON j.true_lang = t.true_lang"""
+
+
+def _distinct_triples_cte() -> str:
+    """``t(pred, subj, obj)`` — the fully-distinct raw fact table, shared
+    by the rule-mining oracles (doc-level provenance dropped)."""
+    return f"""t AS (SELECT DISTINCT {_RELS}[rel_idx + 1] AS pred,
+      {_subj_expr()} AS subj, {_obj_expr(False)} AS obj FROM facts)"""
+
+
+def rule_mining_sql(min_support: int = 5) -> str:
+    """Replicates operators.graph.rule_mining: 2-atom chain-rule bodies by
+    one bridge-entity self-join, head support by a fact-key join,
+    confidence = support / n_pairs."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+{_distinct_triples_cte()},
+paths AS (
+  SELECT DISTINCT a.pred AS body_a, b.pred AS body_b, a.subj AS s,
+         b.obj AS o
+  FROM t a JOIN t b ON a.obj = b.subj),
+body AS (SELECT body_a, body_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM paths GROUP BY body_a, body_b),
+m AS (
+  SELECT p.body_a, p.body_b, h.pred AS head_pred,
+         CAST(count(*) AS BIGINT) AS support
+  FROM paths p JOIN t h ON p.s = h.subj AND p.o = h.obj
+  GROUP BY p.body_a, p.body_b, h.pred)
+SELECT m.body_a, m.body_b, m.head_pred, b.n_pairs, m.support,
+       round(CAST(m.support AS DOUBLE) / CAST(b.n_pairs AS DOUBLE), 6)
+           AS confidence
+FROM m JOIN body b ON m.body_a = b.body_a AND m.body_b = b.body_b
+WHERE m.support >= {min_support}"""
+
+
+def implication_rules_sql(min_support: int = 2) -> str:
+    """Replicates operators.graph.implication_rules: same-direction and
+    inverse predicate-pair overlaps with confidence = support / |p|."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+{_distinct_triples_cte()},
+sizes AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_p FROM t
+          GROUP BY pred),
+same AS (
+  SELECT a.pred, b.pred AS q, 'same' AS direction,
+         CAST(count(*) AS BIGINT) AS support
+  FROM t a JOIN t b ON a.subj = b.subj AND a.obj = b.obj
+       AND a.pred <> b.pred
+  GROUP BY a.pred, b.pred),
+inv AS (
+  SELECT a.pred, b.pred AS q, 'inverse' AS direction,
+         CAST(count(*) AS BIGINT) AS support
+  FROM t a JOIN t b ON a.subj = b.obj AND a.obj = b.subj
+  GROUP BY a.pred, b.pred),
+u AS (SELECT * FROM same UNION ALL SELECT * FROM inv)
+SELECT u.pred AS p, u.q, u.direction, u.support, s.n_p,
+       round(CAST(u.support AS DOUBLE) / CAST(s.n_p AS DOUBLE), 6)
+           AS confidence
+FROM u JOIN sizes s ON u.pred = s.pred
+WHERE u.support >= {min_support}"""
+
+
+def bootstrap_ci_sql(b: int = 32) -> str:
+    """Replicates __spark_entry__.q_bootstrap_ci: hash-derandomized
+    Poisson(1) bootstrap of the mean document length — exact-integer
+    per-resample sums, one IEEE division per mean, percentile interval
+    over the resample means."""
+    u = (
+        f"CAST({_portable_hash('CAST(doc_id AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || CAST(b AS VARCHAR) || ' + chr(39) + '#boot' + chr(39))} AS DOUBLE)"
+        f" / {float(1 << 60)!r}"
+    )
+    return f"""WITH pairs AS (
+  SELECT doc_id, n_chars, unnest(range({b})) AS b FROM documents),
+w AS (
+  SELECT n_chars, b,
+         CAST(CASE WHEN {u} < 0.36787944117144233 THEN 0
+                   WHEN {u} < 0.7357588823428847 THEN 1
+                   WHEN {u} < 0.9196986029286058 THEN 2
+                   WHEN {u} < 0.9810118431238462 THEN 3
+                   WHEN {u} < 0.9963401531726563 THEN 4
+                   ELSE 5 END AS BIGINT) AS w
+  FROM pairs),
+means AS (
+  SELECT round(CAST(sum(w * n_chars) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE), 6) AS m
+  FROM w GROUP BY b),
+pt AS (
+  SELECT round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS mean_chars
+  FROM documents),
+ci AS (
+  SELECT round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi,
+         CAST(count(*) AS BIGINT) AS n_resamples
+  FROM means)
+SELECT pt.mean_chars, ci.ci_lo, ci.ci_hi, ci.n_resamples
+FROM pt, ci"""
+
+
+def apply_mined_rules_sql(
+    min_support: int = 5, min_confidence: float = 0.5
+) -> str:
+    """Replicates operators.graph.apply_mined_rules: mined chain rules at
+    confidence >= threshold fire over their body paths; endpoints whose
+    head fact is absent become proposed facts with provenance."""
+    return f"""WITH {_DOCS_CTE}, {_FACTS_CTE},
+{_distinct_triples_cte()},
+paths AS (
+  SELECT DISTINCT a.pred AS body_a, b.pred AS body_b, a.subj AS s,
+         b.obj AS o
+  FROM t a JOIN t b ON a.obj = b.subj),
+body AS (SELECT body_a, body_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM paths GROUP BY body_a, body_b),
+m AS (
+  SELECT p.body_a, p.body_b, h.pred AS head_pred,
+         CAST(count(*) AS BIGINT) AS support
+  FROM paths p JOIN t h ON p.s = h.subj AND p.o = h.obj
+  GROUP BY p.body_a, p.body_b, h.pred),
+rules AS (
+  SELECT m.body_a, m.body_b, m.head_pred,
+         round(CAST(m.support AS DOUBLE) / CAST(b.n_pairs AS DOUBLE), 6)
+             AS confidence
+  FROM m JOIN body b ON m.body_a = b.body_a AND m.body_b = b.body_b
+  WHERE m.support >= {min_support}
+    AND round(CAST(m.support AS DOUBLE) / CAST(b.n_pairs AS DOUBLE), 6)
+        >= {min_confidence!r}),
+fired AS (
+  SELECT p.s, r.head_pred, p.o, r.body_a, r.body_b, r.confidence
+  FROM paths p JOIN rules r
+    ON p.body_a = r.body_a AND p.body_b = r.body_b)
+SELECT DISTINCT f.s AS subj, f.head_pred AS pred, f.o AS obj,
+       f.body_a, f.body_b, f.confidence
+FROM fired f
+WHERE NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.pred = f.head_pred AND t.subj = f.s
+                    AND t.obj = f.o)"""
+
+
+def knn_graph_sql(k: int = 5, n_planes: int = 3, n_tables: int = 4) -> str:
+    """Replicates __spark_entry__.q_knn_graph: the all-points LSH k-NN
+    graph (ann_topk with every vector as a query) plus the mutual flag."""
+    inner = ann_topk_sql(
+        k=k, n_queries=None, n_planes=n_planes, n_tables=n_tables
+    )
+    return f"""WITH knn AS ({inner})
+SELECT k1.query_id AS src, k1.neighbor_id AS dst, k1.cosine, k1.rank,
+       EXISTS (SELECT 1 FROM knn k2
+               WHERE k2.query_id = k1.neighbor_id
+                 AND k2.neighbor_id = k1.query_id) AS mutual
+FROM knn k1"""
+
+
+def dedup_best_survivor_sql(threshold: float = 0.8) -> str:
+    """Replicates __spark_entry__.q_dedup_best_survivor: per near-dup
+    cluster, the quality-argmax canonical (ties -> min doc_id) with the
+    `moved` flag vs the min-id policy. quality is exact 0.25 multiples so
+    the float equality in the argmax join is safe."""
+    return f"""WITH RECURSIVE {_doc_dedup_ctes(threshold)},
+{_quality_cte()},
+tq AS (SELECT l.keep_id AS cluster_id, l.doc_id, q.quality
+       FROM labeled l JOIN qual q ON l.doc_id = q.doc_id),
+mx AS (SELECT cluster_id, max(quality) AS q,
+              CAST(count(*) AS BIGINT) AS n_members
+       FROM tq GROUP BY cluster_id),
+sv AS (SELECT t.cluster_id, CAST(min(t.doc_id) AS BIGINT) AS survivor_id
+       FROM tq t JOIN mx ON t.cluster_id = mx.cluster_id
+            AND t.quality = mx.q
+       GROUP BY t.cluster_id)
+SELECT m.cluster_id, m.n_members, s.survivor_id,
+       round(m.q, 6) AS survivor_quality,
+       s.survivor_id <> m.cluster_id AS moved
+FROM mx m JOIN sv s ON m.cluster_id = s.cluster_id"""

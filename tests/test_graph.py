@@ -594,3 +594,63 @@ def test_entity_type_inference_majority_and_tiebreak(spark):
         [("unknown_pred", "x", "y")], "pred string, subj string, obj string"
     )
     assert graph.entity_type_inference(extra, sigs).count() == 0
+
+
+def test_rule_mining_discovers_planted_chain(spark):
+    from autoextraction_spark.operators.graph import rule_mining
+
+    # plant p∘q ⇒ r with 3/4 confidence: paths (s1..s4 -p-> x -q-> o),
+    # head facts r(s1,o) r(s2,o) r(s3,o) but NOT r(s4,o)
+    rows = [(f"s{i}", "p", "x") for i in range(1, 5)]
+    rows += [("x", "q", "o")]
+    rows += [(f"s{i}", "r", "o") for i in range(1, 4)]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {
+        (g.body_a, g.body_b, g.head_pred): (g.n_pairs, g.support, g.confidence)
+        for g in rule_mining(df, min_support=3).collect()
+    }
+    assert got[("p", "q", "r")] == (4, 3, 0.75)
+    # support threshold filters weaker heads
+    assert all(v[1] >= 3 for v in got.values())
+
+
+def test_implication_rules_directions(spark):
+    from autoextraction_spark.operators.graph import implication_rules
+
+    rows = [
+        # p ⇒ q same-direction on 2 of 3 p-facts
+        ("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"),
+        ("a", "q", "b"), ("c", "q", "d"),
+        # r is symmetric on one pair -> inverse r ⇒ r support 2 (both rows)
+        ("g", "r", "h"), ("h", "r", "g"),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = {
+        (g.p, g.q, g.direction): (g.support, g.n_p, g.confidence)
+        for g in implication_rules(df, min_support=2).collect()
+    }
+    assert got[("p", "q", "same")] == (2, 3, 0.666667)
+    assert got[("q", "p", "same")] == (2, 2, 1.0)
+    assert got[("r", "r", "inverse")] == (2, 2, 1.0)
+
+
+def test_apply_mined_rules_proposes_only_novel(spark):
+    from autoextraction_spark.operators.graph import apply_mined_rules
+
+    # p∘q ⇒ r at confidence 0.75 (3 of 4 endpoints known); firing it must
+    # propose EXACTLY the one missing head fact, with provenance
+    rows = [(f"s{i}", "p", "x") for i in range(1, 5)]
+    rows += [("x", "q", "o")]
+    rows += [(f"s{i}", "r", "o") for i in range(1, 4)]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = apply_mined_rules(df, min_support=3, min_confidence=0.5).collect()
+    proposed = [
+        (g.subj, g.pred, g.obj, g.body_a, g.body_b, g.confidence)
+        for g in got
+        if g.pred == "r"
+    ]
+    assert proposed == [("s4", "r", "o", "p", "q", 0.75)]
+    # below the confidence floor nothing fires
+    assert (
+        apply_mined_rules(df, min_support=3, min_confidence=0.8).count() == 0
+    )

@@ -166,6 +166,14 @@ EXPECTED_PLAN_COUNTS = {
     "vocab_growth": (1, 2, 0),
     "kg_as_of": (1, 1, 2),
     "kg_snapshot_diff": (0, 2, 0),
+    "kg_rule_mining": (0, 3, 0),
+    "kg_implications": (0, 5, 0),
+    "kg_rule_apply": (0, 5, 0),
+    "knn_graph": (0, 2, 0),
+    "dedup_best_survivor": (0, 3, 0),
+    # two inherent parquet scans: the resample explode and the point
+    # estimate (32x amplification makes sharing the scan a pessimization)
+    "bootstrap_ci": (2, 0, 0),
     "boolean_retrieval": (1, 2, 0),
     "lang_id_eval": (0, 2, 0),
     "tfidf_keywords": (0, 3, 0),
