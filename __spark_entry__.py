@@ -1600,6 +1600,23 @@ def q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("url", "width", "height", "n_channels", *cols)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (third modality): the JVM-side
+    explode from duration metadata (one row per 5 s sample point — the
+    payload is NEVER exploded, only metadata) feeding the Arrow-batched
+    per-frame decode stage, whose deterministic fake frames stand in for
+    the ffmpeg seam. Emitted as the frame's md5 hex so the whole
+    metadata→explode→decode chain is oracled, not just row counts."""
+    media = multimodal.media_table(corpus.web_pages(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    return frames.select(
+        "url",
+        "frame_idx",
+        "frame_ts_ms",
+        F.lower(F.hex(F.col("frame"))).alias("frame_md5"),
+    )
+
+
 def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-decode path (engine-new; r4-verdict item 5 — the png.py
     move applied to the second modality): RIFF/WAVE payloads synthesized
@@ -3079,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_implications": q_kg_implications,
         "bootstrap_ci": q_bootstrap_ci,
         "knn_graph": q_knn_graph,
+        "video_frames": q_video_frames,
         "dedup_best_survivor": q_dedup_best_survivor,
         "boolean_retrieval": q_boolean_retrieval,
         "lang_id_eval": q_lang_id_eval,
@@ -3256,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rule_apply": oracle.apply_mined_rules_sql(min_support=5, min_confidence=0.2),
         "bootstrap_ci": oracle.bootstrap_ci_sql(b=32),
         "knn_graph": oracle.knn_graph_sql(k=5, n_planes=3, n_tables=4),
+        "video_frames": oracle.video_frames_sql(every_ms=5000),
         "dedup_best_survivor": oracle.dedup_best_survivor_sql(threshold=0.8),
         "kg_implications": oracle.implication_rules_sql(min_support=2),
         "kg_as_of": oracle.kg_as_of_sql(ASOF_T1, pred="born_in"),

@@ -4476,3 +4476,27 @@ SELECT m.cluster_id, m.n_members, s.survivor_id,
        round(m.q, 6) AS survivor_quality,
        s.survivor_id <> m.cluster_id AS moved
 FROM mx m JOIN sv s ON m.cluster_id = s.cluster_id"""
+
+
+def video_frames_sql(every_ms: int = 5000) -> str:
+    """Replicates __spark_entry__.q_video_frames: videos at doc_id%7==0
+    with duration (doc_id%30+1)s, one frame per every_ms sample point,
+    frame bytes = md5(url#idx) (the deterministic fake decoder)."""
+    url = (
+        "'https://site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0 "
+        f"ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com/page/' "
+        "|| CAST(doc_id AS VARCHAR)"
+    )
+    return f"""WITH v AS (
+  SELECT {url} AS url,
+         CAST((doc_id % 30 + 1) * 1000 AS INT) AS duration_ms
+  FROM documents WHERE doc_id % 7 = 0),
+f AS (
+  SELECT url,
+         CAST(unnest(range(0, duration_ms // {every_ms} + 1)) AS INT)
+             AS frame_idx
+  FROM v)
+SELECT url, frame_idx,
+       CAST(frame_idx * {every_ms} AS INT) AS frame_ts_ms,
+       md5(url || '#' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM f"""

@@ -170,6 +170,7 @@ EXPECTED_PLAN_COUNTS = {
     "kg_implications": (0, 5, 0),
     "kg_rule_apply": (0, 5, 0),
     "knn_graph": (0, 2, 0),
+    "video_frames": (1, 0, 2),
     "dedup_best_survivor": (0, 3, 0),
     # two inherent parquet scans: the resample explode and the point
     # estimate (32x amplification makes sharing the scan a pessimization)
