@@ -2527,6 +2527,88 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS of ln(frequency) on ln(rank) over
+    the top-100 token head — alpha (the Zipf exponent), intercept, and r²
+    per language, the naturalness diagnostic that separates organic text
+    from templated/generated spam (which flattens or breaks the power
+    law). Ranking uses the portable (count desc, token asc) total order;
+    the OLS sums are the one accepted float-sum class (round-6 absorbs
+    ordering noise, the lm_perplexity/dsir precedent)."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    counts = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tk"))
+        .groupBy("lang", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    win = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tk"))
+    head = counts.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= 100
+    )
+    x = F.log(F.col("rn").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = head.select(
+        "lang", x.alias("x"), y.alias("y")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n_head"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banding recall evaluation: the exhaustive exact-Jaccard pair
+    set (prefix-filter join, threshold 0.5) as ground truth vs the
+    MinHash 16-perm/8-band candidate pipeline at the same threshold —
+    per-Jaccard-band found/true counts and recall, i.e. the measured form
+    of the 1-(1-j^r)^b banding curve and the table that TUNES a dedup
+    config before a 100 TB run. Banding uses the bitwise-portable
+    floor(j·10) bucketing (the jaccard_sweep idiom) on the identical
+    integer-ratio jaccard both engines compute."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    truth = dedup.jaccard_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    pred = dedup.minhash_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", F.lit(True).alias("m"))
+    j = truth.join(pred, ["id_a", "id_b"], "left")
+    band = F.floor(F.col("jaccard") * 10).cast("int")
+    return (
+        j.select(band.alias("band"), F.col("m").isNotNull().alias("found"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.when(F.col("found"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
+        .select(
+            "band",
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the corpus mean document
     length — the error bar every corpus-level metric needs at 100 TB,
@@ -3095,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_apply": q_kg_rule_apply,
         "kg_implications": q_kg_implications,
         "bootstrap_ci": q_bootstrap_ci,
+        "zipf_fit": q_zipf_fit,
+        "dedup_recall_eval": q_dedup_recall_eval,
         "knn_graph": q_knn_graph,
         "video_frames": q_video_frames,
         "dedup_best_survivor": q_dedup_best_survivor,
@@ -3273,6 +3357,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rule_mining": oracle.rule_mining_sql(min_support=5),
         "kg_rule_apply": oracle.apply_mined_rules_sql(min_support=5, min_confidence=0.2),
         "bootstrap_ci": oracle.bootstrap_ci_sql(b=32),
+        "zipf_fit": oracle.zipf_fit_sql(top=100),
+        "dedup_recall_eval": oracle.dedup_recall_eval_sql(threshold=0.5),
         "knn_graph": oracle.knn_graph_sql(k=5, n_planes=3, n_tables=4),
         "video_frames": oracle.video_frames_sql(every_ms=5000),
         "dedup_best_survivor": oracle.dedup_best_survivor_sql(threshold=0.8),

@@ -4500,3 +4500,58 @@ SELECT url, frame_idx,
        CAST(frame_idx * {every_ms} AS INT) AS frame_ts_ms,
        md5(url || '#' || CAST(frame_idx AS VARCHAR)) AS frame_md5
 FROM f"""
+
+
+def zipf_fit_sql(top: int = 100) -> str:
+    """Replicates __spark_entry__.q_zipf_fit: per-language OLS of
+    ln(freq) on ln(rank) over the top-`top` token head."""
+    return f"""WITH counts AS (
+  SELECT lang, tk, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(str_split(text, ' ')) AS tk FROM documents)
+  GROUP BY lang, tk),
+head AS (
+  SELECT lang, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM (SELECT lang, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tk ASC) AS rn
+        FROM counts)
+  WHERE rn <= {top}),
+agg AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM head GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_head,
+       round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS alpha,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+           AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM agg"""
+
+
+def dedup_recall_eval_sql(threshold: float = 0.5) -> str:
+    """Replicates __spark_entry__.q_dedup_recall_eval: exhaustive
+    exact-Jaccard truth vs the MinHash banded pipeline at the same
+    threshold, per floor(j*10) band."""
+    return f"""WITH {_minhash_pairs_ctes()},
+tin AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id),
+truth AS (
+  SELECT t.id_a, t.id_b,
+         t.n_inter * 1.0 / (sa.n + sb.n - t.n_inter) AS jaccard
+  FROM tin t JOIN sizes sa ON sa.id = t.id_a
+       JOIN sizes sb ON sb.id = t.id_b
+  WHERE t.n_inter * 1.0 / (sa.n + sb.n - t.n_inter) >= {threshold}),
+pred AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+f AS (
+  SELECT CAST(floor(t.jaccard * 10) AS INT) AS band,
+         EXISTS (SELECT 1 FROM pred p
+                 WHERE p.id_a = t.id_a AND p.id_b = t.id_b) AS found
+  FROM truth t)
+SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       round(CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM f GROUP BY band"""

@@ -171,6 +171,10 @@ EXPECTED_PLAN_COUNTS = {
     "kg_rule_apply": (0, 5, 0),
     "knn_graph": (0, 2, 0),
     "video_frames": (1, 0, 2),
+    "zipf_fit": (1, 0, 0),
+    # 16 = the two pair pipelines' internal checkpoint reads (truth 10 +
+    # minhash 6, each already pinned on its own query)
+    "dedup_recall_eval": (0, 16, 0),
     "dedup_best_survivor": (0, 3, 0),
     # two inherent parquet scans: the resample explode and the point
     # estimate (32x amplification makes sharing the scan a pessimization)
