@@ -2527,6 +2527,76 @@ def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier detection (median + MAD, the
+    estimator that survives the very garbage it hunts): docs with
+    |n_chars − median| > k·MAD (k=2 on this tight synthetic length
+    distribution — real web corpora use 3-5) — truncated fragments and concatenation
+    blobs, the pre-training garbage filter. Two exact percentile
+    aggregations (the proven interpolation-parity class), one broadcast
+    join back onto the corpus; no window over the corpus."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    stats = med.join(mad, "lang")
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .filter(
+            F.abs(F.col("n_chars") - F.col("med")) > F.lit(2.0) * F.col("mad")
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language entropy — the mixed-language-host spam signal
+    (scraper/spam hosts interleave languages; organic hosts are
+    near-monolingual): H = ln(n) − Σ c·ln(c) / n from EXACT integer
+    per-(host, lang) counts, so the whole entropy is two ln-of-integer
+    terms per language (the collocations one-ln idiom) — no float
+    fractions accumulate before the final round."""
+    host = F.concat(
+        F.lit("site"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % KS.N_HOSTS)
+        .cast("string"),
+        F.lit(".example.com"),
+    )
+    hl = (
+        _read(spark, sf_dir, "documents")
+        .select(host.alias("host"), "lang")
+        .groupBy("host", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    agg = hl.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclnc"
+        ),
+    )
+    ent = F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n").cast(
+        "double"
+    )
+    return agg.select(
+        "host", "n", "n_langs", F.round(ent, 6).alias("lang_entropy")
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit per language: OLS of ln(frequency) on ln(rank) over
     the top-100 token head — alpha (the Zipf exponent), intercept, and r²
@@ -3178,6 +3248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_implications": q_kg_implications,
         "bootstrap_ci": q_bootstrap_ci,
         "zipf_fit": q_zipf_fit,
+        "length_outliers": q_length_outliers,
+        "host_lang_entropy": q_host_lang_entropy,
         "dedup_recall_eval": q_dedup_recall_eval,
         "knn_graph": q_knn_graph,
         "video_frames": q_video_frames,
@@ -3358,6 +3430,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rule_apply": oracle.apply_mined_rules_sql(min_support=5, min_confidence=0.2),
         "bootstrap_ci": oracle.bootstrap_ci_sql(b=32),
         "zipf_fit": oracle.zipf_fit_sql(top=100),
+        "length_outliers": oracle.length_outliers_sql(k=2.0),
+        "host_lang_entropy": oracle.host_lang_entropy_sql(),
         "dedup_recall_eval": oracle.dedup_recall_eval_sql(threshold=0.5),
         "knn_graph": oracle.knn_graph_sql(k=5, n_planes=3, n_tables=4),
         "video_frames": oracle.video_frames_sql(every_ms=5000),

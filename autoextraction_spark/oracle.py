@@ -4555,3 +4555,40 @@ SELECT band, CAST(count(*) AS BIGINT) AS n_true,
        round(CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM f GROUP BY band"""
+
+
+def length_outliers_sql(k: float = 5.0) -> str:
+    """Replicates __spark_entry__.q_length_outliers: per-language median +
+    MAD over n_chars, docs with |x - med| > k*MAD."""
+    return f"""WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.lang, abs(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON d.lang = m.lang),
+mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+SELECT d.lang, d.doc_id, d.n_chars,
+       round(m.med, 6) AS med, round(x.mad, 6) AS mad
+FROM documents d JOIN med m ON d.lang = m.lang
+JOIN mad x ON d.lang = x.lang
+WHERE abs(d.n_chars - m.med) > {k!r} * x.mad"""
+
+
+def host_lang_entropy_sql() -> str:
+    """Replicates __spark_entry__.q_host_lang_entropy: per-host language
+    entropy H = ln(n) - sum(c*ln c)/n from exact integer counts."""
+    return f"""WITH hl AS (
+  SELECT 'site' || CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+             ELSE doc_id % {S.N_HOSTS} END AS VARCHAR) || '.example.com'
+             AS host,
+         lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+agg AS (
+  SELECT host, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclnc
+  FROM hl GROUP BY host)
+SELECT host, n, n_langs,
+       round(ln(CAST(n AS DOUBLE)) - sclnc / CAST(n AS DOUBLE), 6)
+           AS lang_entropy
+FROM agg"""

@@ -172,6 +172,11 @@ EXPECTED_PLAN_COUNTS = {
     "knn_graph": (0, 2, 0),
     "video_frames": (1, 0, 2),
     "zipf_fit": (1, 0, 0),
+    # four pruned 3-column scans of the source (median, MAD dev, and the
+    # outlier join) - re-scanning a pushed-down columnar projection beats
+    # checkpointing it, the bootstrap_ci rule
+    "length_outliers": (4, 0, 0),
+    "host_lang_entropy": (0, 1, 0),
     # 16 = the two pair pipelines' internal checkpoint reads (truth 10 +
     # minhash 6, each already pinned on its own query)
     "dedup_recall_eval": (0, 16, 0),
