@@ -39,16 +39,21 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _pipeline_triples(
     spark: SparkSession, sf_dir: str, policy: str = "rl", where=None
 ) -> DataFrame:
-    # with_text=True: generation + the frozen extract_text run in ONE python
-    # stage (production depth — a real job scans pages and extracts in one
-    # UDF pass; html never crosses Arrow twice). ``where`` filters the doc
-    # skeleton BELOW the generator so it pushes into the parquet scan.
-    txt = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False, where=where)
-    det = detect.detect_relations(txt)
+    # ONE python hop for stages A-C (r6, guide §4): generation, the frozen
+    # extract_text, the E1 anchor gate and the fused episode waves all run
+    # inside a single mapInPandas over the (doc_id, lang) skeleton — the
+    # corpus text never crosses the Arrow boundary at all (the two-hop
+    # layout re-serialized it between the generator pass and the episode
+    # pass, and paid the per-task python protocol latency twice). Identical
+    # output to detect.detect_relations → ordered_slot_fill by construction
+    # (shared wave engine + the same anchor-presence gate; cross-checked in
+    # tests/test_slot_fill.py). ``where`` filters the doc skeleton BELOW the
+    # generator so it pushes into the parquet scan.
+    skel = corpus.doc_skeleton(spark, sf_dir, where=where)
     # dedup inside the episode pass + assume_unique: the O4 set semantics
     # without the full-output distinct() shuffle (see to_triples docstring)
-    completed = slot_fill.ordered_slot_fill(
-        det, policy=policy, carry_text=False, dedup_assignments=True
+    completed = slot_fill.episodes_from_skeleton(
+        skel, policy=policy, dedup_assignments=True
     )
     return output.to_triples(output.completed_filter(completed), assume_unique=True)
 

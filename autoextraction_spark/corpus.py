@@ -112,6 +112,30 @@ def web_pages(
     return pages_from_skeleton(skel, with_text=with_text, emit_html=emit_html)
 
 
+#: ~119 bytes/row measured on the driver's documents.parquet (zstd'd
+#: doc_id/lang/text skeleton); only order-of-magnitude accuracy matters —
+#: the estimate is clamped to [parallelism, waves_per_core·parallelism].
+_SKEL_BYTES_PER_DOC = 120
+#: Below this many docs per task the fixed python-task protocol latency
+#: dominates the task's compute (~2500 docs ≈ 400 ms of episode work).
+_MIN_DOCS_PER_TASK = 2500
+
+
+def _estimate_doc_count(spark: SparkSession, sf_dir: str) -> int | None:
+    """Estimate the skeleton row count from the parquet byte size via the
+    Hadoop FS API (works for single files and directories, any scheme) —
+    a metadata call, no Spark job. Returns None when the path cannot be
+    sized (caller falls back to the fixed wave cap)."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/documents.parquet")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(path).getLength()
+        return max(1, int(size) // _SKEL_BYTES_PER_DOC)
+    except Exception:
+        return None
+
+
 def doc_skeleton(
     spark: SparkSession,
     sf_dir: str,
@@ -136,14 +160,32 @@ def doc_skeleton(
     # parquet tasks, and everything generated from it would otherwise run at
     # that parallelism — a serial bottleneck that caps scaling. A real
     # Common-Crawl read has thousands of input splits and needs no such step.
-    # waves_per_core (default 4): the generated-corpus stage's tail is
-    # 1/(waves·cores) of the work, so one straggling partition (or one of
+    # waves_per_core (default 4, the CAP): the generated-corpus stage's tail
+    # is 1/(waves·cores) of the work, so one straggling partition (or one of
     # this VM's documented 10-20s stalls) costs a sliver, not a wave — the
     # serial floor that capped scaling efficiency at 2 waves/core. The
     # scaling harness uses 8: finer tasks let the scheduler route a stalled
     # core's remaining work elsewhere, and the stall tax drops from a whole
     # wave to stall/cores — measured worth ~7% of wall at local[16].
-    n_parts = max(spark.sparkContext.defaultParallelism * int(waves_per_core), 16)
+    #
+    # SCALE-ADAPTIVE (r6, guide §2): the wave count is derived from the
+    # input size instead of a constant tuned to the big-run scale. Every
+    # python task costs a fixed JVM↔worker protocol latency (~250-500 ms in
+    # this sandbox, measured via event-log task metrics: 480 ms median task
+    # wall vs 8 ms CPU on a 78-doc partition), so a 5k-doc corpus at 4
+    # waves/core pays 4 waves of pure protocol for ~50 ms of compute. Docs
+    # are estimated from the parquet footprint (a filesystem metadata call,
+    # zero Spark jobs); partitions = clamp(docs/_MIN_DOCS_PER_TASK,
+    # parallelism, waves_per_core·parallelism) keeps one straggler-absorbing
+    # wave structure at scale (the cap reproduces the r5 big-run layout
+    # exactly) while a small corpus runs one wave of full-size tasks.
+    par = spark.sparkContext.defaultParallelism
+    est_docs = _estimate_doc_count(spark, sf_dir) * max(int(replicate), 1)
+    cap = max(par * int(waves_per_core), 16)
+    if est_docs is None:
+        n_parts = cap
+    else:
+        n_parts = min(cap, max(par, 16, -(-est_docs // _MIN_DOCS_PER_TASK)))
     if replicate > 1:
         # shift derives from the DATA (max id + 1), so replicas can never
         # collide with base ids however large the skeleton grows (ADVICE.md);

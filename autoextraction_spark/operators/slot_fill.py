@@ -114,78 +114,169 @@ def _episode_schema(carry_text: bool) -> str:
     return ", ".join(cols)
 
 
+def _episode_frame(
+    rows: list[tuple],
+    policy: str,
+    max_steps: int,
+    carry_text: bool,
+    dedup_assignments: bool,
+) -> pd.DataFrame:
+    """Run every (url, rel, text, lang) episode of one Arrow batch to
+    completion and return the completed typed states as one DataFrame —
+    the shared wave engine behind ``fused_slot_fill`` and
+    ``episodes_from_skeleton`` (one interior, two physical entry points)."""
+    out: dict[str, list] = {c: [] for c in STATE_COLS}
+    # per-row sets of already-emitted assignments (dedup_assignments):
+    # different fork paths of ONE episode tree can complete with the
+    # same assignment map, and downstream set-semantics consumers
+    # (O4 distinct) only look at (url, rel, assigned) — all constant
+    # or keyed within this row. Dropping the duplicates HERE, where
+    # the whole tree is in hand, replaces a full-output shuffle.
+    seen: list[set] = [set() for _ in rows] if dedup_assignments else []
+
+    def emit(ri: int, assigned: dict, remaining: list, score: float, step: int):
+        if dedup_assignments:
+            key = (frozenset(assigned.items()), tuple(remaining))
+            if key in seen[ri]:
+                return
+            seen[ri].add(key)
+        url, rel, text, lang = rows[ri]
+        out["url"].append(url)
+        out["rel"].append(rel)
+        out["text"].append(text)
+        out["lang"].append(lang)
+        out["assigned"].append(assigned)
+        out["remaining"].append(remaining)
+        out["score"].append(score)
+        out["step"].append(step)
+
+    # BREADTH-FIRST fork waves across the whole Arrow batch: every
+    # live state at the current depth — across all rows — is scored
+    # by ONE scorers.batch_step call, so a neural scorer runs one
+    # tensor-batched forward per wave instead of one per (row, step)
+    # (the model-batching seam, VERDICT.md round-2 item 2). Bounded
+    # by max_steps; terminates regardless — the '[None]' fallback
+    # fills every slot, so remaining shrinks by 1 per wave.
+    wave: list[tuple[int, dict, list[str], float, int]] = [
+        (ri, {}, initial_remaining(rel, lang), 0.0, 0)
+        for ri, (_url, rel, _text, lang) in enumerate(rows)
+    ]
+    while wave:
+        pending = []
+        for ri, assigned, remaining, score, step in wave:
+            if not remaining or step >= max_steps:
+                emit(ri, assigned, remaining, score, step)
+            else:
+                pending.append((ri, assigned, remaining, score, step))
+        if not pending:
+            break
+        results = scorers.batch_step(
+            [
+                (rows[ri][2], rows[ri][1], rows[ri][3], assigned, remaining)
+                for ri, assigned, remaining, _score, _step in pending
+            ],
+            policy,
+        )
+        wave = []
+        for (ri, assigned, remaining, score, step), (slot, cands, _rw) in zip(
+            pending, results
+        ):
+            rem2 = [r for r in remaining if r != slot]
+            for mention, _prob, sc in cands:
+                forked = dict(assigned)
+                forked[slot] = mention
+                wave.append((ri, forked, rem2, score + sc, step + 1))
+    if not carry_text:
+        del out["text"]
+    return pd.DataFrame(out)
+
+
 def _episode_batches(
     policy: str, max_steps: int, carry_text: bool, dedup_assignments: bool = False
 ):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {c: [] for c in STATE_COLS}
             rows = list(zip(pdf["url"], pdf["rel"], pdf["text"], pdf["lang"]))
-            # per-row sets of already-emitted assignments (dedup_assignments):
-            # different fork paths of ONE episode tree can complete with the
-            # same assignment map, and downstream set-semantics consumers
-            # (O4 distinct) only look at (url, rel, assigned) — all constant
-            # or keyed within this row. Dropping the duplicates HERE, where
-            # the whole tree is in hand, replaces a full-output shuffle.
-            seen: list[set] = [set() for _ in rows] if dedup_assignments else []
-
-            def emit(ri: int, assigned: dict, remaining: list, score: float, step: int):
-                if dedup_assignments:
-                    key = (frozenset(assigned.items()), tuple(remaining))
-                    if key in seen[ri]:
-                        return
-                    seen[ri].add(key)
-                url, rel, text, lang = rows[ri]
-                out["url"].append(url)
-                out["rel"].append(rel)
-                out["text"].append(text)
-                out["lang"].append(lang)
-                out["assigned"].append(assigned)
-                out["remaining"].append(remaining)
-                out["score"].append(score)
-                out["step"].append(step)
-
-            # BREADTH-FIRST fork waves across the whole Arrow batch: every
-            # live state at the current depth — across all rows — is scored
-            # by ONE scorers.batch_step call, so a neural scorer runs one
-            # tensor-batched forward per wave instead of one per (row, step)
-            # (the model-batching seam, VERDICT.md round-2 item 2). Bounded
-            # by max_steps; terminates regardless — the '[None]' fallback
-            # fills every slot, so remaining shrinks by 1 per wave.
-            wave: list[tuple[int, dict, list[str], float, int]] = [
-                (ri, {}, initial_remaining(rel, lang), 0.0, 0)
-                for ri, (_url, rel, _text, lang) in enumerate(rows)
-            ]
-            while wave:
-                pending = []
-                for ri, assigned, remaining, score, step in wave:
-                    if not remaining or step >= max_steps:
-                        emit(ri, assigned, remaining, score, step)
-                    else:
-                        pending.append((ri, assigned, remaining, score, step))
-                if not pending:
-                    break
-                results = scorers.batch_step(
-                    [
-                        (rows[ri][2], rows[ri][1], rows[ri][3], assigned, remaining)
-                        for ri, assigned, remaining, _score, _step in pending
-                    ],
-                    policy,
-                )
-                wave = []
-                for (ri, assigned, remaining, score, step), (slot, cands, _rw) in zip(
-                    pending, results
-                ):
-                    rem2 = [r for r in remaining if r != slot]
-                    for mention, _prob, sc in cands:
-                        forked = dict(assigned)
-                        forked[slot] = mention
-                        wave.append((ri, forked, rem2, score + sc, step + 1))
-            if not carry_text:
-                del out["text"]
-            yield pd.DataFrame(out)
+            yield _episode_frame(rows, policy, max_steps, carry_text, dedup_assignments)
 
     return run
+
+
+def _anchors_by_lang() -> dict[str, list[tuple[str, str, str | None]]]:
+    """lang -> [(rel, primary_anchor, alt_anchor)] — the SAME rows as
+    ``detect.relation_anchors`` (schema-derived, deterministic), keyed for
+    the in-python gate of ``episodes_from_skeleton``."""
+    by_lang: dict[str, list[tuple[str, str, str | None]]] = {}
+    for rel, _, _ in S.RELATIONS:
+        en = S.EN_TEMPLATES[rel]
+        by_lang.setdefault("en", []).append(
+            (rel, en[0][0], en[1][0] if len(en) > 1 else None)
+        )
+        zh = S.ZH_TEMPLATES[rel]
+        by_lang.setdefault("zh", []).append((rel, zh[0][0], None))
+    for etype, ev in S.EVENTS.items():
+        by_lang.setdefault(ev["lang"], []).append((etype, ev["anchor"], None))
+    return by_lang
+
+
+def _skeleton_episode_batches(policy: str, max_steps: int, dedup_assignments: bool):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import corpus as C
+        from .text_extract import extract_text
+
+        anchors = _anchors_by_lang()
+        for pdf in batches:
+            rows: list[tuple] = []
+            for d, lg in zip(pdf["doc_id"].astype("int64"), pdf["lang"]):
+                lang = S.doc_lang(lg)
+                text = extract_text(C.build_html(int(d), lang).encode("utf-8"))
+                url = S.page_url(int(d))
+                # the E1 gate, in python: keep (url, rel) iff the primary
+                # anchor (logit 2.5, sigmoid .924) or the alt anchor
+                # (logit 1.5, sigmoid .817) occurs in the text; misses score
+                # sigmoid(-3.0)=.047 < .6 — so keep ⟺ anchor-substring hit,
+                # exactly detect.detect_relations' rc_score > 0.6 set
+                # (python ``in`` ≡ instr(text, anchor) > 0 for exact
+                # substring match; asserted fused ≡ staged in tests)
+                for rel, primary, alt in anchors.get(lang, ()):
+                    if primary in text or (alt is not None and alt in text):
+                        rows.append((url, rel, text, lang))
+            yield _episode_frame(
+                rows, policy, max_steps, carry_text=False,
+                dedup_assignments=dedup_assignments,
+            )
+
+    return run
+
+
+def episodes_from_skeleton(
+    skel: DataFrame,
+    policy: str = "rl",
+    max_steps: int = MAX_STEPS,
+    dedup_assignments: bool = True,
+) -> DataFrame:
+    """Stages A-C in ONE python hop: generation → frozen extract_text →
+    E1 anchor gate → fused episode waves, all inside a single
+    ``mapInPandas`` over the (doc_id, lang) skeleton.
+
+    The two-hop layout (corpus.web_pages python pass → JVM detect gate →
+    fused_slot_fill python pass) crosses the JVM↔python boundary twice per
+    task and re-serializes the corpus text through Arrow in between. Every
+    decision in between (the anchor gate) is a per-row pure function, so the
+    whole chain is row-local — one python stage, the text NEVER crosses
+    Arrow (only the completed typed states do), and per-task protocol
+    latency is paid once instead of twice (guide §4: measured 480 ms median
+    task wall vs 8 ms CPU at sf0.1 — the boundary dominated).
+
+    Output is byte-identical to
+    ``fused_slot_fill(detect_relations(web_pages(...)), carry_text=False)``:
+    the gate replicates the anchor-presence predicate and the episode
+    interior is the shared ``_episode_frame``. Cross-checked in
+    tests/test_slot_fill.py."""
+    return skel.mapInPandas(
+        _skeleton_episode_batches(policy, max_steps, dedup_assignments),
+        schema=_episode_schema(carry_text=False),
+    )
 
 
 def fused_slot_fill(

@@ -163,3 +163,46 @@ def test_dedup_assignments_rejects_rounds_mode(tiny_pages):
     det = detect.detect_relations(tiny_pages)
     with pytest.raises(ValueError):
         slot_fill.ordered_slot_fill(det, mode="rounds", dedup_assignments=True)
+
+
+def test_episodes_from_skeleton_equals_staged_pipeline(spark, sf_dir):
+    """The r6 single-hop fusion (generation → extract → anchor gate →
+    episodes in ONE mapInPandas over the skeleton) emits exactly the same
+    completed states as the staged web_pages → detect_relations →
+    fused_slot_fill chain — the equivalence the optimization round leans on
+    for every _pipeline_triples consumer."""
+    from autoextraction_spark import corpus
+
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    det = detect.detect_relations(pages)
+    staged = slot_fill.ordered_slot_fill(
+        det, carry_text=False, dedup_assignments=True
+    )
+    fused = slot_fill.episodes_from_skeleton(
+        corpus.doc_skeleton(spark, sf_dir), dedup_assignments=True
+    )
+    norm = lambda df: sorted(
+        (
+            r.url,
+            r.rel,
+            r.lang,
+            tuple(sorted(r.assigned.items())),
+            tuple(r.remaining),
+            round(r.score, 9),
+            r.step,
+        )
+        for r in df.collect()
+    )
+    assert norm(fused) == norm(staged)
+
+
+def test_skeleton_gate_matches_detect_relations(spark, sf_dir):
+    """The in-python anchor gate keeps exactly detect_relations' (url, rel)
+    set (rc_score > 0.6 ⟺ anchor-substring hit)."""
+    from autoextraction_spark import corpus
+
+    pages = corpus.web_pages(spark, sf_dir, with_text=True, emit_html=False)
+    gate = {(r.url, r.rel) for r in detect.detect_relations(pages).collect()}
+    fused = slot_fill.episodes_from_skeleton(corpus.doc_skeleton(spark, sf_dir))
+    got = {(r.url, r.rel) for r in fused.select("url", "rel").distinct().collect()}
+    assert got == gate
