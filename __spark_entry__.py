@@ -1059,8 +1059,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing (per-shard window cumsum). Four stages, two shuffles total
     (the dedup digest agg + the shard window) — the oracle recomputes the
     whole composition in SQL, so stage interfaces are verified jointly,
-    not just in isolation."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    not just in isolation. The scan is spread to cluster parallelism first
+    (r6, no-op at scale): the per-doc digest/classifier expressions
+    otherwise run serially above the sandbox's 1-task parquet scan."""
+    docs = dedup.spread_input(
+        _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
     winners = dedup.exact_dup_groups(docs, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
@@ -1076,8 +1080,15 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line, so 8-word chunks stand in for paragraphs (both sides
     derive them with the same arithmetic); the operator itself is the real
     thing — first-occurrence winner per distinct paragraph via a
-    map-side-combinable min(struct) agg, skew-safe join-back, reassembly."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    map-side-combinable min(struct) agg, skew-safe join-back, reassembly.
+
+    The scan is spread to cluster parallelism BELOW the chunking transform
+    (r6): spreading inside the operator lands the exchange above the
+    caller's heavy per-row array work, which then still runs at the 1-task
+    scan's parallelism — the repartition must sit at the scan."""
+    docs = dedup.spread_input(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     chunk = 8
     words = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(words) / F.lit(chunk)).cast("int")

@@ -74,9 +74,14 @@ def word_shingles(col: Column, n: int = 3, sep: str = " ") -> Column:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, shingle_expr: Column) -> DataFrame:
-    """(id, sh) one row per (id, DISTINCT shingle) — the set representation."""
+    """(id, sh) one row per (id, DISTINCT shingle) — the set representation.
+
+    The input is spread to cluster parallelism first (no-op at scale): the
+    shingle transform + explode is the CPU-heavy part of every dedup
+    operator and must not run at a 1-task scan's parallelism."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle_expr).alias("sh"))
+        spread_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingle_expr).alias("sh"))
         .distinct()
     )
 
@@ -138,6 +143,27 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input to cluster parallelism when
+    its plan has FEWER partitions than cores.
+
+    Guide §2.5 'input skew': a small parquet file with a single row group
+    degenerates to a 1-task scan, and every shingle/signature/digest
+    computed directly above it runs serially (measured: the sf0.1 shingle
+    explode spent 1.6 s in one task while 31 cores idled). At web scale the
+    corpus arrives in thousands of splits, the partition count is already
+    ≥ parallelism, and this is a NO-OP — the corpus is never reshuffled
+    there; only a sub-parallelism input pays one narrow-column exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
 
 
 def _maybe_ckpt(df: DataFrame, materialize: bool) -> DataFrame:
@@ -394,26 +420,34 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash bigint) — 64-bit SimHash over whitespace tokens.
 
     Per token a portable 60-bit hash contributes ±1 to each bit position;
-    the sign vector packs back into a bigint. Pure explode + groupBy + sum.
+    the sign vector packs back into a bigint.
+
+    ZERO-SHUFFLE (r6, guide §2.4): the whole signature is one higher-order
+    aggregate over the per-row token array — no explode, no groupBy(id)
+    exchange. The former explode + 60-column groupBy shuffled one row per
+    token (at web scale: ~10¹¹ rows moved to compute a per-document value
+    that is a pure row-local fold); the ±1 counters are exact integer sums,
+    so the fold order cannot change a single bit vs the grouped form
+    (cross-checked bit-identical in tests and against the unchanged SQL
+    oracle). The input is spread to cluster parallelism first (no-op at
+    scale) so the per-token md5s never run serially above a 1-task scan.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("t"),
-    ).withColumn("h", portable_hash64(F.col("t"), seed="#simhash"))
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{b}")
-        for b in range(60)
-    ]
-    agg = tok.groupBy("id").agg(*bit_sums)
-    packed = None
-    for b in range(60):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else (packed + term)
-    return agg.select("id", packed.alias("simhash"))
+    df = spread_input(df)
+    hashes = (
+        f"transform(split({text_col}, ' '), t -> "
+        f"cast(conv(substring(md5(concat(t, '#simhash')), 1, 15), 16, 10) as bigint))"
+    )
+    counters = (
+        f"aggregate({hashes}, array_repeat(0, 60), "
+        f"(acc, h) -> zip_with(acc, sequence(0, 59), "
+        f"(a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    packed = (
+        f"aggregate(zip_with({counters}, sequence(0, 59), "
+        f"(c, b) -> CASE WHEN c > 0 THEN shiftleft(cast(1 as bigint), b) "
+        f"ELSE cast(0 as bigint) END), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return df.select(F.col(id_col).alias("id"), F.expr(packed).alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -484,7 +518,8 @@ def paragraph_dedup(
     side, so it is checkpointed once (the round-3 materialize-once rule).
     """
     lines = (
-        df.select(
+        spread_input(df)
+        .select(
             F.col(id_col).alias("id"),
             F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
         )
