@@ -51,18 +51,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return attach_nbrs.union(attach_self).distinct()
 
 
-def _driver_union_find(nodes: DataFrame, e: DataFrame) -> DataFrame:
+def _driver_union_find(spark, raw_rows: list, node_type: str) -> DataFrame:
     """Small-graph fast path: exact union-find at the driver.
 
     The distributed star loop costs ~10 driver jobs (2 star passes + probe +
     checkpoint per round) — pure scheduling latency when the edge set is
     vocabulary-scale. Below the threshold the whole graph is a model-sized
-    artifact (like IVF centroids): collect, union-find with path
-    compression, min-label per root, ship the mapping back. Identical
+    artifact (like IVF centroids): ONE collect of the raw (u, v) rows
+    (r6 — previously nodes and the dedup'd edge set were separate
+    checkpoints + collects, 4 extra driver jobs per call); node derivation,
+    self-loop/dup dropping, union-find with path compression and min-label
+    per root all happen in python, then the mapping ships back. Identical
     output to the distributed path (cross-checked in tests and by the
     driver oracle).
     """
-    spark = e.sparkSession
     parent: dict = {}
 
     def find(x):
@@ -73,12 +75,17 @@ def _driver_union_find(nodes: DataFrame, e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    node_rows = [r[0] for r in nodes.collect()]
-    for n in node_rows:
-        parent.setdefault(n, n)
-    for u, v in e.collect():
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
+    node_seen: set = set()
+    node_rows: list = []
+    for u, v in raw_rows:
+        for n in (u, v):
+            if n not in node_seen:
+                node_seen.add(n)
+                node_rows.append(n)
+                parent[n] = n
+    for u, v in raw_rows:
+        if u == v:
+            continue
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[ru] = rv
@@ -88,7 +95,6 @@ def _driver_union_find(nodes: DataFrame, e: DataFrame) -> DataFrame:
         if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
     out = [(n, comp_min[find(n)]) for n in node_rows]
-    node_type = nodes.schema.fields[0].dataType.simpleString()
     return spark.createDataFrame(
         out, f"node {node_type}, component {node_type}"
     )
@@ -113,10 +119,10 @@ def connected_components(
     type) in the node's connected component — for string mentions that makes
     the lexicographically-smallest variant the canonical representative.
 
-    Hybrid execution (what production graph engines do): the edge set is
-    materialized once, and ONE agg job yields both the edge count and the
+    Hybrid execution (what production graph engines do): the raw edge list
+    is materialized once, and ONE agg job yields both the edge count and the
     average key width; when the estimated driver-side footprint —
-    ``edges × (avg key bytes + per-edge Python object overhead)`` — fits in
+    ``raw edges × (avg key bytes + per-edge Python object overhead)`` — fits in
     ``small_graph_max_bytes`` (default 64 MiB), the EXACT answer is computed
     by driver-side union-find in one collect (entity-variant / near-dup pair
     graphs are vocabulary-scale — orders of magnitude smaller than the
@@ -131,25 +137,20 @@ def connected_components(
     (≈ log₂ of the largest component — 30 covers any graph that fits on a
     cluster).
     """
-    # materialize the INPUT edge plan once: nodes and e each force a job,
-    # and without this both re-execute the caller's (expensive) pair
-    # generation — a minhash/LSH/blocked-join chain in every production
-    # caller — instead of scanning a tiny materialized edge list
+    # materialize the INPUT edge plan once: every consumer below forces a
+    # job, and without this each would re-execute the caller's (expensive)
+    # pair generation — a minhash/LSH/blocked-join chain in every
+    # production caller — instead of scanning a tiny materialized edge list
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
-    nodes = (
-        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
-        .select(F.col("u").alias("node"))
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # one agg job: edge count + mean key width (cast covers numeric ids)
-    stats = e.agg(
+    # one agg job over RAW: edge count + mean key width (cast covers
+    # numeric ids). Sizing on raw (≥ the dedup'd edge set) keeps the
+    # driver-side bound conservative while letting the small path COLLECT
+    # raw directly — node derivation and self-loop/dup dropping are python
+    # work there, so the former nodes/e checkpoints (+ their collects,
+    # 4 driver jobs per call) disappear (r6).
+    stats = raw.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.avg(
@@ -161,7 +162,20 @@ def connected_components(
     ).collect()[0]
     est_bytes = stats["n"] * (stats["avg_key_bytes"] + _UF_EDGE_OVERHEAD_BYTES)
     if est_bytes <= small_graph_max_bytes:
-        return _driver_union_find(nodes, e)
+        node_type = raw.schema.fields[0].dataType.simpleString()
+        return _driver_union_find(
+            raw.sparkSession, [(r[0], r[1]) for r in raw.collect()], node_type
+        )
+    nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     converged = False
     for it in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -31,8 +31,23 @@ MIN_ABBREV_LEN = 3
 
 
 def rel_types(spark: SparkSession) -> DataFrame:
-    rows = [(r, st, ot) for r, st, ot in S.RELATIONS]
-    return spark.createDataFrame(rows, "pred string, subj_type string, obj_type string")
+    """The (pred, subj_type, obj_type) relation-schema dimension as a PURE
+    JVM literal relation (r6): ``createDataFrame`` parallelizes pickled
+    python rows, so every broadcast build of the dimension re-ran a
+    32-task python stage (~0.3 s of worker dispatch for 10 rows, several
+    builds per canonical query — measured via the event log's
+    ``applySchemaToPythonRDD`` stages). ``inline(array(struct(...)))`` over
+    ``range(1)`` folds to a LocalRelation: zero python, broadcast builds in
+    milliseconds."""
+    structs = [
+        F.struct(
+            F.lit(r).alias("pred"),
+            F.lit(st).alias("subj_type"),
+            F.lit(ot).alias("obj_type"),
+        )
+        for r, st, ot in S.RELATIONS
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 def mention_vocab(triples: DataFrame) -> DataFrame:
@@ -132,15 +147,121 @@ def variant_edges(
     return verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
 
 
+#: Driver fast-path bounds for canonical_mapping: the vocab must fit in
+#: this many estimated driver bytes AND the blocked pair budget (Σ over
+#: buckets of |bucket|²) must stay below _DRIVER_MAP_MAX_PAIRS — a
+#: pathologically hot block falls back to the distributed join, which
+#: produces the same pairs with AQE skew handling.
+_DRIVER_MAP_MAX_BYTES = 16 * 2**20
+_DRIVER_MAP_MAX_PAIRS = 2_000_000
+#: CPython object overhead per vocab row (str headers + tuple/dict slots).
+_DRIVER_MAP_ROW_OVERHEAD = 240
+
+
+def _variant_pair_py(a: str, b: str) -> bool:
+    """Python replica of ``is_variant_pair`` (token counts equal, every
+    aligned pair equal or ≥3-char prefix-related). split(' ')/lower()/
+    startswith match Spark's literal-space split, UTF8 lower and prefix
+    semantics on this vocab; equivalence is pinned by tests and the oracle."""
+    ta, tb = a.lower().split(" "), b.lower().split(" ")
+    if len(ta) != len(tb):
+        return False
+    for x, y in zip(ta, tb):
+        if x == y:
+            continue
+        if len(x) >= MIN_ABBREV_LEN and y.startswith(x):
+            continue
+        if len(y) >= MIN_ABBREV_LEN and x.startswith(y):
+            continue
+        return False
+    return True
+
+
+def _driver_canonical_mapping(rows: list) -> list:
+    """Exact (ent_type, mention, canonical) rows at the driver: prefix-block
+    (provably exhaustive for the verifier), verify within buckets,
+    union-find, min-mention label. Components cannot span buckets — the
+    block key is a function of the mention alone, so every verified pair
+    shares it — but a single global union-find is simplest. Returns None
+    never; caller guards the pair budget."""
+    from collections import defaultdict
+
+    buckets: dict = defaultdict(list)
+    for ent_type, mention in rows:
+        blk = " ".join(t[:MIN_ABBREV_LEN] for t in mention.lower().split(" "))
+        buckets[(ent_type, blk)].append(mention)
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for (ent_type, _), ms in buckets.items():
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if _variant_pair_py(ms[i], ms[j]):
+                    a, b = (ent_type, ms[i]), (ent_type, ms[j])
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp_min: dict = {}
+    for k in parent:
+        r = find(k)
+        if r not in comp_min or k[1] < comp_min[r]:
+            comp_min[r] = k[1]
+    return [
+        (et, m, comp_min[find((et, m))] if (et, m) in parent else m)
+        for et, m in rows
+    ]
+
+
 def canonical_mapping(mentions: DataFrame, **kwargs) -> DataFrame:
     """(ent_type, mention, canonical) — canonical = lexicographically
-    smallest variant in the connected component; identity for singletons."""
+    smallest variant in the connected component; identity for singletons.
+
+    Hybrid execution (r6, the connected_components union-find precedent
+    extended one stage up): the mention vocabulary is materialized once and
+    sized with one agg job; when its estimated driver footprint fits
+    ``_DRIVER_MAP_MAX_BYTES`` AND the blocked pair budget is bounded, the
+    whole block → verify → CC → min-label chain runs at the driver in one
+    collect (3 driver jobs total vs ~12 for the distributed chain — pure
+    scheduling latency when the vocab is model-sized). Above either bound
+    the distributed blocked-join + star-contraction path runs unchanged.
+    Identical output by construction (cross-checked in tests and by the
+    oracle)."""
     # materialize the vocab ONCE: it is scanned four times inside the
     # blocked-join plan (a/b sides + both verify lookups), again by the CC
     # node/edge checkpoints, and once more by the final left join — without
     # this every scan re-runs the upstream distinct over the triple table
     # (profiled at sf0.1: ~3.5s of pure recomputation on a 161-row vocab)
     mentions = mentions.localCheckpoint(eager=True)
+    stats = mentions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.avg(F.length("mention") + F.length("ent_type")), F.lit(0.0)
+        ).alias("avg_bytes"),
+    ).collect()[0]
+    est_bytes = stats["n"] * (stats["avg_bytes"] + _DRIVER_MAP_ROW_OVERHEAD)
+    if not kwargs and est_bytes <= _DRIVER_MAP_MAX_BYTES:
+        rows = [(r["ent_type"], r["mention"]) for r in mentions.collect()]
+        from collections import Counter
+
+        blk_sizes = Counter(
+            (et, " ".join(t[:MIN_ABBREV_LEN] for t in m.lower().split(" ")))
+            for et, m in rows
+        )
+        if sum(c * c for c in blk_sizes.values()) <= _DRIVER_MAP_MAX_PAIRS:
+            return mentions.sparkSession.createDataFrame(
+                _driver_canonical_mapping(rows),
+                "ent_type string, mention string, canonical string",
+            )
     edges = variant_edges(mentions, **kwargs)
     # check_every=2: the convergence probe is count + exceptAll (2 driver
     # jobs); probing every other round saves ~30% of driver actions on deep

@@ -161,9 +161,24 @@ def permutation_examples(
     broadcast dimension joined on arity — never computed per row.
     """
     spark = df.sparkSession
-    perms = spark.createDataFrame(
-        perm_dimension(list(range(1, max_arity + 1)), n_samples),
-        "arity int, perm_id int, ord array<int>",
+    # JVM literal relation (r6): a createDataFrame dimension re-evaluates a
+    # pickled python RDD on every broadcast build; inline literals fold to
+    # a LocalRelation (zero python in the plan).
+    perms = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("arity"),
+                        F.lit(pid).alias("perm_id"),
+                        F.array(*[F.lit(i) for i in ordv]).alias("ord"),
+                    )
+                    for a, pid, ordv in perm_dimension(
+                        list(range(1, max_arity + 1)), n_samples
+                    )
+                ]
+            )
+        )
     )
     slots, assigned = F.col(slots_col), F.col(assigned_col)
     # tuples wider than max_arity would silently produce ZERO examples (no

@@ -56,3 +56,30 @@ def test_type_blocking_prevents_cross_type_links(spark):
     # person 'Acme Stone' must NOT link to org 'Acme Corp*'
     assert rows[("person", "Acme Stone")] == "Acme Stone"
     assert rows[("org", "Acme Corporation")] == "Acme Corp"
+
+
+def test_driver_mapping_equals_distributed(spark):
+    """The r6 driver fast path of canonical_mapping (collect → python
+    block/verify/union-find) emits exactly the distributed blocked-join +
+    CC chain's mapping."""
+    import autoextraction_spark.operators.linking as L
+
+    rows = [
+        ("org", "Acme Corp"),
+        ("org", "Acme Corporation"),
+        ("org", "Meridian Systems"),
+        ("org", "Obsidian Corp"),
+        ("person", "Alice Stone"),
+        ("person", "Ali Stone"),   # 'Ali' is a ≥3-char prefix of 'Alice'
+        ("org", "acme corp"),      # case variant, same block
+    ]
+    mentions = spark.createDataFrame(rows, "ent_type string, mention string")
+    fast = L.canonical_mapping(mentions)
+    slow_bytes = L._DRIVER_MAP_MAX_BYTES
+    try:
+        L._DRIVER_MAP_MAX_BYTES = 0  # force the distributed path
+        slow = L.canonical_mapping(mentions)
+        key = lambda r: (r.ent_type, r.mention, r.canonical)
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+    finally:
+        L._DRIVER_MAP_MAX_BYTES = slow_bytes
