@@ -73,17 +73,26 @@ def word_shingles(col: Column, n: int = 3, sep: str = " ") -> Column:
     )
 
 
-def exploded_shingles(df: DataFrame, id_col: str, shingle_expr: Column) -> DataFrame:
-    """(id, sh) one row per (id, DISTINCT shingle) — the set representation.
+def exploded_shingles(
+    df: DataFrame, id_col: str, shingle_expr: Column, distinct: bool = True
+) -> DataFrame:
+    """(id, sh) one row per (id, shingle) — the set representation when
+    ``distinct=True`` (one row per DISTINCT shingle).
+
+    ``distinct=False`` (r6) skips the full-table dedup EXCHANGE — the
+    largest shuffle of the minhash path. Safe whenever every consumer is
+    dup-insensitive: the signature's per-permutation ``min`` is idempotent
+    and the verify aggregates with ``collect_set``/distinct counts. The
+    prefix-filter (SSJoin) path must keep ``distinct=True`` — its
+    document-frequency ordering counts documents per shingle.
 
     The input is spread to cluster parallelism first (no-op at scale): the
     shingle transform + explode is the CPU-heavy part of every dedup
     operator and must not run at a 1-task scan's parallelism."""
-    return (
-        spread_input(df)
-        .select(F.col(id_col).alias("id"), F.explode(shingle_expr).alias("sh"))
-        .distinct()
+    out = spread_input(df).select(
+        F.col(id_col).alias("id"), F.explode(shingle_expr).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(
@@ -206,10 +215,16 @@ def exact_jaccard(
     documents parquet was scanned 6× per dedup query). Lazy (not eager) so
     plan-only consumers (explain) stay side-effect-free; the length filter
     still sees only (id, n) columns, so failing pairs never move arrays.
+
+    Aggregates are SET-semantics (collect_set + its size, r6), so the
+    exploded input need not be pre-deduped — minhash_dup_pairs drops the
+    shingle table's distinct exchange outright and the Jaccard is unchanged
+    (array_intersect is set-valued either way).
     """
     per_id = _maybe_ckpt(
         shingled.groupBy("id").agg(
-            F.count(F.lit(1)).alias("n"), F.collect_list("sh").alias("shs")
+            F.size(F.collect_set("sh")).alias("n"),
+            F.collect_set("sh").alias("shs"),
         ),
         materialize,
     )
@@ -262,8 +277,13 @@ def minhash_dup_pairs(
     # feeds both sides of the band self-join. The shingle table is the one
     # corpus-sized intermediate — one DISK_ONLY copy vs re-scanning +
     # re-splitting the text per consumer is the right trade when the text
-    # column dominates I/O (it does at web scale).
-    shingled = _maybe_ckpt(exploded_shingles(df, id_col, expr), materialize)
+    # column dominates I/O (it does at web scale). distinct=False (r6): the
+    # pre-dedup exchange of the (id, sh) table — the path's largest shuffle
+    # — is dropped; the signature min is idempotent and the verify
+    # aggregates with set semantics, so the output is unchanged.
+    shingled = _maybe_ckpt(
+        exploded_shingles(df, id_col, expr, distinct=False), materialize
+    )
     sig = _maybe_ckpt(minhash_signature(shingled, num_perm), materialize)
     cands = lsh_candidate_pairs(sig, num_perm, bands)
     return exact_jaccard(cands, shingled, threshold, materialize).filter(

@@ -40,6 +40,50 @@ from pyspark.storagelevel import StorageLevel
 from .fileops import _with_rank
 from .graph import _eager  # the shared iterative-loop checkpoint barrier
 
+
+def _eager_both(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Materialize two INDEPENDENT eager checkpoints concurrently
+    (guide §2.6: driver actions are sequential only because the code calls
+    them sequentially). The entity/relation embedding tables never depend
+    on each other inside an iteration, so their two small checkpoint jobs
+    overlap instead of paying scheduling latency back-to-back."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(_eager, a), pool.submit(_eager, b)
+        return fa.result(), fb.result()
+
+
+def _ranked_vocabs(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ents, rels) rank tables for a checkpointed triple table, built
+    CONCURRENTLY (guide §2.6): each _with_rank call runs ~3 small driver
+    jobs (range-sample, checkpoint, counts collect) and the two vocabs
+    depend only on ``t`` — overlapping them halves the rank-build latency
+    every trainer pays."""
+    ent_names = (
+        t.select(F.col("subj").alias("name"))
+        .union(t.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(
+            lambda: _eager(
+                _with_rank(ent_names, "name").select(
+                    "name", F.col("_rn").alias("rank")
+                )
+            )
+        )
+        fr = pool.submit(
+            lambda: _eager(
+                _with_rank(
+                    t.select(F.col("pred").alias("name")).distinct(), "name"
+                ).select("name", F.col("_rn").alias("rank"))
+            )
+        )
+        return fe.result(), fr.result()
+
 #: init constants — arbitrary coprime multipliers; values in [-0.5, 0.5)
 ENT_INIT = (37, 101, 97)
 REL_INIT = (53, 67, 89)
@@ -96,20 +140,10 @@ def transe_train(
     variant the SQL oracle can replay exactly.
     """
     t = _eager(triples.select("pred", "subj", "obj").distinct())
-    ent_names = (
-        t.select(F.col("subj").alias("name"))
-        .union(t.select(F.col("obj").alias("name")))
-        .distinct()
-    )
     # JVM-side two-pass global rank (fileops._with_rank) — no single-task
-    # window, no zipWithIndex python round-trip
-    ents = _eager(
-        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
-    )
-    rels = _eager(
-        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
-        .select("name", F.col("_rn").alias("rank"))
-    )
+    # window, no zipWithIndex python round-trip; ents + rels built
+    # concurrently (r6, guide §2.6)
+    ents, rels = _ranked_vocabs(t)
     n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
 
     # corrupted tail by rank shift: two vocabulary joins, plan-built once
@@ -129,8 +163,7 @@ def transe_train(
     rel_emb = _init_emb(rels, dim, REL_INIT)
 
     for _ in range(iters):
-        ent_emb = _eager(ent_emb)
-        rel_emb = _eager(rel_emb)
+        ent_emb, rel_emb = _eager_both(ent_emb, rel_emb)
         ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
         j = (
             tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
@@ -356,18 +389,8 @@ def distmult_train(
     round(·, 9) rule (one shared determinism story for every trainer).
     """
     t = _eager(triples.select("pred", "subj", "obj").distinct())
-    ent_names = (
-        t.select(F.col("subj").alias("name"))
-        .union(t.select(F.col("obj").alias("name")))
-        .distinct()
-    )
-    ents = _eager(
-        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
-    )
-    rels = _eager(
-        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
-        .select("name", F.col("_rn").alias("rank"))
-    )
+    # ents + rels rank tables built concurrently (r6, guide §2.6)
+    ents, rels = _ranked_vocabs(t)
     n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
     tr = _eager(
         t.join(ents.select(F.col("name").alias("obj"), F.col("rank").alias("t_rank")), "obj")
@@ -384,8 +407,7 @@ def distmult_train(
     rel_emb = _init_emb(rels, dim, REL_INIT)
 
     for _ in range(iters):
-        ent_emb = _eager(ent_emb)
-        rel_emb = _eager(rel_emb)
+        ent_emb, rel_emb = _eager_both(ent_emb, rel_emb)
         ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
         j = (
             tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
@@ -630,18 +652,8 @@ def complex_train(
     """
     D = int(dim)
     t = _eager(triples.select("pred", "subj", "obj").distinct())
-    ent_names = (
-        t.select(F.col("subj").alias("name"))
-        .union(t.select(F.col("obj").alias("name")))
-        .distinct()
-    )
-    ents = _eager(
-        _with_rank(ent_names, "name").select("name", F.col("_rn").alias("rank"))
-    )
-    rels = _eager(
-        _with_rank(t.select(F.col("pred").alias("name")).distinct(), "name")
-        .select("name", F.col("_rn").alias("rank"))
-    )
+    # ents + rels rank tables built concurrently (r6, guide §2.6)
+    ents, rels = _ranked_vocabs(t)
     n_ent = ents.agg(F.count(F.lit(1)).alias("n_ent"))
     tr = _eager(
         t.join(ents.select(F.col("name").alias("obj"), F.col("rank").alias("t_rank")), "obj")
@@ -658,8 +670,7 @@ def complex_train(
     rel_emb = _init_emb(rels, 2 * D, REL_INIT)
 
     for _ in range(iters):
-        ent_emb = _eager(ent_emb)
-        rel_emb = _eager(rel_emb)
+        ent_emb, rel_emb = _eager_both(ent_emb, rel_emb)
         ev, rv = _as_vec(ent_emb), _as_vec(rel_emb)
         j = (
             tr.join(ev.select(F.col("name").alias("subj"), F.col("vec").alias("hv")), "subj")
