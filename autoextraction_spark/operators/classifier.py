@@ -49,6 +49,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds x0..x4: bias, clipped length, punctuation ratio, (English)
     stopword ratio, clipped average token length. Pure codegen; the SQL
     oracle mirrors each formula term-for-term."""
+    from .dedup import spread_input
+
+    df = spread_input(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_words = F.size(F.split(t, " "))

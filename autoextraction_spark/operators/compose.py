@@ -268,6 +268,9 @@ def chunk_tokens(
     a zero-shuffle map operator; output size is input tokens ×
     window/stride, the caller's knob.
     """
+    from .dedup import spread_input
+
+    df = spread_input(df)
     if not 1 <= stride <= window:
         raise ValueError(f"need 1 <= stride <= window, got {stride}/{window}")
     t = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))

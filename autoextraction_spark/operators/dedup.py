@@ -154,9 +154,30 @@ def lsh_candidate_pairs(
     )
 
 
+#: Logical-plan node names above which spread_input must not probe
+#: partitioning: ``df.rdd`` under AQE finalizes the plan and EXECUTES every
+#: shuffle stage below the final one, so probing a join/agg-bearing plan
+#: would silently run it twice. Wide plans are also exactly the ones whose
+#: partitioning is already shuffle-sized — skipping them is both safe and
+#: free. MapInPandas is excluded because repartitioning ABOVE a python map
+#: mis-places the exchange (the map itself stays at scan parallelism).
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Repartition",
+    "GlobalLimit",
+    "MapInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInPandas",
+)
+
+
 def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition a narrow input to cluster parallelism when
-    its plan has FEWER partitions than cores.
+    """Round-robin repartition a narrow scan-shaped input to cluster
+    parallelism when its plan has FEWER partitions than cores.
 
     Guide §2.5 'input skew': a small parquet file with a single row group
     degenerates to a 1-task scan, and every shingle/signature/digest
@@ -165,10 +186,19 @@ def spread_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     corpus arrives in thousands of splits, the partition count is already
     ≥ parallelism, and this is a NO-OP — the corpus is never reshuffled
     there; only a sub-parallelism input pays one narrow-column exchange.
+
+    Inputs whose analyzed plan contains a wide node (join/agg/window/…)
+    are returned UNCHANGED: their partitioning is already shuffle-sized,
+    and probing them via ``.rdd`` would execute the upstream stages at
+    plan-build time (the AQE finalization side effect `_maybe_ckpt`
+    documents) — composed pipelines must not run twice.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in _WIDE_NODES):
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
@@ -693,6 +723,7 @@ def substring_dedup(
     exact only, predict.py:144-154); engine-new per the training-data
     mandate.
     """
+    df = spread_input(df)
     L = int(length)
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -1007,6 +1038,7 @@ def boilerplate_grams(
     full gram vocabulary — participates in the gram-keyed joins (AQE
     broadcasts it).
     """
+    df = spread_input(df)
     grams = _maybe_ckpt(
         df.select(
             F.col(id_col).alias("id"),

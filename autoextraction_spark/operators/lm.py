@@ -46,8 +46,11 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pos, tok) — posexplode of the whitespace split."""
-    return df.select(
+    """(id, pos, tok) — posexplode of the whitespace split. The input is
+    spread to cluster parallelism first (no-op at scale / on wide plans)."""
+    from .dedup import spread_input
+
+    return spread_input(df).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .dedup import spread_input
 from pyspark.storagelevel import StorageLevel
 
 # BPE-ish tokenization: letter runs | digit runs | single non-space symbol
@@ -37,6 +39,7 @@ def _word_count(col: Column, word: str) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_chars, n_ws_tokens (whitespace), n_bpe_tokens (regex)."""
+    df = spread_input(df)
     t = F.col(text_col)
     return (
         df.withColumn("n_chars", F.length(t).cast("long"))
@@ -51,6 +54,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     The composite mirrors common web-corpus filters (Gopher/C4-style): long
     enough, not punctuation-soup, contains stopwords (real prose does).
     """
+    df = spread_input(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(F.split(t, "\\s+"))
@@ -79,6 +83,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK presence → zh, else argmax of
     language-marker stopword counts (ties broken by fixed language order)."""
+    df = spread_input(df)
     t = F.col(text_col)
     counts: dict[str, Column] = {}
     for lang, words in LANG_MARKERS.items():
@@ -159,6 +164,7 @@ def repetition_stats(
         — linear in document length, two shuffles keyed by doc_id. The
         right plan for unbounded documents (books, transcripts).
     """
+    df = spread_input(df)
     t = F.col(text_col)
     if method == "local":
         words = F.split(t, "\\s+")
@@ -229,6 +235,7 @@ def c4_filters(df: DataFrame, text_col: str = "text", min_words: int = 5) -> Dat
     Pure codegen (regexp_count / endswith / contains) — per-document map
     work that stays inside the scan's WholeStageCodegen at 100 TB.
     """
+    df = spread_input(df)
     t = F.col(text_col)
     low = F.lower(t)
     n_sent = F.regexp_count(t, F.lit("[.!?]+"))
@@ -318,6 +325,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalized lowercase text
     (portable) + a 31-polynomial rolling hash over characters (Spark-side;
     rolling hashes are the building block for content-defined chunking)."""
+    df = spread_input(df)
     t = F.col(text_col)
     norm = F.lower(F.regexp_replace(t, "\\s+", " "))
     rolling = F.aggregate(
@@ -354,6 +362,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     the SQL oracle. Pure codegen (regexp_count/regexp_replace): per-document
     map work with zero shuffle at 100 TB scan speed.
     """
+    df = spread_input(df)
     cur = F.col(text_col)
     out = df
     for kind, pat, rep in PII_PATTERNS:
@@ -388,6 +397,7 @@ def bm25_score(
     on the id. No UDF anywhere — ln/arithmetic stay in codegen, and the
     oracle reproduces the exact expression trees.
     """
+    df = spread_input(df)
     k1, b = float(k1), float(b)
     docs = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
@@ -482,6 +492,7 @@ def dsir_weights(
     hash is the md5-derived :func:`~.dedup.portable_hash64` (engine-
     independent), not Murmur3.
     """
+    df = spread_input(df)
     from .dedup import portable_hash64  # local import avoids module cycle
 
     kr, B = float(k), int(n_buckets)
@@ -584,6 +595,7 @@ def winnow_fingerprints(
     the right anchor covers the window's suffix and wins ties at every
     combine).
     """
+    df = spread_input(df)
     from .dedup import char_shingles, portable_hash64
 
     # normalize in its OWN projection: passed inline, the lower/regexp
@@ -712,6 +724,7 @@ def tfidf_keywords(
     all three consumers (tf, df, N); df and N are partial-aggregated; the
     per-doc window partitions by doc_id — no global sort.
     """
+    df = spread_input(df)
     from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 
@@ -770,6 +783,7 @@ def collocations(
     (broadcast crossJoin — no collect); bigram and unigram counts are
     partial-aggregated; the two c_x/c_y lookups are term-keyed equi-joins.
     """
+    df = spread_input(df)
     from pyspark.storagelevel import StorageLevel
 
     arr = (
@@ -840,6 +854,7 @@ def cdc_chunks(
     anywhere); text never leaves its partition — only (id, idx, start,
     len, hash64) rows are emitted.
     """
+    df = spread_input(df)
     from .dedup import char_shingles, portable_hash64
 
     txt = F.col(text_col)
