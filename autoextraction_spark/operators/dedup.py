@@ -95,6 +95,47 @@ def exploded_shingles(
     return out.distinct() if distinct else out
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, shingle_expr: Column, materialize: bool = True
+) -> DataFrame:
+    """(id, n, shs) — per-document DISTINCT shingle set and its size,
+    computed ROW-LOCALLY (``array_distinct`` over the per-row shingle
+    array): no explode, no shuffle (r6; replaces the explode → distinct →
+    groupBy-collect chain, which shuffled one row per shingle TWICE to
+    compute per-row values). The input is spread to cluster parallelism
+    first (no-op at scale)."""
+    out = (
+        spread_input(df)
+        .select(
+            F.col(id_col).alias("id"), F.array_distinct(shingle_expr).alias("shs")
+        )
+        .select("id", F.size("shs").alias("n"), "shs")
+    )
+    return _maybe_ckpt(out, materialize)
+
+
+def minhash_signature_from_sets(
+    sets_df: DataFrame, num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) ROW-LOCALLY from (id, …, shs): one md5 pass over
+    the per-row set, then k ``array_min`` folds — zero shuffle (r6). Bit-
+    identical to :func:`minhash_signature`: the per-permutation min over a
+    document's shingle set equals the grouped min over its exploded rows
+    (md5(concat(s, '')) ≡ md5(s); same Mersenne-prime arithmetic)."""
+    h = F.expr(
+        "transform(shs, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+        f" % {MINHASH_P}L)"
+    ).alias("_hs")
+    proj = sets_df.select("id", h)
+    mins = [
+        F.array_min(
+            F.expr(f"transform(_hs, x -> ({a}L * x + {b}L) % {MINHASH_P}L)")
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(minhash_coeffs(num_perm))
+    ]
+    return proj.select("id", *mins)
+
+
 def minhash_signature(
     shingled: DataFrame, num_perm: int = DEFAULT_NUM_PERM
 ) -> DataFrame:
@@ -217,9 +258,10 @@ def _maybe_ckpt(df: DataFrame, materialize: bool) -> DataFrame:
 
 def exact_jaccard(
     pairs: DataFrame,
-    shingled: DataFrame,
+    shingled: DataFrame | None,
     threshold: float | None = None,
     materialize: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact set Jaccard per candidate pair.
 
@@ -247,16 +289,22 @@ def exact_jaccard(
     still sees only (id, n) columns, so failing pairs never move arrays.
 
     Aggregates are SET-semantics (collect_set + its size, r6), so the
-    exploded input need not be pre-deduped — minhash_dup_pairs drops the
-    shingle table's distinct exchange outright and the Jaccard is unchanged
-    (array_intersect is set-valued either way).
+    exploded input need not be pre-deduped — and the Jaccard is unchanged
+    (array_intersect is set-valued either way). Callers that already hold
+    the row-local per-id set table (``shingle_sets``) pass it as ``sets``
+    and skip this aggregation entirely — the minhash path then runs with
+    NO shingle-keyed shuffle at all.
     """
-    per_id = _maybe_ckpt(
-        shingled.groupBy("id").agg(
-            F.size(F.collect_set("sh")).alias("n"),
-            F.collect_set("sh").alias("shs"),
-        ),
-        materialize,
+    per_id = (
+        sets
+        if sets is not None
+        else _maybe_ckpt(
+            shingled.groupBy("id").agg(
+                F.size(F.collect_set("sh")).alias("n"),
+                F.collect_set("sh").alias("shs"),
+            ),
+            materialize,
+        )
     )
     sizes = per_id.select("id", "n")
     p = pairs.join(
@@ -302,23 +350,21 @@ def minhash_dup_pairs(
         if shingle == "word"
         else char_shingles(F.col(text_col), shingle_n)
     )
-    # materialize once: the exploded shingle table feeds the signature AND
-    # the verify aggregation (2 corpus scans otherwise), and the signature
-    # feeds both sides of the band self-join. The shingle table is the one
-    # corpus-sized intermediate — one DISK_ONLY copy vs re-scanning +
-    # re-splitting the text per consumer is the right trade when the text
-    # column dominates I/O (it does at web scale). distinct=False (r6): the
-    # pre-dedup exchange of the (id, sh) table — the path's largest shuffle
-    # — is dropped; the signature min is idempotent and the verify
-    # aggregates with set semantics, so the output is unchanged.
-    shingled = _maybe_ckpt(
-        exploded_shingles(df, id_col, expr, distinct=False), materialize
-    )
-    sig = _maybe_ckpt(minhash_signature(shingled, num_perm), materialize)
+    # ROW-LOCAL shape (r6): the per-doc shingle SET (array_distinct) and
+    # the minhash signature (md5 pass + k array_min folds) are both pure
+    # per-row expressions — the old explode → distinct → {groupBy min,
+    # groupBy collect} chain shuffled one row per shingle twice to compute
+    # values that never needed data from another row. The only shuffles
+    # left in the whole operator are the LSH band self-join and the
+    # candidate-pair verify joins — the parts that genuinely combine rows.
+    # The set table is the one corpus-sized intermediate: materialized once
+    # (DISK_ONLY), it feeds the signature AND both verify sides.
+    sets = shingle_sets(df, id_col, expr, materialize)
+    sig = _maybe_ckpt(minhash_signature_from_sets(sets, num_perm), materialize)
     cands = lsh_candidate_pairs(sig, num_perm, bands)
-    return exact_jaccard(cands, shingled, threshold, materialize).filter(
-        F.col("jaccard") >= threshold
-    )
+    return exact_jaccard(
+        cands, None, threshold, materialize, sets=sets
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def prefix_filter_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
@@ -812,10 +858,12 @@ def incremental_minhash_dedup(
     partner documents that actually collided.
     """
     expr = word_shingles(F.col(text_col), shingle_n)
-    sh_new = _maybe_ckpt(exploded_shingles(new, id_col, expr), materialize)
-    sh_idx = _maybe_ckpt(exploded_shingles(index, id_col, expr), materialize)
-    sig_new = minhash_signature(sh_new, num_perm)
-    sig_idx = minhash_signature(sh_idx, num_perm)
+    # row-local sets + signatures (r6): no shingle-keyed shuffle anywhere
+    # in the incremental loop either (see minhash_dup_pairs)
+    sets_new = shingle_sets(new, id_col, expr, materialize)
+    sets_idx = shingle_sets(index, id_col, expr, materialize)
+    sig_new = minhash_signature_from_sets(sets_new, num_perm)
+    sig_idx = minhash_signature_from_sets(sets_idx, num_perm)
 
     r = num_perm // bands
     assert r * bands == num_perm, "bands must divide num_perm"
@@ -851,15 +899,14 @@ def incremental_minhash_dedup(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verify over the union shingle set (partner may be new or index;
-    # exact_jaccard's semi-joins pull only colliding ids' arrays). No
-    # distinct: each side is already one row per (id, DISTINCT shingle) and
-    # the id spaces are disjoint — a distinct here would be a wasted
-    # corpus-size shuffle.
-    sh_all = sh_new.unionByName(sh_idx)
-    jac = exact_jaccard(cands, sh_all, threshold, materialize).filter(
-        F.col("jaccard") >= threshold
-    )
+    # exact verify over the union of the per-id set tables (partner may be
+    # new or index; exact_jaccard's semi-joins pull only colliding ids'
+    # arrays). The id spaces are disjoint, so the union IS a valid per-id
+    # table.
+    sets_all = sets_new.unionByName(sets_idx)
+    jac = exact_jaccard(
+        cands, None, threshold, materialize, sets=sets_all
+    ).filter(F.col("jaccard") >= threshold)
     w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b"))
     best = (
         jac.withColumn("_rn", F.row_number().over(w))
