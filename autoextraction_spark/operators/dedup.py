@@ -425,12 +425,18 @@ def jaccard_dup_pairs(
         if shingle == "word"
         else char_shingles(F.col(text_col), shingle_n)
     )
-    # materialize once: the exploded table feeds the document-frequency
-    # count, the prefix-index build, and the verify aggregation — one
-    # materialization instead of three corpus scans (see minhash_dup_pairs)
-    shingled = _maybe_ckpt(exploded_shingles(df, id_col, expr), materialize)
+    # r6: ONE materialization — the row-local per-doc set table. The
+    # prefix-filter's (id, DISTINCT sh) inverted-index input is derived
+    # from it by a plain explode (distinct BY CONSTRUCTION — the former
+    # corpus-wide dedup exchange is gone), and the verify reads the set
+    # arrays directly (sets=), dropping its groupBy-collect shuffle too.
+    # Remaining shuffles: the document-frequency count + inverted-index
+    # join inside prefix_filter_candidates and the pair-verify joins — the
+    # genuinely cross-row parts of the SSJoin.
+    sets = shingle_sets(df, id_col, expr, materialize)
+    shingled = sets.select("id", F.explode("shs").alias("sh"))
     cands = prefix_filter_candidates(shingled, threshold)
-    return exact_jaccard(cands, shingled, threshold, materialize).filter(
+    return exact_jaccard(cands, None, threshold, materialize, sets=sets).filter(
         F.col("jaccard") >= threshold
     )
 

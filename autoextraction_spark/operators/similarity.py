@@ -169,8 +169,16 @@ def ann_topk(
     """
     if n_planes is None:
         n_planes = auto_n_planes(corpus.count())
+    # r6 (guide §8): decide with SMALL rows, attach payloads once. The
+    # band join and the candidate dedup previously carried the query
+    # vector (dim doubles per row) through both shuffles; now they move
+    # id pairs only, and each side's vector attaches exactly once to the
+    # surviving pairs. Norms are precomputed per VECTOR (they were being
+    # re-evaluated per candidate pair — |pairs|/|vectors| redundant sqrt
+    # folds); the cosine expression tree per pair is otherwise identical,
+    # so every rounded value is unchanged.
     qb = with_lsh_tables(queries, vec_col, n_planes, n_tables, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "table", "bucket"
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
     cb = with_lsh_tables(corpus, vec_col, n_planes, n_tables, dim).select(
         F.col(id_col).alias("neighbor_id"), "table", "bucket"
@@ -178,19 +186,25 @@ def ann_topk(
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
     c_vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = cand.join(c_vecs, "neighbor_id").withColumn(
-        "cosine",
-        _dot(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>"))
-        / (
-            _norm(F.col("q_vec").cast("array<double>"))
-            * _norm(F.col("c_vec").cast("array<double>"))
-        ),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", _norm(F.col("c_vec")))
+    scored = (
+        cand.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
