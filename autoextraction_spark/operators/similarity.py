@@ -59,12 +59,18 @@ def cosine_topk(
     Queries are broadcast (the small side); the corpus is scanned once —
     no shuffle except the final per-query top-k window over k·|queries| rows.
     """
+    from .dedup import spread_input
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # spread the corpus side (r6): the |queries|·dim dot products per
+    # corpus row are the scan stage's compute — serial above a 1-task scan
+    c = spread_input(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -128,7 +134,14 @@ def with_lsh_tables(
     sign-LSH: a close pair collides in SOME table with probability
     1-(1-p^n_planes)^n_tables. Implemented as one explode + later one
     equi-join on (table, bucket) — still a single shuffle at scale.
+
+    The input is spread to cluster parallelism first (r6, no-op at scale /
+    on wide plans): the n_tables × n_planes hyperplane dot products are
+    the bucketing stage's CPU cost and must not run above a 1-task scan.
     """
+    from .dedup import spread_input
+
+    df = spread_input(df)
     v = F.col(vec_col).cast("array<double>")
     entries = []
     for t in range(n_tables):

@@ -65,6 +65,16 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) sizes partitions by SHUFFLED
+        # bytes, but this engine's pair stages shuffle id pairs and attach
+        # wide payloads (embedding vectors, shingle arrays) AFTER the
+        # exchange — a 26 MB id-pair shuffle was coalesced to 4-10 tasks
+        # that then each did 100k+ interpreted vector ops (r6, event-log
+        # measured: dedup_recall_eval 5.5 s -> 2.6 s with the finer floor).
+        # At production scale these exchanges exceed every floor and the
+        # setting is inert; it only stops small-byte/high-compute stages
+        # from losing their parallelism.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # RDD-path serialization (localCheckpoint barriers) defaults to slow
