@@ -238,7 +238,12 @@ EXPECTED_PLAN_COUNTS = {
     "dsir_select": (0, 3, 0),
     # one corpus scan; sh_new/sh_idx ckpts feed signature + union-verify
     # legs, per_id ckpt feeds the 4 size/array join builds
-    "incremental_dedup": (1, 7, 0),
+    # r6: the row-local set table (one DISK_ONLY checkpoint per side) is
+    # scanned by the signature AND all four verify builds — more scans of a
+    # cheap materialized table in exchange for dropping both shingle-keyed
+    # shuffles (explode-distinct + groupBy-collect); deliberate, not a
+    # recompute bug.
+    "incremental_dedup": (1, 11, 0),
     # distinct (subj,pred,obj) + codegen string formatting over the A-D
     # pipeline (1 scan, 1 ckpt, 2 python stages — same as kg_triples)
     "kg_ntriples": (1, 1, 2),
@@ -263,7 +268,11 @@ EXPECTED_PLAN_COUNTS = {
     "fingerprint": (1, 0, 0),
     "containment_audit": (2, 0, 2),
     "cosine_topk": (2, 0, 0),
-    "ann_topk": (3, 0, 0),
+    # r6: the band join + candidate dedup now move id pairs only (guide
+    # §8); each side's vector table is a separate scan of the tiny parquet
+    # attached to surviving pairs once — one more scan, two payload-free
+    # shuffles; deliberate.
+    "ann_topk": (4, 0, 0),
     "ivf_topk": (2, 0, 0),
     "host_counts": (1, 0, 1),
     "image_features": (1, 0, 2),
