@@ -46,10 +46,11 @@ skel = corpus.doc_skeleton(spark, sf_dir, replicate, waves_per_core=8).localChec
     eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 def job():
-    txt = corpus.pages_from_skeleton(skel, with_text=True, emit_html=False)
-    det = detect.detect_relations(txt)
-    completed = slot_fill.ordered_slot_fill(det, carry_text=False,
-                                            dedup_assignments=True)
+    # r6: the CURRENT stages A-D hot path — the fused single-hop pipeline
+    # (generation -> extract -> anchor gate -> episodes in one mapInPandas,
+    # see slot_fill.episodes_from_skeleton); byte-identical output to the
+    # staged chain this harness measured through r5.
+    completed = slot_fill.episodes_from_skeleton(skel, dedup_assignments=True)
     return output.to_triples(output.completed_filter(completed),
                              assume_unique=True).count()
 
@@ -61,11 +62,11 @@ def job():
 # replicate (interleaved mode boots one session per pass and would otherwise
 # pay a full-size untimed job every time).
 warm_replicate = min(replicate, 64)
-warm_txt = corpus.web_pages(spark, sf_dir, replicate=warm_replicate,
-                            with_text=True, emit_html=False)
+warm_skel = corpus.doc_skeleton(spark, sf_dir, replicate=warm_replicate,
+                                waves_per_core=8)
 output.to_triples(output.completed_filter(
-    slot_fill.ordered_slot_fill(detect.detect_relations(warm_txt), carry_text=False,
-                                dedup_assignments=True)), assume_unique=True).count()
+    slot_fill.episodes_from_skeleton(warm_skel, dedup_assignments=True)),
+    assume_unique=True).count()
 walls, n = [], 0
 passes = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "3"))
 for _ in range(passes):
